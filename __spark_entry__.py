@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (the reference's core operator — the
+10-minute tumbling-window mean, SURVEY.md §2.5 A1) at sf0.001;
+``queries`` / ``oracle_sql`` expose the full declared inventory from
+``wetsa_cams_solrad_timeseries_spark.plans.registry``.
 """
 
 from __future__ import annotations
@@ -14,25 +13,43 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Pin the semantics the engine depends on (UTC, ANSI off) on the
+    driver-provided session; see wetsa_cams_solrad_timeseries_spark.session."""
+    from wetsa_cams_solrad_timeseries_spark.session import SEMANTIC_CONF
+
+    for k, v in SEMANTIC_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
+
+    _configure(spark)
+    return QUERIES["q02_tumbling_mean"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _configure(spark)
+            return QUERIES[name].fn(spark, sf_dir)
+
+        run.__name__ = name
+        return run
+
+    return {name: wrap(name) for name in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops)."""
+    from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
+
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

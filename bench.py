@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the declared query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_time", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + collect-to-count). A
+warmup pass on sf0.001 initializes the JVM/session so per-query numbers
+measure the engine, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
+from wetsa_cams_solrad_timeseries_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # Warmup: tiny end-to-end run to JIT the session (not timed).
+    QUERIES["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, spec in QUERIES.items():
+        t0 = time.time()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            per_query[name] = round(dt, 3)
+            total += dt
+        except Exception as ex:  # noqa: BLE001
+            per_query[name] = -1.0
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

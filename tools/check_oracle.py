@@ -1,0 +1,108 @@
+"""Self-gate: emulate the driver's correctness check locally.
+
+Runs every query in ``__spark_entry__.queries()`` on Spark and its
+``oracle_sql()`` twin on DuckDB over the same sf dir, then compares
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(rows: list[tuple], columns: list[str]) -> list[tuple]:
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return f"{v:.9g}"
+        if hasattr(v, "isoformat"):
+            s = v.isoformat(sep=" ")
+            return s.replace("+00:00", "")
+        return repr(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry
+    from wetsa_cams_solrad_timeseries_spark.catalog import TABLES
+    from wetsa_cams_solrad_timeseries_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if not srows:
+                print(f"WARN  {name}: rows-only query returned 0 rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"rowcount {len(srows)} != {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            status.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        if not status:
+            cs, cd = canon(srows, scols), canon(drows, dcols)
+            if cs != cd:
+                n_bad = sum(1 for a, b in zip(cs, cd) if a != b)
+                status.append(f"values differ in {n_bad}/{len(cs)} rows")
+                for a, b in list(zip(cs, cd))[:500]:
+                    if a != b:
+                        status.append(f"    spark={a}")
+                        status.append(f"    duck ={b}")
+                        break
+        if status:
+            print(f"FAIL  {name}: " + "; ".join(status[:1]))
+            for line in status[1:]:
+                print(line)
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,140 @@
+"""Join operators: dimension lookup (J2), timestamp equi-join (J1),
+key-normalized join (J3), and the as-of join the reference lacks but a
+time-series engine needs.
+
+Scale notes (100 TB):
+- Dimension joins broadcast the small side explicitly — zero shuffle on
+  the fact table, and the exclude/membership guards of the reference
+  (P6/P7) ride on the same join instead of being driver-side loops.
+- The timestamp join shuffles both sides on the join key; when one side is
+  a per-bucket aggregate it is usually broadcastable and AQE demotes to
+  broadcast at runtime.
+- The as-of join is the union–sort–carry-forward formulation: ONE shuffle
+  + sort per side keyed by the `by` columns, no range explosion, no
+  per-key driver loop. Skewed `by` keys are handled by AQE skew-join since
+  the heavy op is a window sort, and can additionally be salted upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.functions.scalar import clean_key
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """J2 — broadcast hash join of a fact table against a small dimension.
+
+    Reference: code/compile-solrad.py:97,143-144 (``locations_df.loc[key]``
+    per-file probes) → one broadcast join. With ``how='inner'`` the
+    membership filter (P7, code/compile-solrad.py:92-94) is implicit.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def key_normalized_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    key_col: str = "join_key",
+    how: str = "inner",
+) -> DataFrame:
+    """J3 — join after applying the station-name normalization (F6) to both
+    sides, as the reference does before every metadata lookup
+    (reference: code/compile-solrad.py:49,84)."""
+    f = fact.withColumn(key_col, clean_key(fact_key))
+    d = dim.withColumn(key_col, clean_key(dim_key))
+    return dim_join(f, d.drop(dim_key), on=key_col, how=how)
+
+
+def timestamp_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    how: str = "inner",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """J1 — exact-match equi-join on a timestamp (+ optional keys).
+
+    Reference: code/solrad-compare.py:80 (``pd.merge`` on the
+    DatetimeIndex). Many-to-many duplicate-timestamp semantics match
+    Spark's join semantics exactly.
+    """
+    return left.join(right, on=[*extra_keys, ts_col], how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row, attach the *latest* right row with
+    ``right_ts <= left_ts`` within the same ``by`` group.
+
+    Not in the reference (its comparison join is exact-match on an aligned
+    grid — SURVEY.md §2.4), but essential for time-series workloads.
+
+    Implementation — union + carry-forward, the shuffle-minimal plan:
+      1. tag both inputs and union them on (by, ts) with right payload
+         columns nulled on the left side;
+      2. one window sort per `by` group ordered by (ts, tag) — right rows
+         sort before left rows at equal ts so `<=` includes exact matches;
+      3. ``last(col, ignorenulls=True)`` carries the right payload forward;
+      4. keep only left rows.
+
+    Cost: one shuffle of |L|+|R| rows keyed by `by` + a sort — strictly
+    cheaper than the bucketized-range-join alternative when right rows are
+    dense, and it never explodes row counts. Equivalent plan used by
+    pandas ``merge_asof`` / QuestDB ASOF JOIN, distributed.
+    """
+    by = list(by)
+    lcols = [c for c in left.columns if c not in by and c != left_ts]
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *by,
+        "__ts",
+        "__tag",
+        *lcols,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    out = out.withColumnRenamed("__ts", left_ts)
+    if how == "inner":
+        out = out.na.drop(subset=[right_cols[0]])
+    return out

@@ -1,0 +1,35 @@
+"""Query registry: every declared engine capability as a named query with a
+DuckDB oracle.
+
+Each entry maps a SURVEY.md §2 operator (or an extension operator from the
+north star) to:
+  - ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation;
+  - ``oracle`` — ANSI SQL for DuckDB over the same tables, or ``None`` for
+    genuinely non-SQL-expressible ops (driver then records rows-only).
+
+Determinism rules (the driver hashes sorted values):
+  - every computed column is aliased identically in Spark and SQL;
+  - multi-row float aggregates are rounded to 6 digits on BOTH sides so
+    summation-order ULP noise cannot flip the hash; per-row arithmetic is
+    left at full precision (IEEE ops are bit-identical across engines);
+  - any top-k / row_number ordering has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from wetsa_cams_solrad_timeseries_spark.plans import (
+    relational,
+    timeseries,
+    llm_ops,
+)
+from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
+
+
+def _collect() -> dict[str, QuerySpec]:
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, timeseries, llm_ops):
+        out.update(mod.SPECS)
+    return out
+
+
+QUERIES: dict[str, QuerySpec] = _collect()

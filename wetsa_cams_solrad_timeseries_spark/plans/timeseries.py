@@ -1,0 +1,365 @@
+"""Time-series query inventory: tumbling windows, dense grids, timestamp
+joins, local-time derivation, QC filtering, sessionization, as-of joins,
+quantiles — the reference's temporal surface (SURVEY.md §2.5, §2.7)
+generalized over the `events` stream table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.operators.window_agg import (
+    time_grid,
+    tumbling_mean,
+    with_dense_grid,
+)
+from wetsa_cams_solrad_timeseries_spark.operators.joins import asof_join, timestamp_join
+from wetsa_cams_solrad_timeseries_spark.operators.filters import qc_flag_filter
+from wetsa_cams_solrad_timeseries_spark.functions.scalar import local_time, null_safe_ratio
+
+
+# --------------------------------------------------------------------------
+# q02 — tumbling 10-minute window mean (A1, the reference's core operator)
+# --------------------------------------------------------------------------
+def q02_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``resample('10min').mean()`` (code/get-cams-solrad-ts.py:94) as
+    ``groupBy(window(...))`` with the per-file station loop promoted to an
+    explicit group key (event_type here). One shuffle keyed by
+    (type, bucket); map-side partial aggregation makes the shuffle carry
+    only one row per group per task at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    out = tumbling_mean(
+        ev, ts_col="ts", value_cols=["value"], width="10 minutes",
+        group_cols=["event_type"], counts=True,
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        F.round(F.col("value"), 6).alias("avg_value"),
+        F.col("n_rows").alias("n_events"),
+    )
+
+
+Q02_ORACLE = """
+SELECT event_type,
+       time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+       round(avg(value), 6) AS avg_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type, time_bucket(INTERVAL '10 minutes', ts)
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — timestamp equi-join of two series (J1) + bias/ratio (F9/F10)
+# --------------------------------------------------------------------------
+def q04_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compare pipeline's central join (code/solrad-compare.py:80):
+    two 10-minute series (clicks as 'model', views as 'truth') inner-joined
+    on the bucket timestamp, then bias and null-safe ratio derived
+    (code/solrad-compare.py:88-91). Both sides are post-aggregation
+    (small) — AQE demotes the join to broadcast at runtime."""
+    ev = table(spark, sf_dir, "events")
+
+    def series(kind: str, prefix: str) -> DataFrame:
+        return (
+            tumbling_mean(
+                ev.filter(F.col("event_type") == kind),
+                ts_col="ts", value_cols=["value"], width="10 minutes",
+            )
+            .select("bucket_start", F.round(F.col("value"), 6).alias(f"{prefix}_avg"))
+        )
+
+    clicks, views = series("click", "click"), series("view", "view")
+    joined = timestamp_join(clicks, views, ts_col="bucket_start", how="inner")
+    return joined.select(
+        "bucket_start",
+        "click_avg",
+        "view_avg",
+        (F.col("click_avg") - F.col("view_avg")).alias("bias"),
+        F.abs(F.col("click_avg") - F.col("view_avg")).alias("abs_bias"),
+        F.round(null_safe_ratio(F.col("click_avg"), F.col("view_avg")), 6).alias("ratio"),
+    )
+
+
+Q04_ORACLE = """
+WITH clicks AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+         round(avg(value), 6) AS click_avg
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+views AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+         round(avg(value), 6) AS view_avg
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT bucket_start, click_avg, view_avg,
+       click_avg - view_avg AS bias,
+       abs(click_avg - view_avg) AS abs_bias,
+       round(click_avg / nullif(view_avg, 0), 6) AS ratio
+FROM clicks JOIN views USING (bucket_start)
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — QC flag filter (P4/A2) over JSON-derived flags (extension: from_json)
+# --------------------------------------------------------------------------
+def q05_qc_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ground-observation QC gate (code/solrad-compare.py:35-42): keep
+    rows whose flag sum is 0, where flags derive from the event payload
+    (JSON ``props`` parsed JVM-side with get_json_object — the extension
+    tables' from_json surface, SURVEY.md §1.2)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    flagged = ev.select(
+        "event_id", "event_type", "value",
+        k.alias("k"),
+        F.when(k > 90, 1).otherwise(0).alias("flag_k_high"),
+        F.when(F.col("value") < 1.0, 1).otherwise(0).alias("flag_low_value"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("flag_error"),
+    )
+    clean = qc_flag_filter(flagged, ["flag_k_high", "flag_low_value", "flag_error"])
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+Q05_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90 THEN 1 ELSE 0 END AS flag_k_high,
+         CASE WHEN value < 1.0 THEN 1 ELSE 0 END AS flag_low_value,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS flag_error
+  FROM events
+)
+SELECT event_type, count(*) AS n_clean,
+       round(avg(value), 6) AS avg_value,
+       round(avg(k), 6) AS avg_k
+FROM flagged
+WHERE coalesce(flag_k_high,0) + coalesce(flag_low_value,0) + coalesce(flag_error,0) = 0
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — local-time derivation (F4/F5) through a tz-string round-trip
+# --------------------------------------------------------------------------
+def q07_local_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC-offset parsing and per-row local time (code/compile-solrad.py:52,
+    115): build an Indonesia-style 'UTC+7/8/9' string per user, parse it
+    back (F5), add as an interval (F4). Column-level interval arithmetic —
+    no UDF."""
+    from wetsa_cams_solrad_timeseries_spark.functions.scalar import parse_utc_offset
+
+    ev = table(spark, sf_dir, "events")
+    tz = F.concat(F.lit("UTC+"), ((F.col("user_id") % 3) + 7).cast("string"))
+    withtz = ev.select("event_id", "user_id", "ts", tz.alias("tz_str"))
+    off = parse_utc_offset("tz_str")
+    return withtz.select(
+        "event_id",
+        "user_id",
+        "tz_str",
+        off.alias("offset_hours"),
+        "ts",
+        local_time("ts", off).alias("time_local"),
+    )
+
+
+Q07_ORACLE = """
+SELECT event_id, user_id,
+       'UTC+' || CAST(user_id % 3 + 7 AS VARCHAR) AS tz_str,
+       CAST(replace('UTC+' || CAST(user_id % 3 + 7 AS VARCHAR), 'UTC', '') AS INTEGER) AS offset_hours,
+       ts,
+       ts + to_hours(CAST(user_id % 3 + 7 AS BIGINT)) AS time_local
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — dense time grid with empty buckets (A1 pandas-resample parity)
+# --------------------------------------------------------------------------
+def q12_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``resample`` emits EMPTY buckets as NaN rows; Spark's window
+    aggregate omits them (SURVEY.md §2.5 A1 divergence). Reproduce pandas:
+    generate the bucket grid with ``sequence()`` on the executors and
+    left-join the sparse aggregate onto it. Counts coalesce to 0, means
+    stay null — exactly pandas semantics."""
+    ev = table(spark, sf_dir, "events")
+    agg = tumbling_mean(ev, ts_col="ts", value_cols=["value"], width="1 hour", counts=True)
+    agg = agg.select(
+        "bucket_start",
+        F.round(F.col("value"), 6).alias("avg_value"),
+        F.col("n_rows").alias("n_events"),
+    )
+    grid = time_grid(
+        ev,
+        lo=F.date_trunc("hour", F.min("ts")),
+        hi=F.date_trunc("hour", F.max("ts")),
+        width="1 hour",
+    )
+    return with_dense_grid(grid_df=grid, agg_df=agg, fill_zero_cols=["n_events"]).select(
+        "bucket_start", "n_events", "avg_value"
+    )
+
+
+Q12_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_start FROM bounds
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         round(avg(value), 6) AS avg_value,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT g.bucket_start,
+       coalesce(a.n_events, 0) AS n_events,
+       a.avg_value AS avg_value
+FROM grid g LEFT JOIN agg a USING (bucket_start)
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — sessionization (gap-based) via ranking windows
+# --------------------------------------------------------------------------
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag + cumulative
+    sum of session-break flags, then per-session aggregates. Two window
+    passes over ONE shuffle (same partitioning by user_id), then a grouped
+    aggregate that reuses the partitioning — no extra shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+    sessions = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+Q15_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# q17 — as-of join (latest order at or before each event)
+# --------------------------------------------------------------------------
+def q17_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest prior order of the same
+    customer (union–sort–carry-forward; see operators/joins.py for the
+    scale analysis). The right side is pre-deduplicated to one row per
+    (custkey, orderdate) so the result is well-defined on both engines."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumnRenamed("o_orderdate", "last_orderdate")
+    )
+    joined = asof_join(
+        ev, orders,
+        left_ts="ts", right_ts="last_orderdate",
+        by=["user_id"], right_cols=["last_orderkey", "last_orderdate"],
+        how="left",
+    )
+    return joined.select("event_id", "user_id", "ts", "last_orderkey", "last_orderdate")
+
+
+Q17_ORACLE = """
+WITH ord AS (
+  SELECT o_custkey AS user_id, o_orderdate AS last_orderdate,
+         max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.last_orderdate
+FROM events e
+ASOF LEFT JOIN ord o ON e.user_id = o.user_id AND e.ts >= o.last_orderdate
+"""
+
+
+# --------------------------------------------------------------------------
+# q18 — exact quantiles (extension of A-family; linear interpolation)
+# --------------------------------------------------------------------------
+def q18_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap for
+    ``percentile_approx`` (t-digest sketch, mergeable, one pass) — kept
+    exact here because the oracle hash requires exactness."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+Q18_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q02_tumbling_mean", q02_tumbling_mean, Q02_ORACLE, ("A1",), "10-min tumbling mean"),
+        ("q04_series_join", q04_series_join, Q04_ORACLE, ("J1", "F9", "F10"), "series join + bias/ratio"),
+        ("q05_qc_flag_filter", q05_qc_flag_filter, Q05_ORACLE, ("P4", "A2"), "QC flag gate + JSON"),
+        ("q07_local_time", q07_local_time, Q07_ORACLE, ("F4", "F5"), "local-time derivation"),
+        ("q12_dense_grid", q12_dense_grid, Q12_ORACLE, ("A1",), "dense bucket grid"),
+        ("q15_sessionize", q15_sessionize, Q15_ORACLE, (), "gap sessionization"),
+        ("q17_asof_join", q17_asof_join, Q17_ORACLE, (), "as-of join"),
+        ("q18_quantiles", q18_quantiles, Q18_ORACLE, ("A3",), "exact quantiles"),
+    ]
+)
