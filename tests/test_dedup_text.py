@@ -1,0 +1,128 @@
+"""Dedup + text operators vs pure-Python oracles (same MD5-derived hash,
+so results must match bit-for-bit)."""
+
+import itertools
+
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32_py
+from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from wetsa_cams_solrad_timeseries_spark.operators.text import fingerprints, lang_scores
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different words entirely here now"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "tiny"),  # fewer words than shingle width
+]
+
+
+def _shingles_py(text, n=2):
+    ws = text.strip().lower().split()
+    if len(ws) >= n:
+        grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    else:
+        grams = {" ".join(ws)}
+    return {hash32_py(g) for g in grams}
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = {
+        r["text_md5"]: (r["keep_doc_id"], r["n_copies"])
+        for r in exact_dedup(_docs_df(spark), "doc_id", "text").collect()
+    }
+    assert len(out) == 4  # docs 1 and 4 collapse
+    assert (1, 2) in out.values()
+
+
+def test_word_shingles_match_python(spark):
+    got = word_shingles(_docs_df(spark), "doc_id", "text", n=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle_hash"])
+    for doc_id, text in DOCS:
+        assert by_doc[doc_id] == _shingles_py(text), doc_id
+
+
+def test_jaccard_pairs_match_python(spark):
+    sh = word_shingles(_docs_df(spark), "doc_id", "text", n=2)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    }
+    sets = {d: _shingles_py(t) for d, t in DOCS}
+    exp = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            exp[(a, b)] = round(inter / len(sets[a] | sets[b]), 6)
+    assert got == exp
+    assert got[(1, 4)] == 1.0  # exact dup
+    assert 0.5 < got[(1, 2)] < 1.0  # near dup
+
+
+def _minhash_py(shingle_hashes, n_perm=16):
+    return [
+        min(hash32_py(f"{p}|{h}") for h in shingle_hashes) for p in range(n_perm)
+    ]
+
+
+def test_minhash_lsh_candidates_match_python(spark):
+    sh = word_shingles(_docs_df(spark), "doc_id", "text", n=2)
+    sigs = {
+        r["doc_id"]: [r[f"mh{p}"] for p in range(16)]
+        for r in minhash_signatures(sh, "doc_id", n_perm=16).collect()
+    }
+    for doc_id, text in DOCS:
+        assert sigs[doc_id] == _minhash_py(_shingles_py(text)), doc_id
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(sh, "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert (1, 4) in got  # identical signature → all bands collide
+    assert (1, 3) not in got
+
+
+def test_simhash_deterministic_and_near(spark):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark), "doc_id", "text").collect()}
+    assert got[1] == got[4]
+    ham_near = bin(got[1] ^ got[2]).count("1")
+    ham_far = bin(got[1] ^ got[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < 2**32 for v in got.values())
+
+
+def test_fingerprints(spark):
+    got = {r["doc_id"]: r for r in fingerprints(_docs_df(spark), "doc_id", "text").collect()}
+    assert got[1]["fp_md5"] == got[4]["fp_md5"]
+    assert got[1]["fp_min_shingle"] == got[4]["fp_min_shingle"]
+    assert got[5]["n_shingles"] == 1  # short doc → whole-text shingle
+    sets1 = {hash32_py(" ".join("the quick brown fox jumps over the lazy dog".split()[i:i+5])) for i in range(5)}
+    assert got[1]["fp_min_shingle"] == min(sets1)
+
+
+def test_lang_scores_pred(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro de la casa y el gato"),
+            (3, "qwerty zxcvb"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in lang_scores(df, "doc_id", "text").collect()}
+    assert got[1]["lang_pred"] == "en"
+    assert got[2]["lang_pred"] == "es"
+    assert got[3]["lang_pred"] == "und"

