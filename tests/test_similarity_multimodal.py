@@ -1,0 +1,120 @@
+"""Similarity search + multimodal plumbing + streaming twin vs numpy/pandas
+oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_buckets,
+    hyperplane_coefs,
+    neardup_pairs,
+)
+
+
+def _emb_df(spark, n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.001 * rng.normal(size=dim).astype(np.float32)  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs.astype(np.float64)
+
+
+def _cos_matrix(vecs):
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    return n @ n.T
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    got = brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    C = _cos_matrix(vecs)
+    for q in range(3):
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-round(C[q, i], 6), i),
+        )[:4]
+        got_q = sorted(
+            ((r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == q)
+        )
+        assert [n for _, n in got_q] == order
+
+
+def test_neardup_pairs_finds_planted_pair(spark):
+    df, vecs = _emb_df(spark)
+    got = {(r["id_a"], r["id_b"]) for r in neardup_pairs(df, 0.99).collect()}
+    assert (0, 1) in got
+    C = _cos_matrix(vecs)
+    exp = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if round(C[a, b], 6) >= 0.99
+    }
+    assert got == exp
+
+
+def test_hyperplane_buckets_deterministic_and_neardup_collides(spark):
+    df, _ = _emb_df(spark)
+    b1 = {(r["vec_id"], r["bucket"]) for r in hyperplane_buckets(df, dim=8).collect()}
+    b2 = {(r["vec_id"], r["bucket"]) for r in hyperplane_buckets(df, dim=8).collect()}
+    assert b1 == b2
+    buckets0 = {b for v, b in b1 if v == 0}
+    buckets1 = {b for v, b in b1 if v == 1}
+    assert buckets0 == buckets1  # near-identical vectors share all sign bits
+    # coefs are the portable hash formula
+    c = hyperplane_coefs(2, 4)
+    assert all(-1 <= x <= 1 for row in c for x in row)
+
+
+def test_multimodal_payload_and_features(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "Zz9")], ["doc_id", "text"])
+    shaped = attach_payload(df, "doc_id", "text")
+    meta = {r["doc_id"]: r["meta"] for r in shaped.collect()}
+    assert meta[1]["n_bytes"] == 3 and meta[1]["content_type"] == "text/plain"
+    feats = {r["doc_id"]: r for r in extract_features(shaped).collect()}
+    assert feats[1]["first_byte"] == ord("a")
+    assert feats[1]["last_byte"] == ord("c")
+    assert feats[1]["byte_sum"] == sum(b"abc")
+    assert feats[2]["byte_sum"] == sum(b"Zz9")
+
+
+def test_decode_image_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        decode_image(attach_payload(df, "doc_id", "text"))
+
+
+def test_sample_frames_offsets(spark):
+    df = spark.createDataFrame([(1, "x" * 3000)], ["doc_id", "text"])
+    offs = [
+        r["frame_offset"]
+        for r in sample_frames(attach_payload(df, "doc_id", "text"), 1024).collect()
+    ]
+    assert offs == [1, 1025]
+
+
+def test_streaming_twin_equals_batch(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.streaming.window_stream import (
+        streaming_tumbling_agg,
+    )
+
+    got = streaming_tumbling_agg(spark, f"{sf_dir}/events.parquet", width="1 hour")
+    ev = table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "avg_value")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0

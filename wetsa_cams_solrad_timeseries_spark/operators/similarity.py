@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, matching how ANN is actually deployed at scale:
+
+1. ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+   set against the corpus; one scan, no index. The correctness baseline
+   and the right answer whenever |queries| × |corpus| fits a pass.
+2. ``hyperplane_buckets`` + ``ann_topk_lsh`` — random-hyperplane (SRP)
+   LSH: each vector gets sign-bit bucket keys from deterministic
+   hyperplanes; candidates are bucket-mates only. Corpus-linear, index
+   build is a single scan, lookup joins are equi-joins on bucket strings
+   — the 100 TB path (band count / bits per band trade recall vs
+   candidate volume).
+3. ``neardup_pairs`` — all-pairs cosine ≥ τ for embedding-based
+   dedup; quadratic, so at scale it runs on LSH candidates (same
+   composition as MinHash→Jaccard in operators/dedup.py).
+
+Determinism: hyperplane coefficients derive from the cross-engine MD5
+hash (functions/hashing.py) — Spark literals, DuckDB SQL, and Python
+produce identical planes; cosines are computed on double-cast arrays and
+rounded to 6 digits before any threshold/ranking so engine ULP noise
+cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+    cosine_similarity,
+    to_double_array,
+)
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32_py
+
+
+def hyperplane_coefs(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived from
+    the portable hash: coef[p][i] = hash32(f"{p}_{i}") / (2^32−1) · 2 − 1.
+    Reproducible in any engine that has MD5 (see the DuckDB oracle twin in
+    plans/llm_ops.py)."""
+    return [
+        [hash32_py(f"{p}_{i}") / 4294967295.0 * 2 - 1 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def brute_force_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries × corpus, rank by
+    (rounded cosine desc, id) per query. The corpus side streams — no
+    shuffle of the big table; the only wide op is the per-query top-k
+    window over |corpus| rows, which Spark executes as partial top-k."""
+    q = queries_df.select(
+        F.col(id_col).alias(query_id_col),
+        to_double_array(F.col(emb_col)).alias("__qv"),
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(emb_col)).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection bucket keys: one row per (vector, band);
+    bucket = band index + the band's sign bits. Pure array expressions;
+    the hyperplanes are broadcast as literals (16 × 64 doubles)."""
+    coefs = hyperplane_coefs(n_planes, dim)
+    v = to_double_array(F.col(emb_col))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in coefs[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    per_band = n_planes // bands
+    band_keys = [
+        F.concat(F.lit(f"{b}:"), *bits[b * per_band : (b + 1) * per_band])
+        for b in range(bands)
+    ]
+    return emb_df.select(
+        F.col(id_col),
+        F.explode(F.array(*band_keys)).alias("bucket"),
+    )
+
+
+def ann_topk_lsh(
+    emb_df: DataFrame,
+    query_ids_pred,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates are bucket-mates of the query under
+    SRP-LSH, then exact-scored and ranked. ``query_ids_pred`` is a Column
+    predicate selecting the query subset (e.g. ``F.col('vec_id') < 50``)."""
+    buckets = hyperplane_buckets(emb_df, id_col, emb_col, n_planes, bands, dim)
+    qb = buckets.filter(query_ids_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), "bucket"
+    )
+    cand = (
+        qb.join(buckets.withColumnRenamed(id_col, "neighbor_id"), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = emb_df.select(F.col(id_col), to_double_array(F.col(emb_col)).alias("__v"))
+    scored = (
+        cand.join(
+            F.broadcast(vecs.withColumnRenamed(id_col, "query_id").withColumnRenamed("__v", "__qv")),
+            on="query_id",
+        )
+        .join(vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("__v", "__cv"), on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def neardup_pairs(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold with id_a < id_b (embedding near-dup
+    detection). Quadratic verification stage — at 100 TB feed it LSH
+    candidates (``hyperplane_buckets`` self-join) instead of the raw
+    cross join used here for exactness."""
+    v = emb_df.select(F.col(id_col), to_double_array(F.col(emb_col)).alias("__v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -21,13 +21,14 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     relational,
     timeseries,
     llm_ops,
+    vector,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
 
 def _collect() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, llm_ops):
+    for mod in (relational, timeseries, llm_ops, vector):
         out.update(mod.SPECS)
     return out
 

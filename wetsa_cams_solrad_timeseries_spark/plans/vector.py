@@ -1,0 +1,213 @@
+"""Vector-similarity, multimodal, and streaming query inventory (the
+remaining north-star extension surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+
+_DIM = 64
+_N_PLANES, _BANDS = 16, 2
+
+
+# --------------------------------------------------------------------------
+# Shared DuckDB fragments: double-cast cosine + deterministic hyperplanes
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_sum([{a}[i] * {b}[i] FOR i IN range(1, {dim} + 1)])"
+)
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b, dim=_DIM)
+    na = _DOT.format(a=a, b=a, dim=_DIM)
+    nb = _DOT.format(a=b, b=b, dim=_DIM)
+    return f"round(({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 6)"
+
+
+# Hyperplane coefs: identical formula to similarity.hyperplane_coefs.
+_COEF = (
+    "[CAST(('0x' || substr(md5(p || '_' || i), 1, 8)) AS BIGINT)"
+    f" / 4294967295.0 * 2 - 1 FOR i IN range(0, {_DIM})]"
+)
+_PER_BAND = _N_PLANES // _BANDS
+_BITS_SQL = (
+    "list_transform(range(0, {n}), p -> CASE WHEN "
+    "list_sum([v[i + 1] * coefs[p + 1][i + 1] FOR i IN range(0, {dim})]) >= 0 "
+    "THEN '1' ELSE '0' END)"
+).format(n=_N_PLANES, dim=_DIM)
+_BUCKETS_SQL = f"""
+planes AS (
+  SELECT list({_COEF.replace('p ||', 'CAST(p AS VARCHAR) ||')} ORDER BY p) AS coefs
+  FROM range({_N_PLANES}) t(p)
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bits AS (
+  SELECT vec_id, {_BITS_SQL} AS bit_list
+  FROM vecs CROSS JOIN planes
+),
+banded AS (
+  SELECT vec_id,
+         unnest([CAST(b AS VARCHAR) || ':' ||
+                 array_to_string(bit_list[(b * {_PER_BAND} + 1):((b + 1) * {_PER_BAND})], '')
+                 FOR b IN range(0, {_BANDS})]) AS bucket
+  FROM bits
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q38 — exact cosine top-k (brute force baseline)
+# --------------------------------------------------------------------------
+def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 8 vectors — the ANN
+    correctness baseline (operators/similarity.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+Q38_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# q39 — LSH-bucketed approximate top-k (the scale path)
+# --------------------------------------------------------------------------
+def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed top-3: candidates limited to bucket-mates
+    (16 planes, 2 bands) — corpus-linear ANN (operators/similarity.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import ann_topk_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(
+        emb, query_ids_pred=lambda c: c < 50, k=3,
+        n_planes=_N_PLANES, bands=_BANDS, dim=_DIM,
+    )
+
+
+Q39_ORACLE = f"""
+WITH {_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM banded q JOIN banded n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+  WHERE q.vec_id < 50
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_cos('qv.v', 'nv.v')} AS cosine
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q40 — embedding near-dup pairs (cosine threshold)
+# --------------------------------------------------------------------------
+def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup at cosine ≥ 0.4 (at scale this runs on
+    LSH candidates; exact form kept for the oracle)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import neardup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.4)
+
+
+Q40_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.v', 'b.v')} AS cosine
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# q41 — multimodal payload features (binary column + mapInPandas)
+# --------------------------------------------------------------------------
+def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: text → binary column + metadata struct →
+    Arrow-batched mapInPandas byte-feature extraction
+    (operators/multimodal.py; decode stubs documented there)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs, "doc_id", "text"))
+
+
+# Corpus is ASCII (verified), so byte stats equal codepoint stats.
+Q41_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END AS last_byte,
+       CAST(list_sum([unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)]) AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q42 — streaming tumbling window (Structured Streaming twin of A1)
+# --------------------------------------------------------------------------
+def q42_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's Structured Streaming twin: readStream over the events parquet,
+    watermarked tumbling 1-hour aggregate, drained via a memory sink —
+    result equals the batch aggregation, which the oracle checks
+    (streaming/window_stream.py)."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.window_stream import (
+        streaming_tumbling_agg,
+    )
+
+    return streaming_tumbling_agg(
+        spark, f"{sf_dir}/events.parquet", ts_col="ts", width="1 hour"
+    )
+
+
+Q42_ORACLE = """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q38_cosine_topk", q38_cosine_topk, Q38_ORACLE, (), "exact cosine top-k"),
+        ("q39_ann_lsh_topk", q39_ann_lsh_topk, Q39_ORACLE, (), "SRP-LSH approximate top-k"),
+        ("q40_embedding_neardup", q40_embedding_neardup, Q40_ORACLE, (), "embedding near-dup pairs"),
+        ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
+        ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
+    ]
+)

@@ -1,0 +1,82 @@
+"""Streaming twin of the tumbling-window aggregate (A1).
+
+SURVEY.md §2.10: the reference is pure batch, but its one true aggregation
+(the 10-minute tumbling mean) has an exact Structured Streaming twin —
+the SAME ``groupBy(window(...))`` expression tree under ``readStream``.
+This module keeps that promise literally: the aggregation is built by the
+same helper the batch path uses, so batch and streaming can never drift.
+
+Late data: ``withWatermark`` bounds state; in production the sink runs
+append-mode with the watermark delay as the completeness SLA. For
+verification we run complete-mode into a memory sink and drain the source
+(``processAllAvailable``) — the result then equals the batch aggregation
+over the same files, which is exactly what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_agg(
+    spark: SparkSession,
+    parquet_path: str,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Run the streaming tumbling aggregate over a (static) parquet file
+    set and return the drained result as a static DataFrame.
+
+    The file source replays the files as a stream (``maxFilesPerTrigger``
+    would shard them in production); schema comes from a batch peek
+    because streaming sources require a declared schema.
+    """
+    batch_df = spark.read.parquet(parquet_path)
+    if dict(batch_df.dtypes).get(ts_col) == "bigint":  # nanos-as-long table
+        ts_fix = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    else:
+        ts_fix = F.col(ts_col)
+
+    # The file stream source wants a DIRECTORY; scope a shared directory to
+    # this table's file(s) with pathGlobFilter.
+    import os
+
+    directory, filename = os.path.split(parquet_path.rstrip("/"))
+    if filename.endswith(".parquet"):
+        reader = (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", filename)
+            .parquet(directory)
+        )
+    else:
+        reader = spark.readStream.schema(batch_df.schema).parquet(parquet_path)
+    stream = reader.withColumn(ts_col, ts_fix).withWatermark(ts_col, watermark)
+    agg = (
+        stream.groupBy(*group_cols, F.window(F.col(ts_col), width).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # Materialize before the memory sink table goes away with the query.
+    result = spark.table(name)
+    result = spark.createDataFrame(result.collect(), schema=result.schema)
+    return result
