@@ -1,0 +1,256 @@
+"""End-to-end pipeline tests on generated reference-shaped fixtures
+(FIXTURES.md F1/F2/F3/F4), validated against pandas/scipy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.pipelines.compare import run_compare
+from wetsa_cams_solrad_timeseries_spark.pipelines.compile import compile_solar
+from wetsa_cams_solrad_timeseries_spark.pipelines.ingest import (
+    aggregate_to_10min,
+    distributed_fetch,
+    fetch_tasks,
+)
+from wetsa_cams_solrad_timeseries_spark.sinks.netcdf import (
+    to_dense_pandas,
+    write_netcdf,
+)
+from wetsa_cams_solrad_timeseries_spark.sources.expert_csv import (
+    peek_header,
+    read_expert_csv,
+)
+
+EXPERT_COLS = [
+    "Observation period", "TOA", "Clear sky GHI", "Clear sky BHI",
+    "Clear sky DHI", "Clear sky BNI", "GHI", "BHI", "DHI", "BNI",
+    "Reliability", "Cloud coverage",
+]
+
+
+def make_raw_expert_csv(path, minutes=720, gap=(100, 140), seed=0):
+    """CAMS csv_expert fixture: '#' metadata, '#' header (last), ';' data,
+    a missing-minutes gap, and some empty cells."""
+    rng = np.random.RandomState(seed)
+    lines = ["# CAMS solar radiation data", "# Metadata: fixture"]
+    lines.append("# " + ";".join(EXPERT_COLS))
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    for m in range(minutes):
+        if gap[0] <= m < gap[1]:
+            continue  # empty buckets for the grid divergence
+        start = t0 + pd.Timedelta(minutes=m)
+        end = start + pd.Timedelta(minutes=1)
+        vals = rng.uniform(0, 1.2, len(EXPERT_COLS) - 1)
+        cells = [f"{start.isoformat()}.0/{end.isoformat()}.0"]
+        for i, v in enumerate(vals):
+            cells.append("" if (m + i) % 37 == 0 else f"{v:.4f}")  # NaN cells
+        lines.append(";".join(cells))
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+def read_expert_pandas(path):
+    """Pandas oracle read of the fixture (independent reimplementation of
+    the reference's consumption semantics)."""
+    header = None
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                s = line.lstrip("#").strip()
+                if s:
+                    header = s
+            else:
+                break
+    names = [c.strip() for c in header.split(";")]
+    pdf = pd.read_csv(path, comment="#", sep=";", header=None, names=names)
+    pdf["time"] = pd.to_datetime(pdf["Observation period"].str.split("/").str[0])
+    return pdf
+
+
+def test_expert_csv_reader(spark, tmp_path):
+    p = make_raw_expert_csv(tmp_path / "raw_1min_TestSt_observed_cloud.csv")
+    assert peek_header(str(p)) == EXPERT_COLS
+    sdf = read_expert_csv(spark, str(p))
+    pdf = read_expert_pandas(p)
+    assert sdf.count() == len(pdf)
+    got = sdf.agg(F.sum("GHI"), F.count("GHI")).first()
+    assert got[1] == pdf["GHI"].notna().sum()
+    assert got[0] == pytest.approx(pdf["GHI"].sum(), rel=1e-9)
+
+
+def test_ingest_aggregate_matches_pandas_resample(spark, tmp_path):
+    p = make_raw_expert_csv(tmp_path / "raw_1min_TestSt_observed_cloud.csv")
+    got = aggregate_to_10min(spark, str(p)).toPandas()
+    pdf = read_expert_pandas(p)
+    exp = (
+        pdf.set_index("time")
+        .select_dtypes(include="number")
+        .resample("10min")
+        .mean()
+    )
+    assert list(got["time"]) == list(exp.index)  # dense grid incl. empty buckets
+    for c in ["TOA", "GHI", "BNI", "Cloud coverage"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), exp[c].to_numpy(), rtol=1e-9, equal_nan=True
+        )
+
+
+def _write_locations(tmp_path):
+    loc = tmp_path / "asrs_location.csv"
+    loc.write_text(
+        "no,station,latitude,longitude,elevation,timezone\n"
+        "1,Padang_Pariaman,-0.54565,100.29851,128,UTC+7\n"
+        "2,Makassar,-5.061,119.443,5,UTC+8\n"
+        "3,Sleman,-7.7,-110.35362,230,UTC+7\n"  # bad longitude + excluded key
+    )
+    return loc
+
+
+def _write_processed(tmp_path, station, seed, minutes=60):
+    rng = np.random.RandomState(seed)
+    t = pd.date_range("2024-01-01", periods=minutes, freq="10min")
+    pdf = pd.DataFrame({"time": t})
+    for c in ["TOA", "Clear sky GHI", "Clear sky BHI", "Clear sky DHI",
+              "Clear sky BNI", "GHI", "BHI", "DHI", "BNI", "Reliability",
+              "Cloud coverage"]:
+        pdf[c] = rng.uniform(0, 1.0, minutes).round(4)
+    out = tmp_path / f"processed_10min_{station}_observed_cloud.csv"
+    pdf.to_csv(out, index=False)
+    return pdf
+
+
+def test_compile_pipeline(spark, tmp_path):
+    loc = _write_locations(tmp_path)
+    exp_pp = _write_processed(tmp_path, "Padang_Pariaman", 1)
+    _write_processed(tmp_path, "Makassar", 2)
+    _write_processed(tmp_path, "Sleman", 3)       # excluded (P6)
+    _write_processed(tmp_path, "Unknown_Stn", 4)  # not in dim → dropped (P7)
+
+    out = compile_solar(
+        spark, str(tmp_path / "processed_10min_*_observed_cloud.csv"), str(loc)
+    )
+    pdf = out.toPandas()
+    assert set(pdf["station"]) == {"Padang_Pariaman", "Makassar"}
+    assert len(pdf) == 120
+    pp = pdf[pdf.station == "Padang_Pariaman"].sort_values("time_utc")
+    # local time = utc + 7h (F4/F5)
+    assert ((pp["time_local"] - pp["time_utc"]) == pd.Timedelta(hours=7)).all()
+    np.testing.assert_allclose(pp["GHI"].to_numpy(), exp_pp["GHI"].to_numpy())
+    np.testing.assert_allclose(pp["DNI"].to_numpy(), exp_pp["BNI"].to_numpy())
+    assert (pp["latitude"] == -0.54565).all()
+
+
+def _ground_cams_fixtures(seed=5, n=500):
+    rng = np.random.RandomState(seed)
+    t = pd.date_range("2024-01-01", periods=n, freq="10min")
+    ground = pd.DataFrame(
+        {
+            "Datetime (UTC)": t.astype(str),
+            "station": "St_A",
+            "GHI": rng.uniform(0, 900, n),
+            "DHI": rng.uniform(0, 400, n),
+            "DNI": rng.uniform(0, 800, n),
+            "flag_ghi": (rng.uniform(size=n) < 0.1).astype(int),
+            "flag_dhi": (rng.uniform(size=n) < 0.1).astype(int),
+        }
+    )
+    ground.loc[rng.choice(n, 5, replace=False), "DHI"] = 0.0  # ratio guard
+    cams = pd.DataFrame(
+        {
+            "time": t.astype(str),
+            "station": "St_A",
+            "GHI": rng.uniform(0, 15, n),
+            "DHI": rng.uniform(0, 7, n),
+            "BNI": rng.uniform(0, 13, n),
+            "Cloud coverage": rng.uniform(0, 100, n),
+        }
+    )
+    return ground, cams
+
+
+def test_compare_pipeline_matches_numpy(spark):
+    ground, cams = _ground_cams_fixtures()
+    merged, stats = run_compare(
+        spark.createDataFrame(ground), spark.createDataFrame(cams)
+    )
+    mpd = merged.toPandas()
+
+    # pandas oracle: QC filter, ×60, inner join on timestamp
+    g = ground[(ground.flag_ghi + ground.flag_dhi) == 0].copy()
+    g["timestamp"] = pd.to_datetime(g["Datetime (UTC)"])
+    c = cams.copy()
+    c["timestamp"] = pd.to_datetime(c["time"])
+    for comp, src in [("GHI", "GHI"), ("DHI", "DHI"), ("DNI", "BNI")]:
+        c[f"{comp}_cams"] = c[src] * 60.0
+    exp = g.merge(c, on=["timestamp", "station"], how="inner")
+    assert len(mpd) == len(exp)
+
+    got_ghi = mpd.sort_values("timestamp")
+    exp = exp.sort_values("timestamp")
+    np.testing.assert_allclose(
+        got_ghi["GHI_bias"].to_numpy(),
+        (exp["GHI_cams"] - exp["GHI_x"]).to_numpy(),
+        rtol=1e-12,
+    )
+    # zero DHI → null ratio
+    assert got_ghi.loc[got_ghi["DHI_ground"] == 0, "GHI_DHI_ratio"].isna().all()
+
+    by_key = {(s["station"], s["component"]): s for s in stats}
+    for comp, src in [("GHI", "GHI_x"), ("DHI", "DHI_x"), ("DNI", "DNI")]:
+        x, y = exp[src].to_numpy(), exp[f"{comp}_cams"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        s = by_key[("St_A", comp)]
+        assert s["slope"] == pytest.approx(slope, rel=1e-9)
+        assert s["intercept"] == pytest.approx(intercept, rel=1e-9)
+        assert s["r2"] == pytest.approx(r2, rel=1e-9)
+        assert s["n"] == len(exp)
+        assert s["stderr"] is not None and s["p_value"] is not None
+
+
+def test_distributed_fetch_error_isolation(spark, tmp_path):
+    loc_pdf = pd.DataFrame(
+        {
+            "station": ["A", "B_fails", "C"],
+            "latitude": [1.0, 2.0, 3.0],
+            "longitude": [4.0, 5.0, 6.0],
+            "elevation": [10.0, 20.0, 30.0],
+        }
+    )
+    tasks = fetch_tasks(spark.createDataFrame(loc_pdf))
+    assert tasks.count() == 6  # 3 stations × 2 sky types (O1)
+    out_dir = str(tmp_path)
+
+    def fake_fetch(task: dict) -> str:
+        if "fails" in task["station"]:
+            raise RuntimeError("simulated CDS timeout")
+        path = f"{out_dir}/raw_1min_{task['station']}_{task['sky_type']}.csv"
+        with open(path, "w") as fh:
+            fh.write("# h\n# Observation period;GHI\n2024-01-01T00:00:00.0/2024-01-01T00:01:00.0;1.0\n")
+        return path
+
+    res = distributed_fetch(tasks, fake_fetch).toPandas()
+    assert len(res) == 6
+    assert res[res.station == "B_fails"]["ok"].eq(False).all()  # O2 isolation
+    assert res[res.station != "B_fails"]["ok"].all()
+    assert res[res.ok]["output_path"].notna().all()
+
+
+def test_netcdf_export_dense_grid(spark, tmp_path):
+    loc = _write_locations(tmp_path)
+    _write_processed(tmp_path, "Padang_Pariaman", 1, minutes=30)
+    _write_processed(tmp_path, "Makassar", 2, minutes=20)  # shorter → NaN fill
+    compiled = compile_solar(
+        spark, str(tmp_path / "processed_10min_*_observed_cloud.csv"), str(loc)
+    )
+    wide, coords = to_dense_pandas(compiled)
+    assert list(coords.index) == ["Makassar", "Padang_Pariaman"]
+    assert wide.shape == (30, 6)  # 3 vars × 2 stations, dense grid (R1)
+    assert wide["GHI"]["Makassar"].isna().sum() == 10  # missing combos → NaN
+    try:
+        summary = write_netcdf(compiled, str(tmp_path / "out.nc"))
+        assert summary["n_stations"] == 2
+        assert (tmp_path / "out.nc").exists()
+    except NotImplementedError:
+        pass  # xarray not in this environment — gating contract (K2)

@@ -1,0 +1,145 @@
+"""Ingest pipeline (EP1 — reference: code/get-cams-solrad-ts.py).
+
+Reference flow per (station × sky_type): HTTP fetch → expert-CSV parse →
+1-min → 10-min tumbling mean → CSV out. 70 sequential driver iterations.
+
+Spark-first restructuring:
+- the fetch fan-out (O1) becomes a partitioned ``mapInPandas`` over the
+  (station × sky_type) task table, with per-task error capture (O2) — a
+  cluster downloads in parallel, a failed station yields an error row
+  instead of killing the job;
+- the aggregation (A1) is the shared ``tumbling_mean`` operator with the
+  dense-grid reindex so outputs match pandas ``resample`` bucket-for-
+  bucket, including empty buckets;
+- the CSV sink keeps one file per (station, sky_type) for reference
+  compatibility; the scale-native sink is partitioned Parquet
+  (``write_parquet_partitioned``), replacing the reference's
+  zip-after-the-fact archival (K3) with columnar compression at write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wetsa_cams_solrad_timeseries_spark.functions.scalar import interval_start
+from wetsa_cams_solrad_timeseries_spark.operators.window_agg import (
+    time_grid,
+    tumbling_mean,
+    with_dense_grid,
+)
+from wetsa_cams_solrad_timeseries_spark.sources.expert_csv import read_expert_csv
+
+SKY_TYPES = ("clear", "observed_cloud")
+
+FETCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType()),
+        T.StructField("sky_type", T.StringType()),
+        T.StructField("output_path", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def fetch_tasks(locations: DataFrame, sky_types=SKY_TYPES) -> DataFrame:
+    """O1 — the (station × sky_type) task table: an explicit cross join of
+    the locations dimension with the sky-type literals (reference loop at
+    get-cams-solrad-ts.py:130-140)."""
+    sky = locations.sparkSession.createDataFrame(
+        [(s,) for s in sky_types], ["sky_type"]
+    )
+    return locations.crossJoin(sky)
+
+
+def distributed_fetch(
+    tasks: DataFrame,
+    fetch_fn: Callable[[dict], str],
+    parallelism: int | None = None,
+) -> DataFrame:
+    """S1 at scale: run ``fetch_fn(task_row_dict) -> output_path`` on the
+    executors, one task per row, errors captured per task (O2 —
+    reference's ``except: continue`` at get-cams-solrad-ts.py:168-171).
+
+    ``fetch_fn`` performs the external call (CDS API in the reference) and
+    must be idempotent on re-run (task retries are Spark-native). The
+    repartition spreads tasks so each executor holds a fair share of the
+    throttled HTTP work.
+    """
+    if parallelism:
+        tasks = tasks.repartition(parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                try:
+                    path = fetch_fn(row)
+                    out.append(
+                        dict(station=row["station"], sky_type=row["sky_type"],
+                             output_path=path, ok=True, error=None)
+                    )
+                except Exception as ex:  # noqa: BLE001 — per-task isolation
+                    out.append(
+                        dict(station=row["station"], sky_type=row["sky_type"],
+                             output_path=None, ok=False, error=str(ex))
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FETCH_RESULT_SCHEMA])
+
+    return tasks.mapInPandas(run, schema=FETCH_RESULT_SCHEMA)
+
+
+def aggregate_to_10min(
+    spark: SparkSession,
+    raw_path: str,
+    dense_grid: bool = True,
+) -> DataFrame:
+    """A1 — the reference's core transform (get-cams-solrad-ts.py:47-101):
+    expert-CSV scan → bucket-start timestamp → numeric projection →
+    10-minute NaN-skipping means, on pandas' regular grid.
+
+    Returns the aggregated DataFrame (time + per-column means), ordered by
+    time like the reference CSV output.
+    """
+    raw = read_expert_csv(spark, raw_path)
+    num_cols = [
+        f.name for f in raw.schema.fields if isinstance(f.dataType, T.DoubleType)
+    ]
+    with_ts = raw.select(
+        interval_start("Observation period").alias("time"), *num_cols
+    ).filter(F.col("time").isNotNull())
+    agg = tumbling_mean(with_ts, ts_col="time", value_cols=num_cols,
+                        width="10 minutes", bucket_col="time")
+    if dense_grid:
+        grid = time_grid(
+            with_ts,
+            lo=F.timestamp_seconds(F.floor(F.unix_timestamp(F.min("time")) / 600) * 600),
+            hi=F.timestamp_seconds(F.floor(F.unix_timestamp(F.max("time")) / 600) * 600),
+            width="10 minutes",
+            bucket_col="time",
+        )
+        agg = with_dense_grid(agg, grid, bucket_col="time")
+    return agg.orderBy("time")
+
+
+def write_processed_csv(df: DataFrame, path: str) -> None:
+    """K1 — single-file CSV, time first column (reference output shape)."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols=("station", "sky_type")
+) -> None:
+    """The scale-native sink: compressed columnar parquet partitioned by
+    (station, sky_type) → partition pruning for every downstream read;
+    replaces CSV+zip (K1+K3)."""
+    present = [c for c in partition_cols if c in df.columns]
+    writer = df.write.mode("overwrite")
+    if present:
+        writer = writer.partitionBy(*present)
+    writer.parquet(path)
