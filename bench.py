@@ -28,8 +28,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warmup: tiny end-to-end run to JIT the session (not timed).
-    QUERIES["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+    # Warmup: run every query once at the smallest SF so whole-stage
+    # codegen / JIT compilation of each plan happens outside the timed
+    # region — the timed pass then measures execution, not compilation.
+    for name, spec in QUERIES.items():
+        try:
+            spec.fn(spark, "/root/testdata/sf0.001").count()
+        except Exception as ex:  # noqa: BLE001
+            print(f"# warmup error {name}: {ex}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -135,16 +135,19 @@ sh AS (
 # q32 — n-gram Jaccard near-dup pairs (verification-stage all-pairs)
 # --------------------------------------------------------------------------
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard similarity pairs ≥ 0.3 (see operators/dedup.py:
-    at 100 TB this op runs on LSH candidates, not all pairs)."""
+    """Word-bigram Jaccard similarity pairs ≥ 0.3. This corpus is
+    dense-vocabulary (≈900 distinct bigrams over 5k docs), so the blocked
+    bitmap-matmul kernel applies (operators/dedup.py:jaccard_pairs_dense);
+    results are identical to the join-based ``jaccard_pairs``, which
+    remains the sparse-vocabulary / LSH-candidate path at 100 TB."""
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
-        jaccard_pairs,
+        jaccard_pairs_dense,
         word_shingles,
     )
 
     docs = table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=2)
-    return jaccard_pairs(sh, "doc_id", threshold=0.3)
+    return jaccard_pairs_dense(sh, "doc_id", threshold=0.3)
 
 
 Q32_ORACLE = f"""

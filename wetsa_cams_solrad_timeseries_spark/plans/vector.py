@@ -128,12 +128,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # q40 — embedding near-dup pairs (cosine threshold)
 # --------------------------------------------------------------------------
 def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup at cosine ≥ 0.4 (at scale this runs on
-    LSH candidates; exact form kept for the oracle)."""
-    from wetsa_cams_solrad_timeseries_spark.operators.similarity import neardup_pairs
+    """All-pairs embedding near-dup at cosine ≥ 0.4, via the blocked
+    numpy-matmul kernel (operators/similarity.py:neardup_pairs_blocked —
+    BLAS per partition block; the expression-tree ``neardup_pairs`` is the
+    formula-exact reference implementation)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.4)
+    return neardup_pairs_blocked(emb, threshold=0.4)
 
 
 Q40_ORACLE = f"""

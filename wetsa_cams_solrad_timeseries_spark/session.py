@@ -39,6 +39,10 @@ SEMANTIC_CONF: dict[str, str] = {
 # Performance settings, sized for local[N] testing but chosen to be the
 # right defaults on a real cluster too (AQE re-sizes at runtime).
 PERF_CONF: dict[str, str] = {
+    # local[N] runs the whole engine in the driver JVM; the 1g default
+    # heap causes GC churn across a multi-query session. Only effective
+    # when THIS factory creates the JVM (ignored on attach).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
