@@ -1,0 +1,142 @@
+"""Property tests (hypothesis) for the semantics corners SURVEY.md §5.2.4
+flags: empty buckets, all-null columns, duplicate timestamps through the
+J1 join, flag-column subsets (P4), zero denominators (F10)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.functions.scalar import (
+    clean_key,
+    null_safe_ratio,
+)
+from wetsa_cams_solrad_timeseries_spark.operators.filters import qc_flag_filter
+from wetsa_cams_solrad_timeseries_spark.operators.joins import timestamp_join
+from wetsa_cams_solrad_timeseries_spark.operators.window_agg import tumbling_mean
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def sparse_series(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    offsets = draw(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=n, max_size=n)
+    )
+    values = draw(
+        st.lists(
+            st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    return pd.DataFrame(
+        {
+            "time": [t0 + pd.Timedelta(minutes=o) for o in offsets],
+            "v": [np.nan if x is None else x for x in values],
+        }
+    )
+
+
+@given(sparse_series())
+@SET
+def test_tumbling_mean_always_matches_pandas(spark, pdf):
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        tumbling_mean(sdf, ts_col="time", value_cols=["v"])
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    exp = pdf.set_index("time").resample("10min").mean().dropna(how="all")
+    # Spark emits a row for every non-empty bucket (even all-null buckets
+    # yield a null mean only when at least one row exists there).
+    exp_nonempty = pdf.set_index("time").resample("10min").count()
+    keep = exp_nonempty["v"].index[
+        pdf.set_index("time").resample("10min").size() > 0
+    ]
+    exp_full = pdf.set_index("time").resample("10min").mean().loc[keep]
+    assert list(got["bucket_start"]) == list(exp_full.index)
+    np.testing.assert_allclose(
+        got["v"].to_numpy(), exp_full["v"].to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=25),
+)
+@SET
+def test_timestamp_join_duplicate_key_cardinality(spark, lkeys, rkeys):
+    # J1 many-to-many semantics: |join| = Σ_k count_L(k)·count_R(k).
+    t0 = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        pd.DataFrame({"ts": [t0 + pd.Timedelta(minutes=k) for k in lkeys], "l": 1})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": [t0 + pd.Timedelta(minutes=k) for k in rkeys], "r": 1})
+    )
+    got = timestamp_join(left, right, ts_col="ts").count()
+    from collections import Counter
+
+    cl, cr = Counter(lkeys), Counter(rkeys)
+    assert got == sum(cl[k] * cr[k] for k in cl)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 1)),
+            st.one_of(st.none(), st.integers(0, 1)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.booleans(),
+)
+@SET
+def test_qc_flag_filter_matches_nan_skipping_sum(spark, rows, drop_second_col):
+    # P4: row survives iff the NaN-skipping sum of PRESENT flags == 0.
+    pdf = pd.DataFrame(rows, columns=["flag_a", "flag_b"]).astype("float")
+    pdf["v"] = range(len(pdf))
+    cols = ["flag_a"] if drop_second_col else ["flag_a", "flag_b"]
+    sdf = spark.createDataFrame(pdf[cols + ["v"]])
+    got = sorted(r["v"] for r in qc_flag_filter(sdf, ["flag_a", "flag_b"]).collect())
+    exp = sorted(pdf.loc[pdf[cols].sum(axis=1, skipna=True) == 0, "v"])
+    assert got == exp
+
+
+@given(
+    st.floats(-1e9, 1e9, allow_nan=False),
+    st.floats(-1e9, 1e9, allow_nan=False),
+)
+@SET
+def test_null_safe_ratio_never_errors(spark, num, den):
+    row = (
+        spark.createDataFrame([(num, den)], ["n", "d"])
+        .select(null_safe_ratio("n", "d").alias("r"))
+        .first()
+    )
+    if den == 0:
+        assert row["r"] is None
+    else:
+        assert row["r"] == num / den
+
+
+@given(st.text(min_size=0, max_size=40))
+@SET
+def test_clean_key_idempotent_and_canonical(spark, s):
+    import re
+
+    df = spark.createDataFrame([(s,)], "name string")
+    once = df.select(clean_key("name").alias("k"))
+    twice = once.select(clean_key("k").alias("k"))
+    a, b = once.first()["k"], twice.first()["k"]
+    assert a == b  # normalization is idempotent (safe to apply on both join sides)
+    assert not re.search(r"[A-Z]|^\s|\s$|\s{2,}", a or "")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from wetsa_cams_solrad_timeseries_spark.plans import (
     relational,
+    relational2,
     timeseries,
     llm_ops,
     vector,
@@ -28,7 +29,7 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
 def _collect() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, llm_ops, vector):
+    for mod in (relational, relational2, timeseries, llm_ops, vector):
         out.update(mod.SPECS)
     return out
 

@@ -1,0 +1,278 @@
+"""Relational surface, part 2: analytic window functions, cube, unpivot,
+correlated predicates, selective scans, date-part aggregation, string
+function chains, and sketch aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+
+
+# --------------------------------------------------------------------------
+# q43 — analytic window functions (lag/lead/rank/running sums)
+# --------------------------------------------------------------------------
+def q43_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/dense_rank/cumulative sum over one partitioning — all four
+    functions share a single shuffle+sort on (o_custkey, o_orderdate)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(w).alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(wcum), 6).alias("cum_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+    )
+
+
+Q43_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       dense_rank()       OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 6) AS cum_spend,
+       o_totalprice - lag(o_totalprice) OVER w AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# q44 — cube (all grouping-set combinations)
+# --------------------------------------------------------------------------
+def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): 4 grouping sets in one Expand+agg pass."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+Q44_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS total_price,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — unpivot / melt (wide → long)
+# --------------------------------------------------------------------------
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via ``stack`` — the inverse of the compile
+    pipeline's pivot (R1); per-row expression, no shuffle until the
+    final aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+Q45_ORACLE = """
+WITH long AS (
+  SELECT l_orderkey, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_quantity AS quantity,
+                                 l_extendedprice AS extendedprice,
+                                 l_discount AS discount))
+)
+SELECT measure, count(*) AS n_values,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM long GROUP BY measure
+"""
+
+
+# --------------------------------------------------------------------------
+# q46 — correlated predicate (rows above their group average)
+# --------------------------------------------------------------------------
+def q46_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average order value — the correlated
+    scalar subquery expressed as a window average (one shuffle, no
+    re-join), the scalable decorrelated form."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("cust_avg"), 6).alias("cust_avg_price"),
+        )
+    )
+
+
+Q46_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(cust_avg, 6) AS cust_avg_price
+FROM (
+  SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > cust_avg
+"""
+
+
+# --------------------------------------------------------------------------
+# q47 — selective scan + single aggregate (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+def q47_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective filter + one aggregate: every predicate reaches the
+    parquet scan (PushedFilters), the aggregate is a single partial+final
+    pass — the canonical scan-bound query."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q47_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q48 — date-part aggregation (seasonality profile)
+# --------------------------------------------------------------------------
+def q48_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breakdown of the event stream: day-of-week × hour-of-day
+    aggregation (the time-series profiling twin of the reference's
+    per-day loops)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday → +1 aligns.
+Q48_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q49 — string function chain
+# --------------------------------------------------------------------------
+def q49_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-surface coverage: concat_ws, substring, lpad, replace,
+    upper/lower, length, split-part — per-row, codegen'd, no shuffle."""
+    cu = table(spark, sf_dir, "customer")
+    name_num = F.split(F.col("c_name"), "#").getItem(1)
+    return cu.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.lower(F.col("c_name")).alias("name_lower"),
+        name_num.alias("name_number"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+    )
+
+
+Q49_ORACLE = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS segment_upper,
+       lower(c_name) AS name_lower,
+       string_split(c_name, '#')[2] AS name_number,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       replace(c_name, 'Customer', 'Cust') AS name_short,
+       substr(c_name, 1, 8) AS name_prefix
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# q50 — sketch aggregates (approx distinct; rows-only check)
+# --------------------------------------------------------------------------
+def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct + t-digest approximate quantiles
+    per event type — the mergeable one-pass sketches that replace exact
+    distinct/percentile at 100 TB. No SQL oracle: sketch estimates are
+    engine-specific by design (driver records rows-only); exact twins are
+    hash-checked in q11/q18."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.percentile_approx("value", 0.5), 6).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q43_analytic_windows", q43_analytic_windows, Q43_ORACLE, (), "lag/lead/rank/cumsum"),
+        ("q44_cube", q44_cube, Q44_ORACLE, (), "cube grouping sets"),
+        ("q45_unpivot", q45_unpivot, Q45_ORACLE, ("R1",), "unpivot wide->long"),
+        ("q46_above_group_avg", q46_above_group_avg, Q46_ORACLE, (), "decorrelated subquery"),
+        ("q47_revenue_forecast", q47_revenue_forecast, Q47_ORACLE, (), "TPC-H Q6 selective scan"),
+        ("q48_seasonality", q48_seasonality, Q48_ORACLE, (), "date-part aggregation"),
+        ("q49_string_functions", q49_string_functions, Q49_ORACLE, ("F6", "F7", "F13"), "string chain"),
+        ("q50_approx_sketches", q50_approx_sketches, None, (), "HLL + t-digest sketches"),
+    ]
+)
