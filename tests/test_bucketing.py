@@ -1,0 +1,50 @@
+"""Bucketed-table co-located join: the write-once-shuffle-never pattern.
+
+Asserts the physical plan property that matters at scale: a join of two
+tables bucketed on the join key contains NO Exchange (shuffle) operator.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", n_buckets=8)
+    write_bucketed(o, "t_orders_b", "l_orderkey", n_buckets=8)
+
+    joined = bucketed_join(spark, "t_lineitem_b", "t_orders_b", on="l_orderkey")
+    # Disable broadcast so the join strategy decision is about bucketing.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # and the result is still correct
+        n = joined.count()
+        exp = li.join(o, on="l_orderkey").count()
+        assert n == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")

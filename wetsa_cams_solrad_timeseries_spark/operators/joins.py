@@ -73,6 +73,47 @@ def timestamp_join(
     return left.join(right, on=[*extra_keys, ts_col], how=how)
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str],
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Interval/range join: pair each left row with every right interval
+    ``[start, end)`` of the same ``by`` group containing its timestamp.
+
+    Spark has no native band join; the naive formulation is a cross join
+    with an inequality filter (quadratic per key). This operator uses the
+    standard bucketization: intervals explode into the fixed-width time
+    buckets they overlap, the join is an EQUI-join on (by, bucket), and
+    the exact inequality filters the bucket-level candidates. Cost is
+    |L| + |R|·(interval/bucket) join rows instead of |L|·|R| per key —
+    pick ``bucket`` near the typical interval length.
+
+    AQE's skew handling applies to hot (by, bucket) pairs; extreme
+    long-tail intervals can be capped by splitting them upstream.
+    """
+    by = list(by)
+    width = F.expr(f"INTERVAL {bucket}")
+    wsec = F.unix_timestamp(F.lit("1970-01-01").cast("timestamp") + width)
+
+    lb = left.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / wsec))
+    rb = right.withColumn(
+        "__buckets",
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(right_start)) / wsec),
+            F.floor(F.unix_timestamp(F.col(right_end)) / wsec),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    joined = lb.join(rb, on=[*by, "__bucket"]).drop("__bucket")
+    return joined.filter(
+        (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -262,6 +262,97 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q51 — range/interval join (bucketized band join)
+# --------------------------------------------------------------------------
+def q51_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events falling inside a 14-day window after any order of the same
+    customer — the band join Spark lacks natively, via interval
+    bucketization (operators/joins.py:range_join: equi-join on
+    (key, bucket) + exact filter instead of a per-key cross join)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import range_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # 2024 events vs 1995-2001 orders never overlap; shift the order dates
+    # into the event year deterministically to make the join non-vacuous.
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("user_id"),
+        F.expr("o_orderdate + (INTERVAL 28 YEARS)").alias("win_start"),
+        F.expr("o_orderdate + (INTERVAL 28 YEARS) + (INTERVAL 14 DAYS)").alias("win_end"),
+    )
+    joined = range_join(
+        ev, o, left_ts="ts", right_start="win_start", right_end="win_end",
+        by=["user_id"], bucket="7 days",
+    )
+    return joined.groupBy("user_id", "o_orderkey", "win_start").agg(
+        F.count(F.lit(1)).alias("n_events_in_window"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
+
+
+Q51_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         o_orderdate + INTERVAL 28 YEAR AS win_start,
+         o_orderdate + INTERVAL 28 YEAR + INTERVAL 14 DAY AS win_end
+  FROM orders
+)
+SELECT o.user_id, o.o_orderkey, o.win_start,
+       count(*) AS n_events_in_window,
+       min(e.ts) AS first_event,
+       max(e.ts) AS last_event
+FROM events e
+JOIN o ON e.user_id = o.user_id AND e.ts >= o.win_start AND e.ts < o.win_end
+GROUP BY o.user_id, o.o_orderkey, o.win_start
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — SCD2 / CDC snapshot construction
+# --------------------------------------------------------------------------
+def q52_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction from a change
+    stream: treating each customer's orders as state changes, build
+    validity intervals [valid_from, valid_to) with a current-row flag —
+    the MERGE-less CDC pattern (dedupe changes → lead() window). One
+    shuffle on the business key."""
+    o = table(spark, sf_dir, "orders")
+    changes = o.groupBy(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("valid_from"),
+    ).agg(
+        F.max("o_orderkey").alias("version_id"),
+        F.round(F.sum("o_totalprice"), 6).alias("day_total"),
+    )
+    w = Window.partitionBy("cust_id").orderBy("valid_from")
+    return changes.select(
+        "cust_id",
+        "version_id",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+        "day_total",
+    )
+
+
+Q52_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS cust_id, o_orderdate AS valid_from,
+         max(o_orderkey) AS version_id,
+         round(sum(o_totalprice), 6) AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT cust_id, version_id, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CASE WHEN lead(valid_from) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+       day_total
+FROM changes
+WINDOW w AS (PARTITION BY cust_id ORDER BY valid_from)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -274,5 +365,7 @@ SPECS = make_specs(
         ("q48_seasonality", q48_seasonality, Q48_ORACLE, (), "date-part aggregation"),
         ("q49_string_functions", q49_string_functions, Q49_ORACLE, ("F6", "F7", "F13"), "string chain"),
         ("q50_approx_sketches", q50_approx_sketches, None, (), "HLL + t-digest sketches"),
+        ("q51_range_join", q51_range_join, Q51_ORACLE, (), "bucketized range join"),
+        ("q52_scd2_intervals", q52_scd2_intervals, Q52_ORACLE, (), "SCD2/CDC construction"),
     ]
 )

@@ -52,6 +52,10 @@ PERF_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Managed-table warehouse (bucketed tables) outside the repo tree.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 
