@@ -204,6 +204,31 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q53 — custom stateful streaming operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+def q53_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals as a keyed-state streaming operator
+    (streaming/stateful.py): Arrow-batched state transitions, O(keys)
+    state. Draining the finite source leaves state equal to the batch
+    aggregation — the oracle."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    return streaming_running_totals(spark, f"{sf_dir}/events.parquet")
+
+
+Q53_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -213,5 +238,6 @@ SPECS = make_specs(
         ("q40_embedding_neardup", q40_embedding_neardup, Q40_ORACLE, (), "embedding near-dup pairs"),
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
+        ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
     ]
 )
