@@ -1,0 +1,56 @@
+"""IVF ANN invariants: cell assignment correctness, probe discipline,
+recall vs brute force, determinism."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+    ann_topk_ivf,
+    brute_force_topk,
+    ivf_assign,
+    ivf_train_centroids,
+)
+
+
+def _emb_df(spark, n=120, dim=8, seed=21):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_ivf_assignment_is_nearest_centroid(spark):
+    df, vecs = _emb_df(spark)
+    cent = ivf_train_centroids(df, k=8)
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cent).collect()}
+    mat = vecs.astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    c = np.array(cent)
+    exp = np.argmax(mat @ c.T, axis=1)
+    mismatch = sum(1 for i in range(len(vecs)) if got[i] != exp[i])
+    assert mismatch == 0
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    df, vecs = _emb_df(spark)
+    ann1 = ann_topk_ivf(df, lambda c: c < 10, k=3, n_cells=8, n_probe=3)
+    rows1 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ann1.collect()}
+    ann2 = ann_topk_ivf(df, lambda c: c < 10, k=3, n_cells=8, n_probe=3)
+    rows2 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ann2.collect()}
+    assert rows1 == rows2  # deterministic index + assignment
+
+    exact = brute_force_topk(df, df.filter(F.col("vec_id") < 10), k=3)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets = {}
+    for (q, _), n in rows1.items():
+        ann_sets.setdefault(q, set()).add(n)
+    hits = sum(len(ann_sets.get(q, set()) & s) for q, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    # probing 3/8 cells: recall must beat random-cell chance comfortably
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    # every ANN result ranks correctly within its own list
+    for q in ann_sets:
+        ranked = [rows1[(q, r)] for r in (1, 2, 3) if (q, r) in rows1]
+        assert len(ranked) == len(set(ranked))

@@ -170,6 +170,154 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    emb_df: DataFrame,
+    centroids,  # list[list[float]] — normalized centroid matrix
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (max
+    cosine) — the IVF coarse quantizer (n_probe=1) and query-side cell
+    prober (n_probe>1) in one kernel.
+
+    Implementation note: a literal-expression argmax over k centroids
+    builds O(k·dim) Catalyst trees per reference (measured: minutes of
+    analysis time at k=16, dim=64), so this is a numpy mapInPandas kernel
+    with the centroid matrix in the closure — one BLAS matmul per Arrow
+    batch, no shuffle, the same pattern as the blocked similarity ops.
+    Output: one row per (vector, probed cell), ``probe_rank`` 0-based.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)
+    probe = n_probe
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cent.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), probe),
+                    "cell": order.ravel().astype("int32"),
+                    "probe_rank": np.tile(np.arange(probe, dtype="int32"), n),
+                }
+            )
+
+    return emb_df.mapInPandas(
+        kernel, schema=f"{id_col} long, cell int, probe_rank int"
+    )
+
+
+def ivf_train_centroids(
+    emb_df: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Deterministic IVF training: seeds = the k lowest-id vectors, then
+    ``n_iter`` Lloyd iterations on normalized vectors (spherical k-means).
+
+    Runs via one driver-side numpy pass over the collected corpus — right
+    for index TRAINING, which always runs on a sample (even FAISS trains
+    IVF on ~1% of vectors). At 100 TB: train on ``df.sample(frac)``
+    exactly like this, or swap in MLlib's distributed KMeans; ASSIGNMENT
+    (the data-sized pass) is distributed (``ivf_assign``)."""
+    import numpy as np
+
+    rows = (
+        emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
+        .orderBy(id_col)
+        .toPandas()
+    )
+    mat = np.array(list(rows["v"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[:k].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return [[float(x) for x in row] for row in cent]
+
+
+def ann_topk_ivf(
+    emb_df: DataFrame,
+    query_ids_pred,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
+    inverted lists, probe each query's ``n_probe`` nearest cells, exact-
+    score only those candidates. Candidate volume ≈ corpus × n_probe /
+    n_cells; the candidate join is an equi-join on the cell id — the
+    second of the two standard ANN scale paths next to SRP-LSH
+    (``ann_topk_lsh``)."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
+
+    centroids = ivf_train_centroids(emb_df, k=n_cells)
+    # Inverted lists: every corpus vector in its 1 nearest cell.
+    assigned = ivf_assign(emb_df, centroids, id_col, emb_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    # Query side: probe the n_probe nearest cells.
+    q_src = emb_df.filter(query_ids_pred(F.col(id_col)))
+    probes = ivf_assign(q_src, centroids, id_col, emb_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+
+    v = to_double_array(F.col(emb_col))
+    vecs = emb_df.select(
+        F.col(id_col), v.alias("__v"), l2_norm(v).alias("__n")
+    )
+    cand = (
+        probes.join(assigned, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(
+            F.broadcast(
+                vecs.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col("__v").alias("__qv"),
+                    F.col("__n").alias("__qn"),
+                )
+            ),
+            on="query_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("__v").alias("__cv"),
+                F.col("__n").alias("__cn"),
+            ),
+            on="neighbor_id",
+        )
+    )
+    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def neardup_pairs(
     emb_df: DataFrame,
     threshold: float,

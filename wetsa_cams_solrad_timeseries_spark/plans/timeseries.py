@@ -349,6 +349,101 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q54 — sliding (hopping) window aggregation
+# --------------------------------------------------------------------------
+def q54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event lands in
+    width/slide = 2 windows. Spark's ``window(ts, width, slide)`` expands
+    rows window-count times then aggregates — one shuffle, the same plan
+    shape as the tumbling case (A1 generalization)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# An event at ts belongs to window starts {bucket5(ts), bucket5(ts)−5min}
+# filtered to ts < start + 10min (always true for the first).
+Q54_ORACLE = """
+WITH cand AS (
+  SELECT event_type, value, ts,
+         unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
+GROUP BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — native session windows (gap-merged)
+# --------------------------------------------------------------------------
+def q55_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` (30-minute gap): the built-in
+    twin of the lag/cumsum sessionization in q15 — same session
+    boundaries, one operator. Works identically under Structured
+    Streaming with a watermark (state = open sessions)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Session semantics: window end extends 30min past the LAST event; events
+# within 30min of the previous event merge. Equivalent closed form: the
+# q15 gap/cumsum construction.
+Q55_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -361,5 +456,7 @@ SPECS = make_specs(
         ("q15_sessionize", q15_sessionize, Q15_ORACLE, (), "gap sessionization"),
         ("q17_asof_join", q17_asof_join, Q17_ORACLE, (), "as-of join"),
         ("q18_quantiles", q18_quantiles, Q18_ORACLE, ("A3",), "exact quantiles"),
+        ("q54_sliding_window", q54_sliding_window, Q54_ORACLE, ("A1",), "sliding windows"),
+        ("q55_session_window", q55_session_window, Q55_ORACLE, (), "native session windows"),
     ]
 )

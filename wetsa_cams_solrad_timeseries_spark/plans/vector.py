@@ -205,6 +205,24 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q56 — IVF approximate top-k (inverted-file ANN, the second scale path)
+# --------------------------------------------------------------------------
+def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical k-means coarse quantizer (deterministic seeds +
+    2 Lloyd iterations, trained driver-side as real IVF training does),
+    distributed cell assignment, n_probe=4 of 16 cells probed per query.
+    Rows-only check: the quantizer's float means are not reproducible in
+    SQL; invariants + recall vs brute force are pytest-verified
+    (tests/test_ivf.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import ann_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, query_ids_pred=lambda c: c < 50, k=3, n_cells=16, n_probe=4
+    )
+
+
+# --------------------------------------------------------------------------
 # q53 — custom stateful streaming operator (applyInPandasWithState)
 # --------------------------------------------------------------------------
 def q53_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,5 +257,6 @@ SPECS = make_specs(
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
+        ("q56_ann_ivf_topk", q56_ann_ivf_topk, None, (), "IVF inverted-file ANN"),
     ]
 )
