@@ -72,8 +72,14 @@ def test_jaccard_pairs_match_python(spark):
 
 
 def _minhash_py(shingle_hashes, n_perm=16):
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_perm_coeffs,
+    )
+
     return [
-        min(hash32_py(f"{p}|{h}") for h in shingle_hashes) for p in range(n_perm)
+        min((a * h + b) % MINHASH_PRIME for h in shingle_hashes)
+        for a, b in minhash_perm_coeffs(n_perm)
     ]
 
 

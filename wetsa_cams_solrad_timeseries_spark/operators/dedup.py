@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32, hash32_py
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -201,22 +201,41 @@ def jaccard_pairs_dense(
     return rows.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31−1
+
+
+def minhash_perm_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash
+    permutation family mh_p(h) = (a_p·h + b_p) mod (2³¹−1), derived from
+    the portable hash so Spark, DuckDB, and Python agree. a is kept odd
+    and < 2¹⁹ so a·h < 2⁵¹ stays exact in int64 (and in a double)."""
+    return [
+        ((hash32_py(f"a{p}") % (1 << 19)) | 1, hash32_py(f"b{p}") % MINHASH_PRIME)
+        for p in range(n_perm)
+    ]
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     id_col: str,
     n_perm: int = 16,
     shingle_col: str = "shingle_hash",
 ) -> DataFrame:
-    """MinHash signature per document: for permutation p, the minimum of a
-    salted re-hash of each shingle. One grouped aggregation computes the
-    whole signature (n_perm min-aggregates) — signatures are n_perm × 8
-    bytes regardless of document size, which is the whole point at 100 TB.
-    """
+    """MinHash signature per document: permutation p takes the minimum of
+    a universal-hash re-map of each shingle hash. One grouped aggregation
+    computes the whole signature (n_perm min-aggregates) — signatures are
+    n_perm × 8 bytes regardless of document size, which is the whole
+    point at 100 TB.
+
+    The permutations are integer arithmetic over the base 32-bit shingle
+    hash ((a·h+b) mod 2³¹−1) rather than n_perm further MD5 invocations —
+    one cryptographic hash per shingle total, the rest is codegen'd
+    multiply-add (the classic universal-hashing construction)."""
+    coeffs = minhash_perm_coeffs(n_perm)
+    h = F.col(shingle_col)
     salted = [
-        F.min(
-            hash32(F.concat(F.lit(f"{p}|"), F.col(shingle_col).cast("string")))
-        ).alias(f"mh{p}")
-        for p in range(n_perm)
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{p}")
+        for p, (a, b) in enumerate(coeffs)
     ]
     return shingle_df.groupBy(id_col).agg(*salted)
 

@@ -188,10 +188,19 @@ def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", n_perm=_N_PERM, bands=_BANDS)
 
 
-_MINHASH_COLS = ",\n         ".join(
-    f"min({_h32(chr(39) + str(p) + '|' + chr(39) + ' || CAST(h AS VARCHAR)')}) AS mh{p}"
-    for p in range(_N_PERM)
-)
+def _minhash_cols() -> str:
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_perm_coeffs,
+    )
+
+    return ",\n         ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{p}"
+        for p, (a, b) in enumerate(minhash_perm_coeffs(_N_PERM))
+    )
+
+
+_MINHASH_COLS = _minhash_cols()
 _BAND_ROWS = _N_PERM // _BANDS
 _BAND_LIST = ", ".join(
     "md5(concat_ws('_', '{b}', {cols}))".format(

@@ -353,6 +353,109 @@ WINDOW w AS (PARTITION BY cust_id ORDER BY valid_from)
 """
 
 
+# --------------------------------------------------------------------------
+# q57 — event-stream dimension enrichment
+# --------------------------------------------------------------------------
+def q57_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-enrichment pattern: events broadcast-joined through the
+    customer → nation → region dimension chain, then aggregated per
+    (region, event_type). In Structured Streaming the identical plan
+    enriches micro-batches (broadcast dims refresh per batch)."""
+    ev = table(spark, sf_dir, "events")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    return (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q57_ORACLE = """
+SELECT r_name AS region_name, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q58 — order-priority count with EXISTS on a date range (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+def q58_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join with a correlated date predicate: orders in a
+    quarter having at least one late lineitem."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(late, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q58_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1996-03-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q59 — conditional-share aggregate (TPC-H Q14 promo-revenue shape)
+# --------------------------------------------------------------------------
+def q59_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of one partition of revenue over total revenue in a single
+    aggregation pass (conditional numerator, unconditional denominator)."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev) * 100.0,
+            6,
+        ).alias("brand1_share_pct"),
+        F.round(F.sum(rev), 6).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q59_ORACLE = """
+SELECT round(sum(CASE WHEN p_brand = 'Brand#1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 100.0, 6) AS brand1_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -367,5 +470,8 @@ SPECS = make_specs(
         ("q50_approx_sketches", q50_approx_sketches, None, (), "HLL + t-digest sketches"),
         ("q51_range_join", q51_range_join, Q51_ORACLE, (), "bucketized range join"),
         ("q52_scd2_intervals", q52_scd2_intervals, Q52_ORACLE, (), "SCD2/CDC construction"),
+        ("q57_event_enrichment", q57_event_enrichment, Q57_ORACLE, ("J2",), "stream-dim enrichment"),
+        ("q58_order_priority_check", q58_order_priority_check, Q58_ORACLE, ("P7",), "TPC-H Q4 shape"),
+        ("q59_brand_share", q59_brand_share, Q59_ORACLE, (), "TPC-H Q14 shape"),
     ]
 )
