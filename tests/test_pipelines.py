@@ -237,6 +237,67 @@ def test_distributed_fetch_error_isolation(spark, tmp_path):
     assert res[res.ok]["output_path"].notna().all()
 
 
+def test_cf_metadata_on_schema(spark, tmp_path):
+    from wetsa_cams_solrad_timeseries_spark.sinks.netcdf import (
+        CF_VAR_ATTRS,
+        attach_cf_metadata,
+    )
+
+    loc = _write_locations(tmp_path)
+    _write_processed(tmp_path, "Makassar", 2, minutes=10)
+    compiled = attach_cf_metadata(
+        compile_solar(
+            spark, str(tmp_path / "processed_10min_*_observed_cloud.csv"), str(loc)
+        )
+    )
+    meta = {f.name: f.metadata for f in compiled.schema.fields}
+    assert meta["GHI"]["units"] == CF_VAR_ATTRS["GHI"]["units"]
+    assert meta["station"]["cf_role"] == "timeseries_id"
+    # metadata survives a parquet round-trip (R2 in the Spark-native home)
+    p = str(tmp_path / "compiled_meta.parquet")
+    compiled.write.mode("overwrite").parquet(p)
+    back = {f.name: f.metadata for f in spark.read.parquet(p).schema.fields}
+    assert back["latitude"]["standard_name"] == "latitude"
+
+
+def test_asof_join_tolerance(spark):
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "g": ["a", "a", "a"],
+            "ts": pd.to_datetime(
+                ["2024-01-10", "2024-03-01", "2024-06-01"]
+            ),
+            "eid": [1, 2, 3],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": ["a"],
+            "rts": pd.to_datetime(["2024-01-05"]),
+            "rv": [99],
+        }
+    )
+    got = {
+        r["eid"]: r["rv"]
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_ts="ts", right_ts="rts", by=["g"], right_cols=["rv", "rts"],
+            tolerance="30 days",
+        ).collect()
+    }
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.rename(columns={"rts": "ts"}).sort_values("ts"),
+        on="ts", by="g", tolerance=pd.Timedelta("30 days"),
+    ).set_index("eid")["rv"]
+    assert got[1] == 99 and exp.loc[1] == 99          # within tolerance
+    assert got[2] is None and pd.isna(exp.loc[2])     # match too old → nulled
+    assert got[3] is None and pd.isna(exp.loc[3])
+
+
 def test_netcdf_export_dense_grid(spark, tmp_path):
     loc = _write_locations(tmp_path)
     _write_processed(tmp_path, "Padang_Pariaman", 1, minutes=30)

@@ -122,6 +122,7 @@ def asof_join(
     by: Sequence[str],
     right_cols: Sequence[str],
     how: str = "left",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the *latest* right row with
     ``right_ts <= left_ts`` within the same ``by`` group.
@@ -141,6 +142,12 @@ def asof_join(
     cheaper than the bucketized-range-join alternative when right rows are
     dense, and it never explodes row counts. Equivalent plan used by
     pandas ``merge_asof`` / QuestDB ASOF JOIN, distributed.
+
+    ``tolerance`` (e.g. ``"365 days"``) nulls the carried right payload
+    when the matched right row is older than ``left_ts − tolerance`` —
+    pandas ``merge_asof(tolerance=...)`` semantics. Implemented by also
+    carrying the matched right timestamp and gating every payload column
+    on it, so it costs one extra carried column, no extra shuffle.
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
@@ -164,6 +171,7 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry_cols = list(right_cols)
     carried = unioned.select(
         *by,
         "__ts",
@@ -171,11 +179,20 @@ def asof_join(
         *lcols,
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
+            for c in carry_cols
         ],
+        F.last(
+            F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__matched_ts"),
     )
     out = carried.filter(F.col("__tag") == 1).drop("__tag")
-    out = out.withColumnRenamed("__ts", left_ts)
+    if tolerance is not None:
+        within = F.col("__matched_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        for c in carry_cols:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    out = out.drop("__matched_ts").withColumnRenamed("__ts", left_ts)
     if how == "inner":
         out = out.na.drop(subset=[right_cols[0]])
     return out

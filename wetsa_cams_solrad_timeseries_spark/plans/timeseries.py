@@ -444,6 +444,96 @@ GROUP BY user_id, session_seq
 """
 
 
+# --------------------------------------------------------------------------
+# q60 — as-of join with tolerance (pandas merge_asof(tolerance=...) parity)
+# --------------------------------------------------------------------------
+def q60_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17's as-of join with an 8400-day tolerance (cutoff lands inside the order-date range, so some matches survive and some null out): matches older than a
+    year before the event are nulled (same single-shuffle carry-forward
+    plan plus one gated column — operators/joins.py)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumnRenamed("o_orderdate", "last_orderdate")
+    )
+    joined = asof_join(
+        ev, orders,
+        left_ts="ts", right_ts="last_orderdate",
+        by=["user_id"], right_cols=["last_orderkey", "last_orderdate"],
+        how="left", tolerance="8400 days",
+    )
+    return joined.select("event_id", "user_id", "ts", "last_orderkey", "last_orderdate")
+
+
+Q60_ORACLE = """
+WITH ord AS (
+  SELECT o_custkey AS user_id, o_orderdate AS last_orderdate,
+         max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+),
+matched AS (
+  SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.last_orderdate
+  FROM events e
+  ASOF LEFT JOIN ord o ON e.user_id = o.user_id AND e.ts >= o.last_orderdate
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN last_orderdate >= ts - INTERVAL 8400 DAY THEN last_orderkey END AS last_orderkey,
+       CASE WHEN last_orderdate >= ts - INTERVAL 8400 DAY THEN last_orderdate END AS last_orderdate
+FROM matched
+"""
+
+
+# --------------------------------------------------------------------------
+# q61 — one-pass table profiling (pipeline observability)
+# --------------------------------------------------------------------------
+def q61_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct/range statistics for the fact table in one
+    scan + one reduce (operators/profile.py). Exact distinct here because
+    the oracle needs exactness; the default is the HLL sketch."""
+    from wetsa_cams_solrad_timeseries_spark.operators.profile import profile_table
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    return profile_table(li, columns=cols, exact_distinct=True)
+
+
+Q61_ORACLE = """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS d1,
+         round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min1,
+         round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max1, round(avg(l_orderkey), 6) AS avg1,
+         count(l_quantity) AS nn2, count(DISTINCT l_quantity) AS d2,
+         round(CAST(min(l_quantity) AS DOUBLE), 6) AS min2,
+         round(CAST(max(l_quantity) AS DOUBLE), 6) AS max2, round(avg(l_quantity), 6) AS avg2,
+         count(l_extendedprice) AS nn3, count(DISTINCT l_extendedprice) AS d3,
+         round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min3,
+         round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max3, round(avg(l_extendedprice), 6) AS avg3,
+         count(l_returnflag) AS nn4, count(DISTINCT l_returnflag) AS d4,
+         count(l_shipdate) AS nn5, count(DISTINCT l_shipdate) AS d5
+  FROM lineitem
+)
+SELECT column_name, n_rows, n_non_null,
+       n_rows - n_non_null AS n_null,
+       round(CAST(n_rows - n_non_null AS DOUBLE) / n_rows, 6) AS null_rate,
+       n_distinct, min_value, max_value, avg_value
+FROM (
+  SELECT 'l_orderkey' AS column_name, n_rows, nn1 AS n_non_null, d1 AS n_distinct,
+         min1 AS min_value, max1 AS max_value, avg1 AS avg_value FROM w
+  UNION ALL
+  SELECT 'l_quantity', n_rows, nn2, d2, min2, max2, avg2 FROM w
+  UNION ALL
+  SELECT 'l_extendedprice', n_rows, nn3, d3, min3, max3, avg3 FROM w
+  UNION ALL
+  SELECT 'l_returnflag', n_rows, nn4, d4, NULL, NULL, NULL FROM w
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, nn5, d5, NULL, NULL, NULL FROM w
+)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -458,5 +548,7 @@ SPECS = make_specs(
         ("q18_quantiles", q18_quantiles, Q18_ORACLE, ("A3",), "exact quantiles"),
         ("q54_sliding_window", q54_sliding_window, Q54_ORACLE, ("A1",), "sliding windows"),
         ("q55_session_window", q55_session_window, Q55_ORACLE, (), "native session windows"),
+        ("q60_asof_tolerance", q60_asof_tolerance, Q60_ORACLE, (), "as-of join with tolerance"),
+        ("q61_table_profile", q61_table_profile, Q61_ORACLE, (), "one-pass table profiling"),
     ]
 )

@@ -46,6 +46,18 @@ TIME_ENCODING = {
 }
 
 
+def attach_cf_metadata(compiled: DataFrame) -> DataFrame:
+    """R2 — carry the CF attributes on the schema itself
+    (``StructField.metadata``), the Spark-native home for column-level
+    metadata (SURVEY.md §1.1): parquet round-trips it, and the NetCDF
+    writer reads it back instead of a side table."""
+    out = compiled
+    for name, attrs in CF_VAR_ATTRS.items():
+        if name in out.columns:
+            out = out.withMetadata(name, attrs)
+    return out
+
+
 def to_dense_pandas(compiled: DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Collect the long-form compiled table (Arrow path) and pivot to the
     dense (station × time) grid the NetCDF layout needs — missing
