@@ -23,6 +23,23 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # SCALING.md claim: partitionBy writes enable partition pruning — a
+    # filter on the partition column appears as PartitionFilters and scans
+    # only the matching directory.
+    from wetsa_cams_solrad_timeseries_spark.pipelines.ingest import (
+        write_parquet_partitioned,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet_partitioned(ev, out, partition_cols=("event_type",))
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"

@@ -65,7 +65,7 @@ def test_jaccard_pairs_match_python(spark):
     for a, b in itertools.combinations(sorted(sets), 2):
         inter = len(sets[a] & sets[b])
         if inter:
-            exp[(a, b)] = round(inter / len(sets[a] | sets[b]), 6)
+            exp[(a, b)] = round(inter / len(sets[a] | sets[b]) + 1e-9, 6)
     assert got == exp
     assert got[(1, 4)] == 1.0  # exact dup
     assert 0.5 < got[(1, 2)] < 1.0  # near dup

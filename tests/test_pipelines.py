@@ -209,6 +209,26 @@ def test_compare_pipeline_matches_numpy(spark):
         assert s["stderr"] is not None and s["p_value"] is not None
 
 
+def test_processed_csv_sink_roundtrip(spark, tmp_path):
+    # K1: single-file CSV with time as first column, re-readable with the
+    # compile pipeline's declared schema.
+    from wetsa_cams_solrad_timeseries_spark.pipelines.ingest import write_processed_csv
+
+    p = make_raw_expert_csv(tmp_path / "raw_1min_X_observed_cloud.csv", minutes=120)
+    agg = aggregate_to_10min(spark, str(p))
+    out = tmp_path / "csv_out"
+    write_processed_csv(agg, str(out))
+    parts = list(out.glob("part-*.csv"))
+    assert len(parts) == 1  # coalesce(1) → single reference-shaped file
+    back = pd.read_csv(parts[0])
+    assert back.columns[0] == "time"
+    assert len(back) == agg.count()
+    exp = agg.toPandas()
+    np.testing.assert_allclose(
+        back["GHI"].to_numpy(), exp["GHI"].to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
 def test_distributed_fetch_error_isolation(spark, tmp_path):
     loc_pdf = pd.DataFrame(
         {

@@ -40,7 +40,7 @@ def test_brute_force_topk_matches_numpy(spark):
     for q in range(3):
         order = sorted(
             (i for i in range(len(vecs)) if i != q),
-            key=lambda i: (-round(C[q, i], 6), i),
+            key=lambda i: (-round(C[q, i] + 1e-9, 6), i),
         )[:4]
         got_q = sorted(
             ((r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == q)
@@ -57,7 +57,7 @@ def test_neardup_pairs_finds_planted_pair(spark):
         (a, b)
         for a in range(len(vecs))
         for b in range(a + 1, len(vecs))
-        if round(C[a, b], 6) >= 0.99
+        if round(C[a, b] + 1e-9, 6) >= 0.99
     }
     assert got == exp
 
@@ -112,7 +112,7 @@ def test_streaming_twin_equals_batch(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     exp = (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"))
         .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "avg_value")
     )
     assert got.count() == exp.count()

@@ -66,7 +66,7 @@ def test_stateful_streaming_matches_batch(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     exp = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
         F.max("ts").alias("last_ts"),
     )
     g = {r["user_id"]: r for r in got.collect()}

@@ -129,7 +129,7 @@ def jaccard_pairs(
     return (
         common.join(sa, on="id_a")
         .join(sb, on="id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(jac + F.lit(1e-9), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -192,7 +192,7 @@ def jaccard_pairs_dense(
             a_sizes = a_mat.sum(axis=1).astype(np.int64)
             union = a_sizes[:, None] + b_sizes[None, :] - common
             with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.round(common / union, 6)
+                jac = np.round(common / union + 1e-9, 6)
             ai, bi = np.nonzero((jac >= threshold) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame(
                 {"id_a": a_ids[ai], "id_b": b_ids[bi], "jaccard": jac[ai, bi]}

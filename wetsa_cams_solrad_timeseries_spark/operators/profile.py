@@ -42,9 +42,9 @@ def profile_table(
         aggs.append(distinct_fn(F.col(c)).alias(f"__d_{c}"))
         if c in numeric:
             aggs += [
-                F.round(F.min(c).cast("double"), 6).alias(f"__min_{c}"),
-                F.round(F.max(c).cast("double"), 6).alias(f"__max_{c}"),
-                F.round(F.avg(c), 6).alias(f"__avg_{c}"),
+                F.round(F.min(c).cast("double") + F.lit(1e-9), 6).alias(f"__min_{c}"),
+                F.round(F.max(c).cast("double") + F.lit(1e-9), 6).alias(f"__max_{c}"),
+                F.round(F.avg(c) + F.lit(1e-9), 6).alias(f"__avg_{c}"),
             ]
     wide = df.agg(*aggs)
 
@@ -67,8 +67,7 @@ def profile_table(
         "n_non_null",
         (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
         F.round(
-            (F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows"), 6
-        ).alias("null_rate"),
+            (F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows") + F.lit(1e-9), 6).alias("null_rate"),
         "n_distinct",
         "min_value",
         "max_value",

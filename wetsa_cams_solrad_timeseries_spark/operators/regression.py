@@ -35,7 +35,11 @@ def regression_agg(
     the reference's pre-regression ``dropna`` (code/solrad-compare.py:126).
     """
     def _r(c: F.Column) -> F.Column:
-        return F.round(c, round_digits) if round_digits is not None else c
+        # +1e-9 boundary nudge — see plans/registry.py determinism rules:
+        # keeps cross-engine ULP noise from flipping the rounded digit.
+        if round_digits is None:
+            return c
+        return F.round(c + F.lit(1e-9), round_digits)
 
     yx = (F.col(y), F.col(x))
     return df.groupBy(*group_cols).agg(

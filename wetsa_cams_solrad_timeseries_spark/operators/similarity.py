@@ -73,7 +73,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .select(query_id_col, "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -164,7 +164,7 @@ def ann_topk_lsh(
             ),
             on="neighbor_id",
         )
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+        .select("query_id", "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -312,7 +312,7 @@ def ann_topk_ivf(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
     scored = cand.select(
-        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+        "query_id", "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine")
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -346,7 +346,7 @@ def neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(cos + F.lit(1e-9), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -386,7 +386,7 @@ def neardup_pairs_blocked(
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["v"]), dtype=np.float64)
             a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, 6)
+            sims = np.round(a_mat @ b_mat.T + 1e-9, 6)
             ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame(
                 {

@@ -68,12 +68,13 @@ def q36_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         n_bpeish.alias("n_bpeish_tokens"),
         n_stop.alias("n_stopwords"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio + F.lit(1e-9), 6).alias("stopword_ratio"),
+        F.round(alpha_ratio + F.lit(1e-9), 6).alias("alpha_ratio"),
         F.round(
             (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
              + alpha_ratio * 0.3
-             + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2),
+             + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+             + F.lit(1e-9)),
             6,
         ).alias("quality_score"),
     )
@@ -93,12 +94,11 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, lang, n_chars_computed, n_tokens, n_bpeish_tokens, n_stopwords,
-       round(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0), 6) AS stopword_ratio,
-       round(CAST(n_alpha AS DOUBLE) / nullif(n_chars_computed, 0), 6) AS alpha_ratio,
+       round(CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) + 1e-9, 6) AS stopword_ratio,
+       round(CAST(n_alpha AS DOUBLE) / nullif(n_chars_computed, 0) + 1e-9, 6) AS alpha_ratio,
        round(least(n_tokens / 100.0, 1.0) * 0.5
              + (CAST(n_alpha AS DOUBLE) / nullif(n_chars_computed, 0)) * 0.3
-             + least((CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)) * 5.0, 1.0) * 0.2,
-             6) AS quality_score
+             + least((CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)) * 5.0, 1.0) * 0.2 + 1e-9, 6) AS quality_score
 FROM base
 """
 
@@ -159,11 +159,11 @@ co AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 1e-9, 6) AS jaccard
 FROM co
 JOIN sizes sa ON co.id_a = sa.doc_id
 JOIN sizes sb ON co.id_b = sb.doc_id
-WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.3
+WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 1e-9, 6) >= 0.3
 """
 
 
@@ -225,6 +225,83 @@ banded AS (
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q62 — full MinHash-LSH dedup pipeline: candidates → exact verify
+# --------------------------------------------------------------------------
+def q62_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete scale-path dedup: shingle → MinHash → LSH candidate
+    pairs (corpus-linear) → exact Jaccard computed ONLY on candidates →
+    threshold → canonical survivor choice (min doc_id per duplicate
+    pair). This is q33 ∘ q32's verify stage with the quadratic part
+    confined to bucket-mates — the composition that actually runs at
+    100 TB."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2).persist()
+    sigs = minhash_signatures(sh, "doc_id", n_perm=_N_PERM)
+    cand = lsh_candidate_pairs(sigs, "doc_id", n_perm=_N_PERM, bands=_BANDS)
+
+    # Exact Jaccard restricted to candidate pairs: join each side's
+    # shingle set sizes + the pairwise common count over candidates only.
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingle_hash").alias("h"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingle_hash").alias("h"))
+    common = (
+        cand.join(a, on="id_a").join(b, on=["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")), on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(jac + F.lit(1e-9), 6).alias("jaccard"),
+            F.least("id_a", "id_b").alias("keep_doc_id"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+Q62_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6) AS jaccard,
+       least(id_a, id_b) AS keep_doc_id
+FROM common
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6) >= 0.5
 """
 
 
@@ -351,6 +428,7 @@ SPECS = make_specs(
         ("q31_dedup_exact", q31_dedup_exact, Q31_ORACLE, (), "exact hash dedup"),
         ("q32_ngram_jaccard", q32_ngram_jaccard, Q32_ORACLE, (), "n-gram Jaccard near-dup pairs"),
         ("q33_minhash_lsh", q33_minhash_lsh, Q33_ORACLE, (), "MinHash+LSH candidate pairs"),
+        ("q62_minhash_dedup_verified", q62_minhash_dedup_verified, Q62_ORACLE, (), "LSH candidates + exact verify"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),
         ("q36_text_quality", q36_text_quality, Q36_ORACLE, (), "token counts + quality score"),

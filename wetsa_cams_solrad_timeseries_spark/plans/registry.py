@@ -9,9 +9,15 @@ north star) to:
 
 Determinism rules (the driver hashes sorted values):
   - every computed column is aliased identically in Spark and SQL;
-  - multi-row float aggregates are rounded to 6 digits on BOTH sides so
-    summation-order ULP noise cannot flip the hash; per-row arithmetic is
-    left at full precision (IEEE ops are bit-identical across engines);
+  - multi-row float aggregates are rounded via ``round(x + 1e-9, 6)`` on
+    BOTH sides. The nudge matters: decimal-resolution inputs make true
+    aggregate values land exactly on rounding-grid boundaries, where
+    cross-engine ULP noise (summation order; DuckDB vectorization/FMA vs
+    JVM scalar arithmetic — observed even on per-row expressions) flips
+    the rounded digit. Adding 1e-9 relocates the tie set to values the
+    decimal data cannot produce, and 1e-9 dwarfs the ULP noise at these
+    magnitudes, so both engines always round the same way. Empirically:
+    2/54 queries flaked single rows at sf0.1 before the nudge, 0 after;
   - any top-k / row_number ordering has a unique tie-break key.
 """
 

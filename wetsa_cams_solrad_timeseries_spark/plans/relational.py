@@ -34,13 +34,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("l_quantity") + F.lit(1e-9), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price) + F.lit(1e-9), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))) + F.lit(1e-9), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity") + F.lit(1e-9), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + F.lit(1e-9), 6).alias("avg_price"),
+            F.round(F.avg("l_discount") + F.lit(1e-9), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -48,13 +48,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6)                                        AS sum_qty,
-       round(sum(l_extendedprice), 6)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
-       round(avg(l_quantity), 6)                                        AS avg_qty,
-       round(avg(l_extendedprice), 6)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       round(sum(l_quantity) + 1e-9, 6)                                        AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 6)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 6)  AS sum_charge,
+       round(avg(l_quantity) + 1e-9, 6)                                        AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 6)                                   AS avg_price,
+       round(avg(l_discount) + 1e-9, 6)                                        AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -82,7 +82,7 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -90,7 +90,7 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_ORACLE = """
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -124,7 +124,7 @@ def q06_key_normalized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("join_key", "n_regionkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.round(F.avg("c_acctbal") + F.lit(1e-9), 6).alias("avg_acctbal"),
         )
     )
 
@@ -147,7 +147,7 @@ dim AS (
 )
 SELECT f.join_key, d.n_regionkey,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 6) AS avg_acctbal
+       round(avg(c_acctbal) + 1e-9, 6) AS avg_acctbal
 FROM fact f JOIN dim d USING (join_key)
 GROUP BY f.join_key, d.n_regionkey
 """
@@ -208,9 +208,9 @@ def q09_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q09_ORACLE = """
 SELECT l_returnflag,
-       round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
-       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6)        AS r2,
        regr_count(l_extendedprice, l_quantity)               AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -238,7 +238,7 @@ def q10_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.round(F.sum("o_totalprice") + F.lit(1e-9), 6).alias("total_price"),
         )
     )
 
@@ -252,7 +252,7 @@ WITH u AS (
   FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 SELECT bucket, o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price
+       round(sum(o_totalprice) + 1e-9, 6) AS total_price
 FROM u GROUP BY bucket, o_orderstatus
 """
 
@@ -313,8 +313,8 @@ def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0))), 6).alias("qty_open"),
-        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0))), 6).alias("qty_finished"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(F.lit(0.0))) + F.lit(1e-9), 6).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(F.lit(0.0))) + F.lit(1e-9), 6).alias("qty_finished"),
         F.count(F.when(F.col("l_linestatus") == "O", F.lit(1))).alias("n_open"),
         F.count(F.when(F.col("l_linestatus") == "F", F.lit(1))).alias("n_finished"),
     )
@@ -322,8 +322,8 @@ def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_ORACLE = """
 SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 6) AS qty_open,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 6) AS qty_finished,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) + 1e-9, 6) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) + 1e-9, 6) AS qty_finished,
        count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
        count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_finished
 FROM lineitem
@@ -343,7 +343,7 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_quantity") + F.lit(1e-9), 6).alias("sum_qty"),
             F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
             F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
         )
@@ -353,7 +353,7 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q16_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_quantity) + 1e-9, 6) AS sum_qty,
        CAST(grouping(l_returnflag) AS INTEGER) AS g_returnflag,
        CAST(grouping(l_linestatus) AS INTEGER) AS g_linestatus
 FROM lineitem
@@ -401,13 +401,13 @@ def q20_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.round(F.avg("c_acctbal") + F.lit(1e-9), 6).alias("avg_acctbal"),
         )
     )
 
 
 Q20_ORACLE = """
-SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal) + 1e-9, 6) AS avg_acctbal
 FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
@@ -437,7 +437,7 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"))
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
@@ -450,7 +450,7 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q21_ORACLE = """
 WITH agg AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS revenue
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -487,7 +487,7 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -495,7 +495,7 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_ORACLE = """
 SELECT n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

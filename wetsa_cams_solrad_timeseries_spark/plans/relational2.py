@@ -26,7 +26,7 @@ def q43_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.dense_rank().over(w).alias("order_seq"),
-        F.round(F.sum("o_totalprice").over(wcum), 6).alias("cum_spend"),
+        F.round(F.sum("o_totalprice").over(wcum) + F.lit(1e-9), 6).alias("cum_spend"),
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
     )
 
@@ -38,7 +38,7 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        dense_rank()       OVER w AS order_seq,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 6) AS cum_spend,
+                                     ROWS UNBOUNDED PRECEDING) + 1e-9, 6) AS cum_spend,
        o_totalprice - lag(o_totalprice) OVER w AS price_delta
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -55,7 +55,7 @@ def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+            F.round(F.sum("o_totalprice") + F.lit(1e-9), 6).alias("total_price"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         )
@@ -65,7 +65,7 @@ def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q44_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 6) AS total_price,
+       round(sum(o_totalprice) + 1e-9, 6) AS total_price,
        CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
        CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
 FROM orders
@@ -90,8 +90,8 @@ def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n_values"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"),
     )
 
 
@@ -104,8 +104,8 @@ WITH long AS (
                                  l_discount AS discount))
 )
 SELECT measure, count(*) AS n_values,
-       round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(sum(value) + 1e-9, 6) AS sum_value,
+       round(avg(value) + 1e-9, 6) AS avg_value
 FROM long GROUP BY measure
 """
 
@@ -126,14 +126,14 @@ def q46_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_totalprice",
-            F.round(F.col("cust_avg"), 6).alias("cust_avg_price"),
+            F.round(F.col("cust_avg") + F.lit(1e-9), 6).alias("cust_avg_price"),
         )
     )
 
 
 Q46_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice,
-       round(cust_avg, 6) AS cust_avg_price
+       round(cust_avg + 1e-9, 6) AS cust_avg_price
 FROM (
   SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
@@ -159,14 +159,14 @@ def q47_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 Q47_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -191,7 +191,7 @@ def q48_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -202,7 +202,7 @@ Q48_ORACLE = """
 SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
        CAST(hour(ts) AS INTEGER) AS hour_of_day,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value,
+       round(avg(value) + 1e-9, 6) AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -257,7 +257,7 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.percentile_approx("value", 0.5), 6).alias("approx_p50"),
+        F.round(F.percentile_approx("value", 0.5) + F.lit(1e-9), 6).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -324,7 +324,7 @@ def q52_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("valid_from"),
     ).agg(
         F.max("o_orderkey").alias("version_id"),
-        F.round(F.sum("o_totalprice"), 6).alias("day_total"),
+        F.round(F.sum("o_totalprice") + F.lit(1e-9), 6).alias("day_total"),
     )
     w = Window.partitionBy("cust_id").orderBy("valid_from")
     return changes.select(
@@ -341,7 +341,7 @@ Q52_ORACLE = """
 WITH changes AS (
   SELECT o_custkey AS cust_id, o_orderdate AS valid_from,
          max(o_orderkey) AS version_id,
-         round(sum(o_totalprice), 6) AS day_total
+         round(sum(o_totalprice) + 1e-9, 6) AS day_total
   FROM orders GROUP BY 1, 2
 )
 SELECT cust_id, version_id, valid_from,
@@ -372,7 +372,7 @@ def q57_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -381,7 +381,7 @@ def q57_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q57_ORACLE = """
 SELECT r_name AS region_name, event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       round(sum(value) + 1e-9, 6) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 JOIN customer ON user_id = c_custkey
@@ -438,10 +438,10 @@ def q59_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.round(
             F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev) * 100.0,
+            / F.sum(rev) * 100.0 + F.lit(1e-9),
             6,
         ).alias("brand1_share_pct"),
-        F.round(F.sum(rev), 6).alias("total_revenue"),
+        F.round(F.sum(rev) + F.lit(1e-9), 6).alias("total_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -449,8 +449,8 @@ def q59_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q59_ORACLE = """
 SELECT round(sum(CASE WHEN p_brand = 'Brand#1'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)) * 100.0, 6) AS brand1_share_pct,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue,
+             / sum(l_extendedprice * (1 - l_discount)) * 100.0 + 1e-9, 6) AS brand1_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS total_revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """

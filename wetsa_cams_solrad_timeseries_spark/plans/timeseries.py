@@ -38,7 +38,7 @@ def q02_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "bucket_start",
-        F.round(F.col("value"), 6).alias("avg_value"),
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("avg_value"),
         F.col("n_rows").alias("n_events"),
     )
 
@@ -46,7 +46,7 @@ def q02_tumbling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q02_ORACLE = """
 SELECT event_type,
        time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
-       round(avg(value), 6) AS avg_value,
+       round(avg(value) + 1e-9, 6) AS avg_value,
        count(*) AS n_events
 FROM events
 GROUP BY event_type, time_bucket(INTERVAL '10 minutes', ts)
@@ -70,7 +70,7 @@ def q04_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.filter(F.col("event_type") == kind),
                 ts_col="ts", value_cols=["value"], width="10 minutes",
             )
-            .select("bucket_start", F.round(F.col("value"), 6).alias(f"{prefix}_avg"))
+            .select("bucket_start", F.round(F.col("value") + F.lit(1e-9), 6).alias(f"{prefix}_avg"))
         )
 
     clicks, views = series("click", "click"), series("view", "view")
@@ -81,25 +81,25 @@ def q04_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_avg",
         (F.col("click_avg") - F.col("view_avg")).alias("bias"),
         F.abs(F.col("click_avg") - F.col("view_avg")).alias("abs_bias"),
-        F.round(null_safe_ratio(F.col("click_avg"), F.col("view_avg")), 6).alias("ratio"),
+        F.round(null_safe_ratio(F.col("click_avg"), F.col("view_avg")) + F.lit(1e-9), 6).alias("ratio"),
     )
 
 
 Q04_ORACLE = """
 WITH clicks AS (
   SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
-         round(avg(value), 6) AS click_avg
+         round(avg(value) + 1e-9, 6) AS click_avg
   FROM events WHERE event_type = 'click' GROUP BY 1
 ),
 views AS (
   SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
-         round(avg(value), 6) AS view_avg
+         round(avg(value) + 1e-9, 6) AS view_avg
   FROM events WHERE event_type = 'view' GROUP BY 1
 )
 SELECT bucket_start, click_avg, view_avg,
        click_avg - view_avg AS bias,
        abs(click_avg - view_avg) AS abs_bias,
-       round(click_avg / nullif(view_avg, 0), 6) AS ratio
+       round(click_avg / nullif(view_avg, 0) + 1e-9, 6) AS ratio
 FROM clicks JOIN views USING (bucket_start)
 """
 
@@ -124,8 +124,8 @@ def q05_qc_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = qc_flag_filter(flagged, ["flag_k_high", "flag_low_value", "flag_error"])
     return clean.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_clean"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"),
+        F.round(F.avg("k") + F.lit(1e-9), 6).alias("avg_k"),
     )
 
 
@@ -139,8 +139,8 @@ WITH flagged AS (
   FROM events
 )
 SELECT event_type, count(*) AS n_clean,
-       round(avg(value), 6) AS avg_value,
-       round(avg(k), 6) AS avg_k
+       round(avg(value) + 1e-9, 6) AS avg_value,
+       round(avg(k) + 1e-9, 6) AS avg_k
 FROM flagged
 WHERE coalesce(flag_k_high,0) + coalesce(flag_low_value,0) + coalesce(flag_error,0) = 0
 GROUP BY event_type
@@ -194,7 +194,7 @@ def q12_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_mean(ev, ts_col="ts", value_cols=["value"], width="1 hour", counts=True)
     agg = agg.select(
         "bucket_start",
-        F.round(F.col("value"), 6).alias("avg_value"),
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("avg_value"),
         F.col("n_rows").alias("n_events"),
     )
     grid = time_grid(
@@ -217,7 +217,7 @@ grid AS (
 ),
 agg AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-         round(avg(value), 6) AS avg_value,
+         round(avg(value) + 1e-9, 6) AS avg_value,
          count(*) AS n_events
   FROM events GROUP BY 1
 )
@@ -255,7 +255,7 @@ def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
     )
 
 
@@ -277,7 +277,7 @@ SELECT user_id, session_seq,
        count(*) AS n_events,
        min(ts) AS session_start,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-       round(sum(value), 6) AS sum_value
+       round(sum(value) + 1e-9, 6) AS sum_value
 FROM sessions
 GROUP BY user_id, session_seq
 """
@@ -329,21 +329,21 @@ def q18_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact here because the oracle hash requires exactness."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
-        F.round(F.min("value"), 6).alias("vmin"),
-        F.round(F.max("value"), 6).alias("vmax"),
+        F.round(F.expr("percentile(value, 0.5)") + F.lit(1e-9), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)") + F.lit(1e-9), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)") + F.lit(1e-9), 6).alias("p99"),
+        F.round(F.min("value") + F.lit(1e-9), 6).alias("vmin"),
+        F.round(F.max("value") + F.lit(1e-9), 6).alias("vmax"),
     )
 
 
 Q18_ORACLE = """
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 6)  AS p50,
-       round(quantile_cont(value, 0.9), 6)  AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99,
-       round(min(value), 6) AS vmin,
-       round(max(value), 6) AS vmax
+       round(quantile_cont(value, 0.5) + 1e-9, 6)  AS p50,
+       round(quantile_cont(value, 0.9) + 1e-9, 6)  AS p90,
+       round(quantile_cont(value, 0.99) + 1e-9, 6) AS p99,
+       round(min(value) + 1e-9, 6) AS vmin,
+       round(max(value) + 1e-9, 6) AS vmax
 FROM events
 GROUP BY event_type
 """
@@ -365,7 +365,7 @@ def q54_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -387,7 +387,7 @@ WITH cand AS (
 )
 SELECT window_start, event_type,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       round(avg(value) + 1e-9, 6) AS avg_value
 FROM cand
 WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
 GROUP BY window_start, event_type
@@ -407,7 +407,7 @@ def q55_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -438,7 +438,7 @@ sessions AS (
 SELECT user_id,
        min(ts) AS session_start,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(value) + 1e-9, 6) AS sum_value
 FROM sessions
 GROUP BY user_id, session_seq
 """
@@ -503,21 +503,21 @@ Q61_ORACLE = """
 WITH w AS (
   SELECT count(*) AS n_rows,
          count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS d1,
-         round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min1,
-         round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max1, round(avg(l_orderkey), 6) AS avg1,
+         round(CAST(min(l_orderkey) AS DOUBLE) + 1e-9, 6) AS min1,
+         round(CAST(max(l_orderkey) AS DOUBLE) + 1e-9, 6) AS max1, round(avg(l_orderkey) + 1e-9, 6) AS avg1,
          count(l_quantity) AS nn2, count(DISTINCT l_quantity) AS d2,
-         round(CAST(min(l_quantity) AS DOUBLE), 6) AS min2,
-         round(CAST(max(l_quantity) AS DOUBLE), 6) AS max2, round(avg(l_quantity), 6) AS avg2,
+         round(CAST(min(l_quantity) AS DOUBLE) + 1e-9, 6) AS min2,
+         round(CAST(max(l_quantity) AS DOUBLE) + 1e-9, 6) AS max2, round(avg(l_quantity) + 1e-9, 6) AS avg2,
          count(l_extendedprice) AS nn3, count(DISTINCT l_extendedprice) AS d3,
-         round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS min3,
-         round(CAST(max(l_extendedprice) AS DOUBLE), 6) AS max3, round(avg(l_extendedprice), 6) AS avg3,
+         round(CAST(min(l_extendedprice) AS DOUBLE) + 1e-9, 6) AS min3,
+         round(CAST(max(l_extendedprice) AS DOUBLE) + 1e-9, 6) AS max3, round(avg(l_extendedprice) + 1e-9, 6) AS avg3,
          count(l_returnflag) AS nn4, count(DISTINCT l_returnflag) AS d4,
          count(l_shipdate) AS nn5, count(DISTINCT l_shipdate) AS d5
   FROM lineitem
 )
 SELECT column_name, n_rows, n_non_null,
        n_rows - n_non_null AS n_null,
-       round(CAST(n_rows - n_non_null AS DOUBLE) / n_rows, 6) AS null_rate,
+       round(CAST(n_rows - n_non_null AS DOUBLE) / n_rows + 1e-9, 6) AS null_rate,
        n_distinct, min_value, max_value, avg_value
 FROM (
   SELECT 'l_orderkey' AS column_name, n_rows, nn1 AS n_non_null, d1 AS n_distinct,

@@ -23,7 +23,7 @@ def _cos(a: str, b: str) -> str:
     dot = _DOT.format(a=a, b=b, dim=_DIM)
     na = _DOT.format(a=a, b=a, dim=_DIM)
     nb = _DOT.format(a=b, b=b, dim=_DIM)
-    return f"round(({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 6)"
+    return f"round(({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0) + 1e-9, 6)"
 
 
 # Hyperplane coefs: identical formula to similarity.hyperplane_coefs.
@@ -198,7 +198,7 @@ Q42_ORACLE = """
 SELECT event_type,
        time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       round(avg(value) + 1e-9, 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
@@ -240,7 +240,7 @@ def q53_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q53_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       round(sum(value) + 1e-9, 6) AS sum_value,
        max(ts) AS last_ts
 FROM events
 GROUP BY user_id

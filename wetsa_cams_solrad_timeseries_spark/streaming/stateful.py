@@ -46,7 +46,7 @@ def _update(
         {
             "user_id": [user_id],
             "n_events": [count],
-            "sum_value": [round(total, 6)],
+            "sum_value": [round(total + 1e-9, 6)],
             "last_ts": [pd.Timestamp(max_ts, unit="us")],
         }
     )

@@ -61,7 +61,7 @@ def streaming_tumbling_agg(
         stream.groupBy(*group_cols, F.window(F.col(ts_col), width).alias("__w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.round(F.avg(value_col) + F.lit(1e-9), 6).alias("avg_value"),
         )
         .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
     )
