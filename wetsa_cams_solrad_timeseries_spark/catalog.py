@@ -34,7 +34,9 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, validate: bool = False
+) -> DataFrame:
     """Read one corpus table. Parquet scan → columnar, pushdown-capable.
 
     ``events.ts`` is physically TIMESTAMP(NANOS); with
@@ -48,6 +50,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if validate:
+        from wetsa_cams_solrad_timeseries_spark.schemas import validate_schema
+
+        validate_schema(df, name)
     return df
 
 
