@@ -53,6 +53,22 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert list(got["rv"].fillna(-1)) == list(exp["rv"].fillna(-1))
 
 
+def test_asof_join_rejects_column_collision(spark):
+    left = spark.createDataFrame([("a", pd.Timestamp("2024-01-01"), 1)], ["g", "ts", "price"])
+    right = spark.createDataFrame([("a", pd.Timestamp("2024-01-01"), 2)], ["g", "rts", "price"])
+    try:
+        asof_join(left, right, left_ts="ts", right_ts="rts", by=["g"], right_cols=["price"])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "collide" in str(e)
+
+
+def test_exclude_keys_keeps_null_keys(spark):
+    df = spark.createDataFrame([("Sleman",), ("Bogor",), (None,)], ["station"])
+    kept = [r["station"] for r in exclude_keys(df, "station", ["Sleman"]).collect()]
+    assert sorted(kept, key=str) == ["Bogor", None]
+
+
 def test_qc_flag_filter_handles_missing_columns_and_nulls(spark):
     pdf = pd.DataFrame(
         {

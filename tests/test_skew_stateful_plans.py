@@ -23,7 +23,7 @@ def test_salted_aggregate_matches_plain_groupby(spark, sf_dir):
     )
     exp = ev.groupBy("event_type").agg(
         F.sum("value").alias("sum_value"),
-        F.count(F.lit(1)).alias("count_value"),
+        F.count("value").alias("count_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.avg("value").alias("avg_value"),
@@ -37,6 +37,16 @@ def test_salted_aggregate_matches_plain_groupby(spark, sf_dir):
         assert g[k]["max_value"] == e[k]["max_value"]
         assert abs(g[k]["sum_value"] - e[k]["sum_value"]) < 1e-6
         assert abs(g[k]["avg_value"] - e[k]["avg_value"]) < 1e-9
+
+
+def test_salted_aggregate_null_skipping_avg(spark):
+    # avg must divide by the NON-NULL count, exactly like F.avg.
+    pdf = pd.DataFrame({"k": ["a"] * 4, "v": [2.0, None, 4.0, None]})
+    got = salted_aggregate(
+        spark.createDataFrame(pdf), ["k"], {"v": ("avg", "count")}, n_salts=4
+    ).first()
+    assert got["count_v"] == 2
+    assert got["avg_v"] == 3.0
 
 
 def test_salted_aggregate_skewed_key(spark):

@@ -159,17 +159,17 @@ def jaccard_pairs_dense(
     import pandas as pd
 
     spark = shingle_df.sparkSession
-    # Persist: the grouped shingle lists feed BOTH the driver-side vocab
-    # build and the distributed block pass — without caching, the whole
-    # shingle pipeline (split/explode/hash/distinct + shuffle) runs twice.
-    rows = (
+    # One computation of the grouped shingle lists, pulled to the driver
+    # over Arrow (py4j row-by-row collect of array columns is ~5× slower).
+    # The distributed block pass is then re-seeded FROM this pandas frame
+    # (it is small — ids + hash lists) instead of re-reading the Spark
+    # lineage, so the shingle pipeline runs exactly once and nothing needs
+    # persist (no cache-leak across calls).
+    pdf_all = (
         shingle_df.groupBy(id_col)
         .agg(F.collect_list(shingle_col).alias("hs"))
-        .persist()
+        .toPandas()
     )
-    # Arrow path for the driver roundtrip: py4j row-by-row collect of
-    # array columns is ~5× slower than toPandas at 5k docs.
-    pdf_all = rows.toPandas()
     vocab = sorted({h for hs in pdf_all["hs"] for h in hs})
     vidx = {h: i for i, h in enumerate(vocab)}
     ids = pdf_all[id_col].to_numpy(dtype=np.int64)
@@ -179,6 +179,8 @@ def jaccard_pairs_dense(
             mat[ri, vidx[h]] = 1.0
     sizes = mat.sum(axis=1).astype(np.int64)
     bc = spark.sparkContext.broadcast((ids, mat, sizes, vidx))
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, len(pdf_all)))
+    rows = spark.createDataFrame(pdf_all).repartition(n_part)
 
     def block(batches):
         b_ids, b_mat, b_sizes, b_vidx = bc.value
@@ -254,6 +256,11 @@ def lsh_candidate_pairs(
     bucket self-join is the only shuffle and its keys are uniform unless
     the corpus has boilerplate — AQE skew-join covers that.
     """
+    if n_perm % bands != 0:
+        raise ValueError(
+            f"n_perm={n_perm} must divide evenly into bands={bands}; "
+            "trailing permutations would silently drop from the banding"
+        )
     rows_per_band = n_perm // bands
     band_structs = []
     for b in range(bands):

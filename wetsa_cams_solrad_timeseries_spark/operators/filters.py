@@ -38,8 +38,11 @@ def exclude_keys(df: DataFrame, key_col: str, excluded: Sequence[str]) -> DataFr
     Reference: code/compile-solrad.py:87-89,207 (hard-coded ``Sleman``
     exclusion). A literal ``isin`` filter pushes to the scan; for a large
     exclusion table use a left-anti join instead (see ``anti_join_keys``).
+    NULL keys are kept (a bare ``~isin`` would drop them via three-valued
+    logic), matching the anti-join formulation.
     """
-    return df.filter(~F.col(key_col).isin(list(excluded)))
+    key = F.col(key_col)
+    return df.filter(~key.isin(list(excluded)) | key.isNull())
 
 
 def anti_join_keys(df: DataFrame, keys: DataFrame, on: str) -> DataFrame:

@@ -96,9 +96,14 @@ def range_join(
     AQE's skew handling applies to hot (by, bucket) pairs; extreme
     long-tail intervals can be capped by splitting them upstream.
     """
+    import pandas as pd
+
     by = list(by)
-    width = F.expr(f"INTERVAL {bucket}")
-    wsec = F.unix_timestamp(F.lit("1970-01-01").cast("timestamp") + width)
+    # Bucket width resolved driver-side to plain seconds: fixed-length
+    # intervals only ('7 days', '12 hours' — not calendar months), and
+    # independent of the session timezone (an epoch+interval unix_timestamp
+    # derivation would shift under a non-UTC session).
+    wsec = F.lit(int(pd.Timedelta(bucket).total_seconds()))
 
     lb = left.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / wsec))
     rb = right.withColumn(
@@ -151,6 +156,12 @@ def asof_join(
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
+    collisions = set(right_cols) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(collisions)} collide with left "
+            "columns; alias one side before joining (no implicit suffixing)"
+        )
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("__ts"),

@@ -31,6 +31,9 @@ def profile_table(
     one scan; the long-form reshape is a literal `stack`, not a shuffle.
     """
     cols = list(columns) if columns is not None else df.columns
+    bad = [c for c in cols if "`" in c]
+    if bad:
+        raise ValueError(f"column names with backticks unsupported: {bad}")
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)
     }
@@ -50,10 +53,11 @@ def profile_table(
 
     parts = []
     for c in cols:
+        lit = c.replace("'", "''")  # SQL string-literal escaping
         mn = f"`__min_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
         mx = f"`__max_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
         av = f"`__avg_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
-        parts.append(f"'{c}', `__nn_{c}`, `__d_{c}`, {mn}, {mx}, {av}")
+        parts.append(f"'{lit}', `__nn_{c}`, `__d_{c}`, {mn}, {mx}, {av}")
     stacked = wide.select(
         F.col("__n").alias("n_rows"),
         F.expr(

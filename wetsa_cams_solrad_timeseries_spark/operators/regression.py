@@ -28,8 +28,11 @@ def regression_agg(
     x: str,
     group_cols: Sequence[str] = (),
     round_digits: int | None = None,
+    extended: bool = False,
 ) -> DataFrame:
-    """Per-group OLS of ``y`` on ``x``: slope, intercept, r², n.
+    """Per-group OLS of ``y`` on ``x``: slope, intercept, r², n
+    (+ ``sxx``/``syy`` sums of squares when ``extended`` — the inputs the
+    closed-form stderr needs to stay finite at r²∈{0,1}).
 
     Null pairs are excluded by the regr_* aggregates themselves, matching
     the reference's pre-regression ``dropna`` (code/solrad-compare.py:126).
@@ -42,12 +45,18 @@ def regression_agg(
         return F.round(c + F.lit(1e-9), round_digits)
 
     yx = (F.col(y), F.col(x))
-    return df.groupBy(*group_cols).agg(
+    aggs = [
         _r(F.regr_slope(*yx)).alias("slope"),
         _r(F.regr_intercept(*yx)).alias("intercept"),
         _r(F.regr_r2(*yx)).alias("r2"),
         F.regr_count(*yx).alias("n"),
-    )
+    ]
+    if extended:
+        aggs += [
+            F.regr_sxx(*yx).alias("sxx"),
+            F.regr_syy(*yx).alias("syy"),
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def with_stderr_pvalue(rows: list[dict]) -> list[dict]:
@@ -70,14 +79,29 @@ def with_stderr_pvalue(rows: list[dict]) -> list[dict]:
     out = []
     for row in rows:
         r2, n, slope = row.get("r2"), row.get("n", 0), row.get("slope")
+        sxx, syy = row.get("sxx"), row.get("syy")
         enriched = dict(row)
-        if r2 is None or slope is None or n is None or n <= 2 or r2 <= 0 or r2 >= 1:
+        if r2 is None or slope is None or n is None or n <= 2:
             enriched["stderr"] = None
             enriched["p_value"] = None
-        else:
+        elif sxx is not None and syy is not None and sxx > 0:
+            # Robust form, finite at r² ∈ {0, 1}:
+            #   stderr = sqrt(syy·(1−r²) / (sxx·(n−2)))
+            stderr = math.sqrt(max(syy * (1.0 - min(r2, 1.0)), 0.0) / (sxx * (n - 2)))
+            t = slope / stderr if stderr > 0 else math.copysign(float("inf"), slope or 1.0)
+            enriched["stderr"] = stderr
+            enriched["p_value"] = 0.0 if stderr == 0 else sf(t, n - 2)
+        elif 0 < r2 < 1:
+            # Legacy slope-based form (no sums of squares available).
             stderr = abs(slope) * math.sqrt((1.0 / r2 - 1.0) / (n - 2))
             t = slope / stderr if stderr > 0 else float("inf")
             enriched["stderr"] = stderr
             enriched["p_value"] = sf(t, n - 2)
+        elif r2 >= 1:
+            enriched["stderr"] = 0.0  # exact fit: scipy yields stderr=0, p=0
+            enriched["p_value"] = 0.0
+        else:
+            enriched["stderr"] = None
+            enriched["p_value"] = None
         out.append(enriched)
     return out

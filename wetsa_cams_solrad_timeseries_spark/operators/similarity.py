@@ -238,7 +238,9 @@ def ivf_train_centroids(
         .toPandas()
     )
     mat = np.array(list(rows["v"]), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN-poisoning
+    mat /= norms
     cent = mat[:k].copy()
     for _ in range(n_iter):
         assign = np.argmax(mat @ cent.T, axis=1)

@@ -25,9 +25,11 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# "count" is count(col) — non-null count, matching groupBy().agg(F.count(col))
+# and making avg = sum/count reproduce Spark's null-skipping average.
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    "count": F.count,
     "min": F.min,
     "max": F.max,
 }

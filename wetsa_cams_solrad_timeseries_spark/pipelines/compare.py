@@ -107,7 +107,12 @@ def regression_stats(merged: DataFrame) -> list[dict]:
         frames.append(merged.select(*cols))
     unioned = reduce(lambda a, b: a.unionByName(b), frames)
     group = (["station"] if has_station else []) + ["component"]
-    rows = [r.asDict() for r in regression_agg(unioned, y="y", x="x", group_cols=group).collect()]
+    rows = [
+        r.asDict()
+        for r in regression_agg(
+            unioned, y="y", x="x", group_cols=group, extended=True
+        ).collect()
+    ]
     return with_stderr_pvalue(rows)
 
 

@@ -172,7 +172,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
        CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END AS last_byte,
-       CAST(list_sum([unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)]) AS BIGINT) AS byte_sum
+       CAST(coalesce(list_sum([unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)]), 0) AS BIGINT) AS byte_sum
 FROM documents
 """
 
