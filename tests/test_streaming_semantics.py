@@ -1,0 +1,125 @@
+"""Streaming semantics beyond single-batch parity: state carried across
+micro-batches, and watermark-based late-data eviction."""
+
+import glob
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+
+
+def _split_events_two_files(spark, sf_dir, out_dir):
+    """Write the events table as two parquet files split by time, so the
+    file stream source (maxFilesPerTrigger=1) replays them as two
+    chronological micro-batches."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        )
+    ).first()[0]
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= F.lit(mid)), ev.filter(F.col("ts") > F.lit(mid))]
+    ):
+        tmp = f"{out_dir}/__stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        # Zero-pad so listing order == chronological order.
+        shutil.move(src, f"{out_dir}/batch_{i}.parquet")
+        shutil.rmtree(tmp)
+    return ev
+
+
+def test_stateful_streaming_carries_state_across_batches(spark, sf_dir, tmp_path):
+    from wetsa_cams_solrad_timeseries_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    out_dir = str(tmp_path / "two_batch_events")
+    (tmp_path / "two_batch_events").mkdir()
+    ev = _split_events_two_files(spark, sf_dir, out_dir)
+
+    got = streaming_running_totals(spark, f"{out_dir}/*.parquet")
+    exp = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = {r["user_id"]: r for r in got.collect()}
+    e = {r["user_id"]: r for r in exp.collect()}
+    assert set(g) == set(e)
+    for k in g:
+        # The final state must reflect BOTH batches (the first batch alone
+        # would undercount every user).
+        assert g[k]["n_events"] == e[k]["n_events"]
+        assert abs(g[k]["sum_value"] - e[k]["sum_value"]) < 1e-6
+        assert g[k]["last_ts"] == e[k]["last_ts"]
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: a row arriving
+    in a later batch, with event time far behind the advanced watermark,
+    must be EXCLUDED from its (already finalized) window."""
+    import uuid
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    on_time = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:15", "2024-01-01 06:00"]
+            ),
+            "v": [10.0, 20.0, 1.0],  # the 06:00 row advances the watermark
+        }
+    )
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 00:07"]), "v": [1000.0]}
+    )
+    spark.createDataFrame(on_time).coalesce(1).write.parquet(str(d / "f0.parquet"))
+
+    schema = spark.read.parquet(str(d / "f0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(d) + "/*")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "sum_v", "n")
+    )
+    name = f"late_test_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        # Batch 1: on-time rows only → watermark advances to 05:00.
+        q.processAllAvailable()
+        # Batch 2: the late row (event time 00:07 ≪ watermark) arrives.
+        spark.createDataFrame(late).coalesce(1).write.parquet(str(d / "f1.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {str(r["bucket"]): (r["sum_v"], r["n"]) for r in spark.table(name).collect()}
+    # The 00:00 window was finalized by the watermark (06:00 − 1h ≫ 01:00)
+    # before the late 00:07 row arrived → late row dropped, sum stays 30.
+    assert rows.get("2024-01-01 00:00:00") == (30.0, 2), rows
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.streaming.window_stream import (
+        streaming_tumbling_agg,
+    )
+
+    got = streaming_tumbling_agg(
+        spark, f"{sf_dir}/events.parquet", width="2 hours", slide="1 hour"
+    )
+    ev = table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"))
+        .select("event_type", F.col("w.start").alias("bucket_start"), "n_events", "avg_value")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0

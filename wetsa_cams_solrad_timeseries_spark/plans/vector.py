@@ -205,6 +205,39 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# q63 — streaming SLIDING window (hopping twin under readStream)
+# --------------------------------------------------------------------------
+def q63_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54's hopping windows under Structured Streaming (2-hour windows
+    sliding hourly), drained complete-mode — equals the batch sliding
+    aggregate, which the two-candidate-unnest oracle checks."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.window_stream import (
+        streaming_tumbling_agg,
+    )
+
+    return streaming_tumbling_agg(
+        spark, f"{sf_dir}/events.parquet", ts_col="ts",
+        width="2 hours", slide="1 hour",
+    )
+
+
+Q63_ORACLE = """
+WITH cand AS (
+  SELECT event_type, value,  ts,
+         unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS bucket_start
+  FROM events
+)
+SELECT event_type, bucket_start,
+       count(*) AS n_events,
+       round(avg(value) + 1e-9, 6) AS avg_value
+FROM cand
+WHERE ts >= bucket_start AND ts < bucket_start + INTERVAL '2 hours'
+GROUP BY event_type, bucket_start
+"""
+
+
+# --------------------------------------------------------------------------
 # q56 — IVF approximate top-k (inverted-file ANN, the second scale path)
 # --------------------------------------------------------------------------
 def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,5 +291,6 @@ SPECS = make_specs(
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, None, (), "IVF inverted-file ANN"),
+        ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
     ]
 )

@@ -29,6 +29,8 @@ def streaming_tumbling_agg(
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    slide: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the streaming tumbling aggregate over a (static) parquet file
     set and return the drained result as a static DataFrame.
@@ -49,16 +51,25 @@ def streaming_tumbling_agg(
 
     directory, filename = os.path.split(parquet_path.rstrip("/"))
     if filename.endswith(".parquet"):
-        reader = (
-            spark.readStream.schema(batch_df.schema)
-            .option("pathGlobFilter", filename)
-            .parquet(directory)
+        reader = spark.readStream.schema(batch_df.schema).option(
+            "pathGlobFilter", filename
         )
+        src_path = directory
     else:
-        reader = spark.readStream.schema(batch_df.schema).parquet(parquet_path)
-    stream = reader.withColumn(ts_col, ts_fix).withWatermark(ts_col, watermark)
+        reader = spark.readStream.schema(batch_df.schema)
+        src_path = parquet_path
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(src_path)
+        .withColumn(ts_col, ts_fix)
+        .withWatermark(ts_col, watermark)
+    )
+    window = (
+        F.window(F.col(ts_col), width, slide) if slide else F.window(F.col(ts_col), width)
+    )
     agg = (
-        stream.groupBy(*group_cols, F.window(F.col(ts_col), width).alias("__w"))
+        stream.groupBy(*group_cols, window.alias("__w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg(value_col) + F.lit(1e-9), 6).alias("avg_value"),
