@@ -119,6 +119,35 @@ def test_fingerprints(spark):
     assert got[1]["fp_min_shingle"] == min(sets1)
 
 
+def test_tfidf_matches_python(spark):
+    import math
+
+    from wetsa_cams_solrad_timeseries_spark.operators.text import tfidf
+
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf(_docs_df(spark), "doc_id", "text", min_df=2).collect()
+    }
+    # python oracle: smoothed sklearn-style idf over whitespace terms
+    docs = {d: t.strip().lower().split() for d, t in DOCS}
+    n = len(docs)
+    from collections import Counter
+
+    dfreq = Counter()
+    for terms in docs.values():
+        for t in set(terms):
+            dfreq[t] += 1
+    exp = {}
+    for d, terms in docs.items():
+        tf = Counter(terms)
+        for t, c in tf.items():
+            if dfreq[t] >= 2:
+                idf = math.log((n + 1) / (dfreq[t] + 1)) + 1
+                exp[(d, t)] = (c, dfreq[t], round(c * idf + 1e-9, 6))
+    assert got == exp
+    assert got[(1, "the")][0] == 2  # 'the' twice in doc 1
+
+
 def test_lang_scores_pred(spark):
     df = spark.createDataFrame(
         [

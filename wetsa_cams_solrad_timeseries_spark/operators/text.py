@@ -55,6 +55,46 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF as pure DataFrame algebra (long form: one row per
+    (doc, term)): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style), tfidf = tf·idf.
+
+    Two aggregations: (doc, term) counts, then term document-frequencies —
+    both shuffle on compact keys; the N scalar joins in as a broadcast
+    (literal) value. Unlike MLlib's HashingTF this keeps real terms (no
+    feature hashing), which is what a dedup/quality pipeline wants at the
+    exploration stage; at 100 TB the term dimension gets capped by
+    ``min_df``/stop-lists before any vectorization.
+    """
+    words = _words(text_col)
+    exploded = df.select(F.col(id_col), F.explode(words).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    doc_freq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(doc_freq, on="term")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(idf + F.lit(1e-9), 6).alias("idf"),
+            F.round(F.col("tf") * idf + F.lit(1e-9), 6).alias("tfidf"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame, id_col: str, text_col: str, shingle_words: int = 5
 ) -> DataFrame:

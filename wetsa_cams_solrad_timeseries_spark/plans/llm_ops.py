@@ -377,6 +377,38 @@ FROM hashed
 
 
 # --------------------------------------------------------------------------
+# q64 — TF-IDF (long form, DataFrame-native)
+# --------------------------------------------------------------------------
+def q64_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF over the corpus, restricted to terms in ≥5 docs
+    (operators/text.py:tfidf — real terms, no feature hashing, so the
+    DuckDB oracle can reproduce it exactly)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.text import tfidf
+
+    docs = table(spark, sf_dir, "documents")
+    return tfidf(docs, "doc_id", "text", min_df=5)
+
+
+Q64_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 5
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0 + 1e-9, 6) AS idf,
+       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) + 1e-9, 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------------
 # q37 — language identification (marker-word heuristic)
 # --------------------------------------------------------------------------
 def q37_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,5 +465,6 @@ SPECS = make_specs(
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),
         ("q36_text_quality", q36_text_quality, Q36_ORACLE, (), "token counts + quality score"),
         ("q37_langid", q37_langid, _langid_oracle(), (), "marker-word language ID"),
+        ("q64_tfidf", q64_tfidf, Q64_ORACLE, (), "DataFrame-native TF-IDF"),
     ]
 )
