@@ -318,6 +318,50 @@ def test_asof_join_tolerance(spark):
     assert got[3] is None and pd.isna(exp.loc[3])
 
 
+def test_run_ingest_end_to_end(spark, tmp_path):
+    from wetsa_cams_solrad_timeseries_spark.pipelines.ingest import run_ingest
+
+    loc = _write_locations(tmp_path)
+    out = tmp_path / "processed"
+    out.mkdir()
+
+    # Self-contained closure: executed on executors, so it must not
+    # reference this test module (unimportable there).
+    out_base = str(tmp_path)
+    cols = list(EXPERT_COLS)
+
+    def fake_fetch(task: dict) -> str:
+        import numpy as _np
+        import pandas as _pd
+
+        if task["station"] == "Sleman":
+            raise RuntimeError("simulated failure")
+        p = f"{out_base}/raw_1min_{task['station']}_{task['sky_type']}.csv"
+        rng = _np.random.RandomState(abs(hash(task["station"])) % 97)
+        lines = ["# fixture", "# " + ";".join(cols)]
+        t0 = _pd.Timestamp("2024-01-01")
+        for m in range(60):
+            s = t0 + _pd.Timedelta(minutes=m)
+            e = s + _pd.Timedelta(minutes=1)
+            vals = [f"{v:.4f}" for v in rng.uniform(0, 1.2, len(cols) - 1)]
+            lines.append(";".join([f"{s.isoformat()}.0/{e.isoformat()}.0"] + vals))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        return p
+
+    res = run_ingest(
+        spark, str(loc), fake_fetch, str(out), sky_types=("observed_cloud",)
+    ).toPandas()
+    assert len(res) == 3 and res["ok"].sum() == 2  # Sleman isolated (O2)
+    produced = sorted(p.name for p in out.glob("processed_10min_*.csv"))
+    assert produced == [
+        "processed_10min_Makassar_observed_cloud.csv",
+        "processed_10min_Padang_Pariaman_observed_cloud.csv",
+    ]
+    pdf = pd.read_csv(out / "processed_10min_Makassar_observed_cloud.csv")
+    assert pdf.columns[0] == "time" and len(pdf) == 6  # 60 min → 6 buckets
+
+
 def test_netcdf_export_dense_grid(spark, tmp_path):
     loc = _write_locations(tmp_path)
     _write_processed(tmp_path, "Padang_Pariaman", 1, minutes=30)

@@ -127,6 +127,41 @@ def aggregate_to_10min(
     return agg.orderBy("time")
 
 
+def run_ingest(
+    spark: SparkSession,
+    locations_path: str,
+    fetch_fn: Callable[[dict], str],
+    out_dir: str,
+    sky_types=SKY_TYPES,
+) -> DataFrame:
+    """EP1 end-to-end (the reference's ``main()`` —
+    get-cams-solrad-ts.py:104-176): read + validate the locations
+    dimension, fan the (station × sky_type) fetches out across executors,
+    aggregate each fetched raw file to 10-minute means, and write one
+    reference-shaped processed CSV per task. Returns the fetch-result
+    table (ok/error per task) for orchestration."""
+    import os
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.operators.filters import require_columns
+    from wetsa_cams_solrad_timeseries_spark.pipelines.compile import read_locations
+
+    locations = read_locations(spark, locations_path)
+    require_columns(locations, ["latitude", "longitude", "elevation", "station"])
+    results = distributed_fetch(fetch_tasks(locations, sky_types), fetch_fn)
+    collected = results.collect()
+    for row in collected:
+        if not row["ok"]:
+            continue  # O2: a failed fetch skips its aggregation only
+        safe = re.sub(r"[^\w\.-]", "_", row["station"])
+        agg = aggregate_to_10min(spark, row["output_path"])
+        agg.toPandas().to_csv(
+            os.path.join(out_dir, f"processed_10min_{safe}_{row['sky_type']}.csv"),
+            index=False,
+        )
+    return spark.createDataFrame(collected, schema=FETCH_RESULT_SCHEMA)
+
+
 def write_processed_csv(df: DataFrame, path: str) -> None:
     """K1 — single-file CSV, time first column (reference output shape)."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
