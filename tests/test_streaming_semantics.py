@@ -41,7 +41,17 @@ def test_stateful_streaming_carries_state_across_batches(spark, sf_dir, tmp_path
     (tmp_path / "two_batch_events").mkdir()
     ev = _split_events_two_files(spark, sf_dir, out_dir)
 
-    got = streaming_running_totals(spark, f"{out_dir}/*.parquet")
+    # maxFilesPerTrigger=1 → each file is its own micro-batch; without it
+    # the file source ingests both files in the first trigger and no
+    # cross-batch state restoration happens at all.
+    got = streaming_running_totals(
+        spark, f"{out_dir}/*.parquet", max_files_per_trigger=1,
+        keep_update_count=True,
+    )
+    # Proof that ≥2 micro-batches really ran: users active in both halves
+    # emitted one update per batch.
+    assert got.filter(F.col("__n_updates") >= 2).count() > 0
+    got = got.drop("__n_updates")
     exp = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),

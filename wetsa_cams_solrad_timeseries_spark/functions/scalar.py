@@ -74,12 +74,23 @@ def clean_key(col: Column | str) -> Column:
     return F.trim(c)
 
 
+# F7 pattern, shared by the Column form and the driver-side string form.
+FILENAME_SANITIZE_PATTERN = r"[^\w\.-]"
+
+
 def sanitize_filename(col: Column | str) -> Column:
     """F7 — replace filesystem-hostile characters with ``_``.
 
     Reference: code/get-cams-solrad-ts.py:137 (``re.sub(r'[^\\w\\.-]', '_')``).
     """
-    return F.regexp_replace(_c(col), r"[^\w\.-]", "_")
+    return F.regexp_replace(_c(col), FILENAME_SANITIZE_PATTERN, "_")
+
+
+def sanitize_filename_str(name: str) -> str:
+    """Driver-side twin of :func:`sanitize_filename` (same pattern)."""
+    import re
+
+    return re.sub(FILENAME_SANITIZE_PATTERN, "_", name)
 
 
 def wh_per_min_to_w(col: Column | str) -> Column:

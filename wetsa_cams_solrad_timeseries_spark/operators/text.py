@@ -75,15 +75,20 @@ def tfidf(
     words = _words(text_col)
     exploded = df.select(F.col(id_col), F.explode(words).alias("term"))
     tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    # N stays a lazy 1-row aggregate cross-joined in (broadcast-nested-loop
+    # of a single row) — no eager job at plan-construction time.
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
     doc_freq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
         tf.join(doc_freq, on="term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",

@@ -138,28 +138,50 @@ def run_ingest(
     get-cams-solrad-ts.py:104-176): read + validate the locations
     dimension, fan the (station × sky_type) fetches out across executors,
     aggregate each fetched raw file to 10-minute means, and write one
-    reference-shaped processed CSV per task. Returns the fetch-result
-    table (ok/error per task) for orchestration."""
-    import os
-    import re
+    reference-shaped processed CSV per task. Returns the task-result
+    table (ok/error per task) for orchestration.
 
+    O2 parity: the reference's ``try/except: continue`` wraps the WHOLE
+    task (download, aggregation, archive — get-cams-solrad-ts.py:140-172),
+    so aggregation/write failures here are captured per task too — a
+    corrupt raw file marks its own row failed and the rest proceed. The
+    per-task aggregation jobs are independent and submitted from a thread
+    pool (Spark schedules concurrent jobs), not the reference's serial
+    70-iteration loop.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wetsa_cams_solrad_timeseries_spark.functions.scalar import (
+        sanitize_filename_str,
+    )
     from wetsa_cams_solrad_timeseries_spark.operators.filters import require_columns
     from wetsa_cams_solrad_timeseries_spark.pipelines.compile import read_locations
 
     locations = read_locations(spark, locations_path)
     require_columns(locations, ["latitude", "longitude", "elevation", "station"])
     results = distributed_fetch(fetch_tasks(locations, sky_types), fetch_fn)
-    collected = results.collect()
-    for row in collected:
+    collected = [row.asDict() for row in results.collect()]
+
+    def aggregate_task(row: dict) -> dict:
         if not row["ok"]:
-            continue  # O2: a failed fetch skips its aggregation only
-        safe = re.sub(r"[^\w\.-]", "_", row["station"])
-        agg = aggregate_to_10min(spark, row["output_path"])
-        agg.toPandas().to_csv(
-            os.path.join(out_dir, f"processed_10min_{safe}_{row['sky_type']}.csv"),
-            index=False,
-        )
-    return spark.createDataFrame(collected, schema=FETCH_RESULT_SCHEMA)
+            return row
+        try:
+            safe = sanitize_filename_str(row["station"])
+            agg = aggregate_to_10min(spark, row["output_path"])
+            agg.toPandas().to_csv(
+                os.path.join(
+                    out_dir, f"processed_10min_{safe}_{row['sky_type']}.csv"
+                ),
+                index=False,
+            )
+        except Exception as ex:  # noqa: BLE001 — O2 per-task isolation
+            row = {**row, "ok": False, "error": f"aggregate: {ex}"}
+        return row
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(collected)))) as pool:
+        final_rows = list(pool.map(aggregate_task, collected))
+    return spark.createDataFrame(final_rows, schema=FETCH_RESULT_SCHEMA)
 
 
 def write_processed_csv(df: DataFrame, path: str) -> None:

@@ -53,14 +53,19 @@ def _update(
 
 
 def streaming_running_totals(
-    spark: SparkSession, parquet_path: str
+    spark: SparkSession,
+    parquet_path: str,
+    max_files_per_trigger: int | None = None,
+    keep_update_count: bool = False,
 ) -> DataFrame:
     """Run the stateful per-user running-totals operator over a (static)
     parquet file set replayed as a stream; returns the drained result.
 
-    With the whole file set in one micro-batch the final state equals the
-    batch aggregation — which is exactly what the oracle checks; across
-    multiple triggers the same code carries state forward.
+    ``max_files_per_trigger=1`` forces one micro-batch per file, so a
+    multi-file input genuinely exercises cross-batch state restoration
+    (the file source otherwise ingests every available file in the first
+    trigger); the drained final state equals the batch aggregation either
+    way, which is what the oracle checks.
     """
     import os
 
@@ -71,10 +76,13 @@ def streaming_running_totals(
         ts_fix = F.col("ts")
 
     directory, filename = os.path.split(parquet_path.rstrip("/"))
+    reader = spark.readStream.schema(batch_df.schema).option(
+        "pathGlobFilter", filename
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(batch_df.schema)
-        .option("pathGlobFilter", filename)
-        .parquet(directory)
+        reader.parquet(directory)
         .withColumn("ts", ts_fix)
         .select("user_id", "ts", "value")
     )
@@ -95,9 +103,18 @@ def streaming_running_totals(
         query.stop()
     result = spark.table(name)
     # Keep only the LAST update per key (multi-trigger runs emit one row
-    # per key per batch); with one batch this is the identity.
+    # per key per batch); with one batch this is the identity. The raw
+    # update count is carried as __n_updates so callers/tests can assert
+    # that multiple micro-batches actually ran.
     result = spark.createDataFrame(result.collect(), schema=result.schema)
+    w_cnt = Window.partitionBy("user_id")
     w = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     )
-    return result.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+    out = (
+        result.withColumn("__n_updates", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("__rn", w)
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return out if keep_update_count else out.drop("__n_updates")
