@@ -456,6 +456,142 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# q65 — returned-item ranking (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+def q65_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer over a quarter, top-20 with a
+    deterministic tie-break; join + agg + rank over the aggregated side."""
+    cu = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    w = Window.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+Q65_ORACLE = """
+WITH agg AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS lost_revenue,
+         count(*) AS n_returned_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY c_custkey, c_name, c_mktsegment
+)
+SELECT c_custkey, c_name, c_mktsegment, lost_revenue, n_returned_items, rn
+FROM (SELECT *, row_number() OVER (ORDER BY lost_revenue DESC, c_custkey) AS rn FROM agg)
+WHERE rn <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q66 — bi-nation trade volume by year (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+def q66_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation × customer-nation × ship-year revenue matrix:
+    double dimension join + date-part extraction + grouped aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("cust_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q66_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# q67 — cheapest-supplier-per-part (TPC-H Q2's correlated-min shape)
+# --------------------------------------------------------------------------
+def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each part sold, the supplier(s) matching the per-part minimum
+    account balance — the correlated scalar-min subquery, decorrelated as
+    a window min (no re-join of the aggregated subquery)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    su = table(spark, sf_dir, "supplier")
+    pa = table(spark, sf_dir, "part")
+    priced = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
+        F.broadcast(pa), li.l_partkey == pa.p_partkey
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        priced.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "l_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            "s_name",
+            F.col("s_acctbal").alias("supplier_acctbal"),
+        )
+    )
+
+
+Q67_ORACLE = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+priced AS (
+  SELECT l_partkey, l_suppkey, p_brand, s_name, s_acctbal,
+         min(s_acctbal) OVER (PARTITION BY l_partkey) AS min_bal
+  FROM pairs
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part     ON l_partkey = p_partkey
+)
+SELECT l_partkey, p_brand, l_suppkey AS cheapest_suppkey, s_name,
+       s_acctbal AS supplier_acctbal
+FROM priced WHERE s_acctbal = min_bal
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -473,5 +609,8 @@ SPECS = make_specs(
         ("q57_event_enrichment", q57_event_enrichment, Q57_ORACLE, ("J2",), "stream-dim enrichment"),
         ("q58_order_priority_check", q58_order_priority_check, Q58_ORACLE, ("P7",), "TPC-H Q4 shape"),
         ("q59_brand_share", q59_brand_share, Q59_ORACLE, (), "TPC-H Q14 shape"),
+        ("q65_returned_items", q65_returned_items, Q65_ORACLE, (), "TPC-H Q10 shape"),
+        ("q66_nation_trade_volume", q66_nation_trade_volume, Q66_ORACLE, (), "TPC-H Q7 shape"),
+        ("q67_cheapest_supplier", q67_cheapest_supplier, Q67_ORACLE, (), "TPC-H Q2 correlated-min shape"),
     ]
 )
