@@ -129,6 +129,60 @@ def test_null_safe_ratio_never_errors(spark, num, den):
         assert row["r"] == num / den
 
 
+@st.composite
+def asof_inputs(draw):
+    n_left = draw(st.integers(1, 15))
+    n_right = draw(st.integers(0, 10))
+    t0 = pd.Timestamp("2024-01-01")
+    lts = draw(st.lists(st.integers(0, 2000), min_size=n_left, max_size=n_left, unique=True))
+    rts = draw(st.lists(st.integers(0, 2000), min_size=n_right, max_size=n_right, unique=True))
+    groups = draw(st.lists(st.sampled_from(["a", "b"]), min_size=n_left, max_size=n_left))
+    rgroups = draw(st.lists(st.sampled_from(["a", "b"]), min_size=n_right, max_size=n_right))
+    left = pd.DataFrame(
+        {"g": groups, "ts": [t0 + pd.Timedelta(minutes=m) for m in lts],
+         "lid": range(n_left)}
+    )
+    right = pd.DataFrame(
+        {"g": rgroups, "rts": [t0 + pd.Timedelta(minutes=m) for m in rts],
+         "rv": [m * 10 for m in range(n_right)]}
+    )
+    return left, right
+
+
+@given(asof_inputs())
+@SET
+def test_asof_join_always_matches_merge_asof(spark, inputs):
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import asof_join
+
+    left, right = inputs
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right)
+            if len(right)
+            else spark.createDataFrame(right, "g string, rts timestamp, rv long"),
+            left_ts="ts", right_ts="rts", by=["g"], right_cols=["rv", "rts"],
+        ).collect()
+    }
+    if len(right) == 0:
+        # pandas merge_asof can't type an empty object-dtype key; the
+        # semantic answer is trivially "no match for anyone".
+        assert got == {lid: None for lid in left["lid"]}
+        return
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.rename(columns={"rts": "ts"}).sort_values("ts"),
+        on="ts", by="g",
+    ).set_index("lid")["rv"]
+    for lid in left["lid"]:
+        e = exp.loc[lid]
+        if pd.isna(e):
+            assert got[lid] is None
+        else:
+            assert got[lid] == e
+
+
 @given(st.text(min_size=0, max_size=40))
 @SET
 def test_clean_key_idempotent_and_canonical(spark, s):

@@ -190,13 +190,18 @@ def write_processed_csv(df: DataFrame, path: str) -> None:
 
 
 def write_parquet_partitioned(
-    df: DataFrame, path: str, partition_cols=("station", "sky_type")
+    df: DataFrame,
+    path: str,
+    partition_cols=("station", "sky_type"),
+    compression: str = "zstd",
 ) -> None:
-    """The scale-native sink: compressed columnar parquet partitioned by
-    (station, sky_type) → partition pruning for every downstream read;
-    replaces CSV+zip (K1+K3)."""
+    """The scale-native sink: zstd-compressed columnar parquet partitioned
+    by (station, sky_type) → partition pruning for every downstream read;
+    replaces CSV + zip-after-the-fact (K1+K3 — the reference compresses
+    raw CSVs into archives post-hoc, get-cams-solrad-ts.py:21-44; columnar
+    zstd compresses better AND stays queryable)."""
     present = [c for c in partition_cols if c in df.columns]
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode("overwrite").option("compression", compression)
     if present:
         writer = writer.partitionBy(*present)
     writer.parquet(path)
