@@ -534,6 +534,66 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q68 — event funnel (ordered-sequence conversion analysis)
+# --------------------------------------------------------------------------
+def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → purchase funnel per user: first signup, first purchase
+    strictly after it, conversion flag and time-to-convert. One grouped
+    conditional-min aggregation per stage over a single shuffle on
+    user_id — the ordered-sequence analysis every event pipeline needs."""
+    ev = table(spark, sf_dir, "events")
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).alias("first_signup")
+    per_user = ev.groupBy("user_id").agg(first_signup)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    conv = (
+        per_user.filter(F.col("first_signup").isNotNull())
+        .join(purchases, on="user_id", how="left")
+        .filter(
+            F.col("purchase_ts").isNull()
+            | (F.col("purchase_ts") > F.col("first_signup"))
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("purchase_ts").alias("first_purchase_after"))
+    )
+    return conv.select(
+        "user_id",
+        "first_signup",
+        "first_purchase_after",
+        F.when(F.col("first_purchase_after").isNotNull(), 1).otherwise(0).alias("converted"),
+        (
+            F.unix_micros(F.col("first_purchase_after"))
+            - F.unix_micros(F.col("first_signup"))
+        ).alias("conversion_us"),
+    )
+
+
+Q68_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT p.user_id, p.first_signup,
+         min(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > p.first_signup)
+           AS first_purchase_after
+  FROM per_user p
+  LEFT JOIN events e ON e.user_id = p.user_id
+  WHERE p.first_signup IS NOT NULL
+  GROUP BY p.user_id, p.first_signup
+)
+SELECT user_id, first_signup, first_purchase_after,
+       CASE WHEN first_purchase_after IS NOT NULL THEN 1 ELSE 0 END AS converted,
+       epoch_us(first_purchase_after) - epoch_us(first_signup) AS conversion_us
+FROM conv
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -550,5 +610,6 @@ SPECS = make_specs(
         ("q55_session_window", q55_session_window, Q55_ORACLE, (), "native session windows"),
         ("q60_asof_tolerance", q60_asof_tolerance, Q60_ORACLE, (), "as-of join with tolerance"),
         ("q61_table_profile", q61_table_profile, Q61_ORACLE, (), "one-pass table profiling"),
+        ("q68_funnel", q68_funnel, Q68_ORACLE, (), "signup→purchase funnel"),
     ]
 )
