@@ -535,6 +535,37 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# q69 — latest-state snapshot via max_by/arg_max
+# --------------------------------------------------------------------------
+def q69_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot per user in ONE aggregation: max_by pulls
+    the value/type of the latest event without a self-join or window
+    (deterministic here because (user_id, ts) is unique). The idiomatic
+    replacement for the 'window rank = 1' pattern when only the latest
+    row's fields are needed — half the shuffle data of the ranked form."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        F.round(F.expr("max_by(value, ts)") + F.lit(1e-9), 6).alias("last_value"),
+        F.expr("min_by(event_type, ts)").alias("first_event_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q69_ORACLE = """
+SELECT user_id,
+       max(ts) AS last_ts,
+       arg_max(event_type, ts) AS last_event_type,
+       round(arg_max(value, ts) + 1e-9, 6) AS last_value,
+       arg_min(event_type, ts) AS first_event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q68 — event funnel (ordered-sequence conversion analysis)
 # --------------------------------------------------------------------------
 def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,5 +642,6 @@ SPECS = make_specs(
         ("q60_asof_tolerance", q60_asof_tolerance, Q60_ORACLE, (), "as-of join with tolerance"),
         ("q61_table_profile", q61_table_profile, Q61_ORACLE, (), "one-pass table profiling"),
         ("q68_funnel", q68_funnel, Q68_ORACLE, (), "signup→purchase funnel"),
+        ("q69_latest_snapshot", q69_latest_snapshot, Q69_ORACLE, (), "max_by latest-state snapshot"),
     ]
 )
