@@ -592,6 +592,37 @@ FROM priced WHERE s_acctbal = min_bal
 """
 
 
+# --------------------------------------------------------------------------
+# q70 — correlation / covariance / dispersion aggregates (B-family)
+# --------------------------------------------------------------------------
+def q70_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance, and stddevs per group —
+    the descriptive-statistics layer next to the regression aggregates
+    (B1/B2): one distributed pass, same partial+final shape."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice") + F.lit(1e-9), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice") + F.lit(1e-9), 6).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity") + F.lit(1e-9), 6).alias("std_qty"),
+        F.round(F.stddev_samp("l_extendedprice") + F.lit(1e-9), 6).alias("std_price"),
+        F.round(F.var_samp("l_discount") + F.lit(1e-9), 6).alias("var_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q70_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 6) AS covar_qty_price,
+       round(stddev_samp(l_quantity) + 1e-9, 6) AS std_qty,
+       round(stddev_samp(l_extendedprice) + 1e-9, 6) AS std_price,
+       round(var_samp(l_discount) + 1e-9, 6) AS var_discount,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -612,5 +643,6 @@ SPECS = make_specs(
         ("q65_returned_items", q65_returned_items, Q65_ORACLE, (), "TPC-H Q10 shape"),
         ("q66_nation_trade_volume", q66_nation_trade_volume, Q66_ORACLE, (), "TPC-H Q7 shape"),
         ("q67_cheapest_supplier", q67_cheapest_supplier, Q67_ORACLE, (), "TPC-H Q2 correlated-min shape"),
+        ("q70_correlation_stats", q70_correlation_stats, Q70_ORACLE, ("B1", "B2"), "corr/covar/stddev aggregates"),
     ]
 )
