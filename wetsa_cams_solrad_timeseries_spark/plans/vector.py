@@ -238,6 +238,24 @@ GROUP BY event_type, bucket_start
 
 
 # --------------------------------------------------------------------------
+# q71 — stateful sessionization with event-time timeouts
+# --------------------------------------------------------------------------
+def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions closed by EventTimeTimeout state expiry
+    (streaming/sessions.py): per-user session state extends within the
+    30-min gap and is emitted+cleared when the watermark passes its gap
+    deadline. Rows-only: the emitted SET depends on Spark's ms-truncated
+    watermark-vs-deadline comparison, which SQL can't replicate exactly at
+    boundaries — soundness/completeness against the batch gap
+    construction are pytest-verified (tests/test_streaming_sessions.py)."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.sessions import (
+        streaming_sessions,
+    )
+
+    return streaming_sessions(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
 # q56 — IVF approximate top-k (inverted-file ANN, the second scale path)
 # --------------------------------------------------------------------------
 def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,6 +308,7 @@ SPECS = make_specs(
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
+        ("q71_streaming_sessions", q71_streaming_sessions, None, (), "event-time-timeout sessions"),
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, None, (), "IVF inverted-file ANN"),
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
     ]

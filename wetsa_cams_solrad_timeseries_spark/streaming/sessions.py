@@ -1,0 +1,127 @@
+"""Stateful streaming sessionization with event-time timeouts.
+
+The full custom-stateful-operator pattern: per-user session state lives in
+the state store, extends while events keep arriving within the gap, and is
+EMITTED + CLEARED by an ``EventTimeTimeout`` once the watermark passes the
+session's gap deadline — i.e. sessions close exactly when no on-time event
+can extend them anymore. This is the applyInPandasWithState twin of
+``session_window`` (q55) with full control over the emitted payload.
+
+State per user: (session_start_us, last_ts_us, n_events, sum_value) — a
+fixed-width tuple, O(active users).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+STATE_SCHEMA = "start_us long, last_us long, count long, total double"
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+
+    def emit(start_us: int, last_us: int, count: int, total: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [count],
+                "sum_value": [round(total + 1e-9, 6)],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, count, total = state.get
+        state.remove()
+        yield emit(start_us, last_us, count, total)
+        return
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    ts_us = batch["ts"].astype("int64") // 1000
+    if state.exists:
+        start_us, last_us, count, total = state.get
+    else:
+        start_us, last_us, count, total = None, None, 0, 0.0
+
+    closed = []
+    for t, v in zip(ts_us, batch["value"]):
+        t = int(t)
+        if start_us is None:
+            start_us, last_us, count, total = t, t, 1, float(v)
+        elif t - last_us > GAP_US:
+            closed.append((start_us, last_us, count, total))
+            start_us, last_us, count, total = t, t, 1, float(v)
+        else:
+            last_us, count, total = t, count + 1, total + float(v)
+
+    state.update((start_us, last_us, count, total))
+    # Close the open session once the watermark passes last_ts + gap:
+    # no on-time event can extend it after that.
+    state.setTimeoutTimestamp(last_us // 1000 + GAP_US // 1000)
+    for s in closed:
+        yield emit(*s)
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    parquet_path: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Drain the session operator over a replayed file set and return the
+    emitted (closed) sessions. With ``watermark='0 seconds'`` the final
+    watermark reaches max event time, so every session whose gap deadline
+    precedes it closes — over a finite replay that is every session except
+    possibly the very last per user (deadline beyond the last event)."""
+    import os
+
+    batch_df = spark.read.parquet(parquet_path)
+    if dict(batch_df.dtypes).get("ts") == "bigint":
+        ts_fix = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_fix = F.col("ts")
+    directory, filename = os.path.split(parquet_path.rstrip("/"))
+    reader = spark.readStream.schema(batch_df.schema).option(
+        "pathGlobFilter", filename
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(directory)
+        .withColumn("ts", ts_fix)
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"sessions_{uuid.uuid4().hex[:12]}"
+    query = (
+        out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
