@@ -33,6 +33,58 @@ def canon(rows: list[tuple], columns: list[str]) -> list[tuple]:
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 
+# Canonical storage-type signatures. The round-1 driver's hasher encodes
+# values with their storage type: q15's DuckDB HUGEINT vs Spark BIGINT
+# hash-mismatched even though every printed value was identical (it DID
+# tolerate i32-vs-i64 on queries it checked, but that leniency is an
+# implementation detail) — so the gate enforces EXACT width parity and the
+# plans cast both sides to matching types, removing the dependence.
+_SPARK_TYPE_MAP = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+_DUCK_TYPE_MAP = {
+    "tinyint": "i8", "smallint": "i16", "integer": "i32", "bigint": "i64",
+    "hugeint": "i128", "utinyint": "u8", "usmallint": "u16", "uinteger": "u32",
+    "ubigint": "u64", "float": "f32", "double": "f64", "varchar": "str",
+    "boolean": "bool", "date": "date", "timestamp": "ts",
+    "timestamp with time zone": "ts", "blob": "bin",
+}
+
+
+def _norm_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "dec" + dt[len("decimal"):]
+    if dt.startswith("array<"):
+        return f"list<{_norm_spark_type(dt[6:-1])}>"
+    return _SPARK_TYPE_MAP.get(dt, dt)
+
+
+def _norm_duck_type(dt: str) -> str:
+    dt = str(dt).lower()
+    if dt.startswith("decimal"):
+        return "dec" + dt[len("decimal"):]
+    if dt.endswith("[]"):
+        return f"list<{_norm_duck_type(dt[:-2])}>"
+    return _DUCK_TYPE_MAP.get(dt, dt)
+
+
+def type_mismatches(
+    scols: list[str], sdtypes: list[str], dcols: list[str], ddtypes: list
+) -> list[str]:
+    """Compare normalized per-column storage types (matched by column name)."""
+    duck = {c: _norm_duck_type(t) for c, t in zip(dcols, ddtypes)}
+    bad = []
+    for c, t in zip(scols, sdtypes):
+        st = _norm_spark_type(t)
+        ot = duck.get(c)
+        if ot is not None and st != ot:
+            bad.append(f"type[{c}] spark={st} duck={ot}")
+    return bad
+
+
 def main() -> int:
     import duckdb
 
@@ -72,6 +124,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
+            dtypes = list(rel.types)
             drows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
@@ -82,6 +135,9 @@ def main() -> int:
             status.append(f"rowcount {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
             status.append(f"columns {sorted(scols)} != {sorted(dcols)}")
+        status.extend(
+            type_mismatches(scols, [t for _, t in sdf.dtypes], dcols, dtypes)
+        )
         if not status:
             cs, cd = canon(srows, scols), canon(drows, dcols)
             if cs != cd:

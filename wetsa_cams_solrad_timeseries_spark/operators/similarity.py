@@ -79,7 +79,7 @@ def brute_force_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -167,7 +167,7 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def ivf_assign(
@@ -221,19 +221,31 @@ def ivf_train_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_train: int = 65536,
 ):
     """Deterministic IVF training: seeds = the k lowest-id vectors, then
     ``n_iter`` Lloyd iterations on normalized vectors (spherical k-means).
 
-    Runs via one driver-side numpy pass over the collected corpus — right
-    for index TRAINING, which always runs on a sample (even FAISS trains
-    IVF on ~1% of vectors). At 100 TB: train on ``df.sample(frac)``
-    exactly like this, or swap in MLlib's distributed KMeans; ASSIGNMENT
-    (the data-sized pass) is distributed (``ivf_assign``)."""
+    Index TRAINING always runs on a bounded sample (even FAISS trains IVF
+    on ~1% of vectors): the driver pull is capped at ``max_train`` rows by
+    a deterministic hash-order sample — rank vectors by the portable
+    hash32 of their id and keep the first ``max_train``, so every engine
+    and every rerun selects the same subset regardless of corpus size or
+    partitioning. ASSIGNMENT (the data-sized pass) stays distributed
+    (``ivf_assign``)."""
     import numpy as np
 
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    # Deterministic sample: min-k by hash32(id) — a uniform pseudo-random
+    # subset with a hard row bound (never corpus-sized), then id order so
+    # seeding is stable.
     rows = (
         emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
+        .withColumn("__hk", hash32(F.col(id_col).cast("string")))
+        .orderBy("__hk", id_col)
+        .limit(max_train)
+        .drop("__hk")
         .orderBy(id_col)
         .toPandas()
     )
@@ -317,7 +329,7 @@ def ann_topk_ivf(
         "query_id", "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine")
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def neardup_pairs(
@@ -358,47 +370,54 @@ def neardup_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Blocked-matrix all-pairs cosine: each partition multiplies its block
-    of vectors against the (broadcast) corpus with one numpy matmul —
-    BLAS-vectorized, ~50× the expression-tree version.
+    """Blocked-matrix all-pairs cosine: the corpus shards into ``n_blocks``
+    row blocks (block = id mod n_blocks) and every unordered block pair is
+    routed to one applyInPandas task that runs a single BLAS matmul — the
+    block nested-loop form of matrix × matrixᵀ (operators/blocked.py).
 
-    The corpus side here travels as a Spark broadcast (fine to ~1e6
-    vectors); at 100 TB the same kernel runs inside a block-id × block-id
-    join (each side partitioned into row blocks) — the per-task compute is
-    this exact function body. Values are rounded to 6 digits, so the
-    float-summation-order difference vs the oracle's sequential fold
-    (≲1e-13 relative) cannot flip the comparison."""
+    Nothing is collected to or broadcast from the driver: the only wide op
+    is the (n_blocks + 1)× row replication shuffle, linear in corpus size;
+    n_blocks grows with the corpus so two blocks always fit one task.
+    Values are rounded to 6 digits, so the float-summation-order
+    difference vs the oracle's sequential fold (≲1e-13 relative) cannot
+    flip the comparison."""
     import numpy as np
     import pandas as pd
 
-    spark = emb_df.sparkSession
-    rows = (
-        emb_df.select(F.col(id_col), to_double_array(F.col(emb_col)).alias("v"))
-        .collect()
+    from wetsa_cams_solrad_timeseries_spark.operators.blocked import (
+        pair_masks,
+        tag_block_pairs,
     )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["v"]), dtype=np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T + 1e-9, 6)
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "cosine": sims[ai, bi],
-                }
+    src = emb_df.select(
+        F.col(id_col),
+        to_double_array(F.col(emb_col)).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    tagged = tag_block_pairs(src, "__blk", n_blocks)
+
+    def kernel(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
             )
+        a_ids = a_pdf[id_col].to_numpy(dtype=np.int64)
+        b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a_pdf["v"]), dtype=np.float64)
+        b_mat = np.array(list(b_pdf["v"]), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = np.round(a_mat @ b_mat.T + 1e-9, 6)
+        hits = sims >= threshold
+        id_a, id_b, ai, bi = pair_masks(a_ids, b_ids, hits, diagonal=ba == bb)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bi]})
 
-    src = emb_df.select(F.col(id_col), to_double_array(F.col(emb_col)).alias("v"))
-    return src.mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
     )

@@ -34,7 +34,7 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scores are zero)."""
     words = _words(text_col)
     score_cols = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
         for lang, markers in LANG_MARKERS.items()
     }
     sel = [F.col(id_col), F.col("lang").alias("lang_label")] if "lang" in df.columns else [F.col(id_col)]
@@ -123,5 +123,5 @@ def fingerprints(
         F.md5(norm).alias("fp_md5"),
         F.array_min(hashes).alias("fp_min_shingle"),
         F.array_max(hashes).alias("fp_max_shingle"),
-        F.size(hashes).alias("n_shingles"),
+        F.size(hashes).cast("long").alias("n_shingles"),
     )

@@ -54,10 +54,10 @@ def q36_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     text = F.col("text")
     words = F.split(F.trim(text), r"\s+")
-    n_tokens = F.size(words)
-    n_bpeish = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
-    n_chars = F.length(text)
+    n_tokens = F.size(words).cast("long")
+    n_bpeish = F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    n_chars = F.length(text).cast("long")
     n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
     alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
@@ -137,9 +137,11 @@ sh AS (
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard similarity pairs ≥ 0.3. This corpus is
     dense-vocabulary (≈900 distinct bigrams over 5k docs), so the blocked
-    bitmap-matmul kernel applies (operators/dedup.py:jaccard_pairs_dense);
-    results are identical to the join-based ``jaccard_pairs``, which
-    remains the sparse-vocabulary / LSH-candidate path at 100 TB."""
+    bitmap-matmul kernel applies (operators/dedup.py:jaccard_pairs_dense —
+    block-pair applyInPandas, no driver materialization of the corpus;
+    only the small vocab is collected). Results are identical to the
+    join-based ``jaccard_pairs``, which remains the sparse-vocabulary /
+    LSH-candidate path at 100 TB."""
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
         jaccard_pairs_dense,
         word_shingles,

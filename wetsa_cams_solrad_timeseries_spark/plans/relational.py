@@ -211,7 +211,7 @@ SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6)     AS slope,
        round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity) + 1e-9, 6)        AS r2,
-       regr_count(l_extendedprice, l_quantity)               AS n
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)  AS n
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -284,7 +284,7 @@ def q13_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -441,7 +441,7 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
-        agg.withColumn("rn", F.row_number().over(w))
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 10)
         .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rn")
     )

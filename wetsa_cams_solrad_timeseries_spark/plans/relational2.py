@@ -25,7 +25,7 @@ def q43_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.dense_rank().over(w).alias("order_seq"),
+        F.dense_rank().over(w).cast("long").alias("order_seq"),
         F.round(F.sum("o_totalprice").over(wcum) + F.lit(1e-9), 6).alias("cum_spend"),
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
     )
@@ -245,21 +245,124 @@ FROM customer
 
 
 # --------------------------------------------------------------------------
-# q50 — sketch aggregates (approx distinct; rows-only check)
+# q50 — sketch aggregates (KMV distinct + bottom-k sample quantile)
 # --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_SCALE = float((_KMV_K - 1) * 4294967296)  # (k−1)·2³², exact in a double
+
+
 def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct + t-digest approximate quantiles
-    per event type — the mergeable one-pass sketches that replace exact
-    distinct/percentile at 100 TB. No SQL oracle: sketch estimates are
-    engine-specific by design (driver records rows-only); exact twins are
-    hash-checked in q11/q18."""
+    """Bounded-memory sketch aggregates per event type, built on the
+    portable ``hash32`` so BOTH engines compute identical estimates (the
+    reason to prefer these over ``approx_count_distinct``/t-digest here:
+    engine-native sketches are unverifiable cross-engine by design).
+
+    - KMV (k-minimum-values) distinct estimate: keep the k=256 smallest
+      distinct hashes of user_id; if ≥k survive, est = (k−1)·2³² / h_(k),
+      else the exact distinct-hash count. One integer division — the
+      standard bottom-k cardinality estimator.
+    - Bottom-k sample median of ``value``: a deterministic uniform sample
+      (the 256 rows with smallest hash of event_id), then the sample's
+      lower median (no interpolation → cross-engine exact).
+
+    Scale shape: the per-group state is k rows; here the min-k selection
+    runs as a row_number window (distributed sort) — a production
+    deployment would swap in a custom bounded-k Aggregator, same
+    semantics. Exact twins are hash-checked in q11/q18."""
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+
+    # KMV over distinct user-id hashes.
+    dh = ev.select(
+        "event_type", hash32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    wh = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        dh.withColumn("rk", F.row_number().over(wh))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") <= _KMV_K, F.col("h"))).alias("hk"),
+            F.count(F.lit(1)).alias("n_h"),
+        )
+        .select(
+            "event_type",
+            F.when(
+                F.col("n_h") >= _KMV_K,
+                F.round(F.lit(_KMV_SCALE) / F.col("hk") + F.lit(1e-9), 0).cast("long"),
+            )
+            .otherwise(F.col("n_h"))
+            .alias("kmv_users"),
+        )
+    )
+
+    # Bottom-k sample → lower median of value.
+    hs = hash32(F.concat_ws("_", F.lit("s"), F.col("event_id").cast("string")))
+    ws = Window.partitionBy("event_type").orderBy("hs", "event_id")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wg = Window.partitionBy("event_type")
+    med = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("hs", hs)
+        .withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= _KMV_K)
+        .withColumn("vrk", F.row_number().over(wv))
+        .withColumn("n_samp", F.count(F.lit(1)).over(wg))
+        .filter(F.col("vrk") == F.floor((F.col("n_samp") + 1) / 2))
+        .select("event_type", F.round(F.col("value") + F.lit(1e-9), 6).alias("p50_est"))
+    )
+
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.percentile_approx("value", 0.5) + F.lit(1e-9), 6).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return exact.join(kmv, on="event_type").join(med, on="event_type")
+
+
+Q50_ORACLE = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM dh
+),
+kmv AS (
+  SELECT event_type,
+         max(CASE WHEN rk <= {_KMV_K} THEN h END) AS hk,
+         count(*) AS n_h
+  FROM rk GROUP BY event_type
+),
+samp AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5('s_' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    event_id) AS srk
+  FROM events
+),
+med AS (
+  SELECT event_type, round(value + 1e-9, 6) AS p50_est FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrk,
+           count(*) OVER (PARTITION BY event_type) AS n_samp
+    FROM samp WHERE srk <= {_KMV_K}
+  ) WHERE vrk = (n_samp + 1) // 2
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, exact_users, n_events,
+       CASE WHEN n_h >= {_KMV_K}
+            THEN CAST(round({_KMV_SCALE!r} / hk + 1e-9, 0) AS BIGINT)
+            ELSE n_h END AS kmv_users,
+       p50_est
+FROM ex JOIN kmv USING (event_type) JOIN med USING (event_type)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -479,7 +582,7 @@ def q65_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
     return (
-        agg.withColumn("rn", F.row_number().over(w))
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 20)
     )
 
@@ -634,7 +737,7 @@ SPECS = make_specs(
         ("q47_revenue_forecast", q47_revenue_forecast, Q47_ORACLE, (), "TPC-H Q6 selective scan"),
         ("q48_seasonality", q48_seasonality, Q48_ORACLE, (), "date-part aggregation"),
         ("q49_string_functions", q49_string_functions, Q49_ORACLE, ("F6", "F7", "F13"), "string chain"),
-        ("q50_approx_sketches", q50_approx_sketches, None, (), "HLL + t-digest sketches"),
+        ("q50_approx_sketches", q50_approx_sketches, Q50_ORACLE, (), "KMV + bottom-k sample sketches"),
         ("q51_range_join", q51_range_join, Q51_ORACLE, (), "bucketized range join"),
         ("q52_scd2_intervals", q52_scd2_intervals, Q52_ORACLE, (), "SCD2/CDC construction"),
         ("q57_event_enrichment", q57_event_enrichment, Q57_ORACLE, ("J2",), "stream-dim enrichment"),

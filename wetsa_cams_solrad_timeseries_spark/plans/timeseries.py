@@ -269,8 +269,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  -- CAST: DuckDB types a windowed sum(int) as HUGEINT (int128); Spark emits
+  -- BIGINT. The driver's hasher encodes values with their storage type, so
+  -- the widths must match even though the printed values are identical.
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
