@@ -71,6 +71,29 @@ def test_jaccard_pairs_match_python(spark):
     assert 0.5 < got[(1, 2)] < 1.0  # near dup
 
 
+def test_jaccard_pairs_dense_matches_join_form(spark):
+    """The blocked bitmap-matmul kernel (block-pair applyInPandas, no
+    driver corpus materialization) must reproduce the join form exactly —
+    including across blocks (n_blocks=3 < n_docs forces off-diagonal
+    block pairs where the A-side id can exceed the B-side id)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs_dense,
+    )
+
+    sh = word_shingles(_docs_df(spark), "doc_id", "text", n=2)
+    exp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_dense(sh, "doc_id", threshold=0.0, n_blocks=3).collect()
+    }
+    # The join form only emits pairs with ≥1 common shingle; the dense
+    # kernel also emits 0-common pairs at threshold 0 — compare on >0.
+    assert {k: v for k, v in got.items() if v > 0} == exp
+
+
 def _minhash_py(shingle_hashes, n_perm=16):
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
         MINHASH_PRIME,
@@ -146,6 +169,23 @@ def test_tfidf_matches_python(spark):
                 exp[(d, t)] = (c, dfreq[t], round(c * idf + 1e-9, 6))
     assert got == exp
     assert got[(1, "the")][0] == 2  # 'the' twice in doc 1
+
+
+def test_lsh_br_sweep_properties():
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import lsh_br_sweep
+
+    rows = lsh_br_sweep(16)
+    assert [r["bands"] for r in rows] == [1, 2, 4, 8, 16]
+    for r in rows:
+        assert r["bands"] * r["rows_per_band"] == 16
+        assert 0 < r["threshold"] <= 1
+        # P(s) is monotone in s for fixed (b, r)
+        assert r["p_at_0.5"] <= r["p_at_0.7"] <= r["p_at_0.9"]
+    # more bands → lower threshold (higher recall)
+    ths = [r["threshold"] for r in rows]
+    assert ths == sorted(ths, reverse=True)
+    # the declared q33 config (16 perms, 4 bands) targets ~0.7 similarity
+    assert abs(next(r for r in rows if r["bands"] == 4)["threshold"] - 0.7) < 0.05
 
 
 def test_lang_scores_pred(spark):

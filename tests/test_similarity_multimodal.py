@@ -62,6 +62,27 @@ def test_neardup_pairs_finds_planted_pair(spark):
     assert got == exp
 
 
+def test_neardup_pairs_blocked_matches_exact(spark):
+    """The block-pair BLAS kernel must reproduce the expression-tree
+    all-pairs form exactly, with n_blocks < n_vecs so off-diagonal block
+    pairs (where the A-side id can exceed the B-side id) are exercised."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
+
+    df, vecs = _emb_df(spark)
+    for threshold in (0.0, 0.5, 0.99):
+        exp = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in neardup_pairs(df, threshold).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in neardup_pairs_blocked(df, threshold, n_blocks=3).collect()
+        }
+        assert got == exp, threshold
+
+
 def test_hyperplane_buckets_deterministic_and_neardup_collides(spark):
     df, _ = _emb_df(spark)
     b1 = {(r["vec_id"], r["bucket"]) for r in hyperplane_buckets(df, dim=8).collect()}

@@ -64,9 +64,10 @@ def word_shingles(
     explode is the compute-heavy stage — without the spread, one task
     shingles everything (observed 1-file → 1-task on the test corpus).
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    # Unconditional round-robin spread (touching df.rdd just to READ the
+    # partition count would force a full RDD conversion — worse than the
+    # one narrow shuffle this costs when the input was already spread).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = _norm_words(text_col)
     ngrams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
@@ -139,6 +140,7 @@ def jaccard_pairs_dense(
     id_col: str,
     threshold: float = 0.0,
     shingle_col: str = "shingle_hash",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All-pairs Jaccard for the DENSE-VOCABULARY regime: when the distinct
     shingle vocabulary is small (boilerplate-heavy corpora, templated
@@ -152,55 +154,70 @@ def jaccard_pairs_dense(
     to the join formulation — same results, ~20× the throughput at 5k
     docs × 931 vocab. Use the join form (``jaccard_pairs``) when the
     vocabulary is large/sparse (normal web-scale text), this form when
-    profiling shows Σc² blowup. At 100 TB the corpus matrix shards into
-    row blocks on both sides of a block-id join; per-task compute is
-    unchanged."""
+    profiling shows Σc² blowup.
+
+    Distribution: the corpus shards into ``n_blocks`` row blocks and each
+    unordered block pair runs one bitmap matmul in an applyInPandas task
+    (operators/blocked.py) — no driver materialization of the corpus. The
+    only driver pull is the VOCABULARY (distinct shingle hashes), which is
+    small by the dense-regime precondition itself — the same bounded-side
+    rule as broadcasting a dimension table; if the vocab is too big to
+    collect, this kernel is the wrong regime and ``jaccard_pairs``
+    applies."""
     import numpy as np
     import pandas as pd
 
+    from wetsa_cams_solrad_timeseries_spark.operators.blocked import (
+        pair_masks,
+        tag_block_pairs,
+    )
+
     spark = shingle_df.sparkSession
-    # One computation of the grouped shingle lists, pulled to the driver
-    # over Arrow (py4j row-by-row collect of array columns is ~5× slower).
-    # The distributed block pass is then re-seeded FROM this pandas frame
-    # (it is small — ids + hash lists) instead of re-reading the Spark
-    # lineage, so the shingle pipeline runs exactly once and nothing needs
-    # persist (no cache-leak across calls).
-    pdf_all = (
+    vocab = sorted(
+        r[0] for r in shingle_df.select(shingle_col).distinct().collect()
+    )
+    vidx = {h: i for i, h in enumerate(vocab)}
+    bc_vidx = spark.sparkContext.broadcast(vidx)
+
+    docs = (
         shingle_df.groupBy(id_col)
         .agg(F.collect_list(shingle_col).alias("hs"))
-        .toPandas()
+        .withColumn("__blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int"))
     )
-    vocab = sorted({h for hs in pdf_all["hs"] for h in hs})
-    vidx = {h: i for i, h in enumerate(vocab)}
-    ids = pdf_all[id_col].to_numpy(dtype=np.int64)
-    mat = np.zeros((len(ids), len(vocab)), dtype=np.float32)
-    for ri, hs in enumerate(pdf_all["hs"]):
-        for h in hs:
-            mat[ri, vidx[h]] = 1.0
-    sizes = mat.sum(axis=1).astype(np.int64)
-    bc = spark.sparkContext.broadcast((ids, mat, sizes, vidx))
-    n_part = max(1, min(spark.sparkContext.defaultParallelism, len(pdf_all)))
-    rows = spark.createDataFrame(pdf_all).repartition(n_part)
+    tagged = tag_block_pairs(docs, "__blk", n_blocks)
 
-    def block(batches):
-        b_ids, b_mat, b_sizes, b_vidx = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.zeros((len(a_ids), b_mat.shape[1]), dtype=np.float32)
-            for ri, hs in enumerate(pdf["hs"]):
-                for h in hs:
-                    a_mat[ri, b_vidx[h]] = 1.0
-            common = np.rint(a_mat @ b_mat.T).astype(np.int64)
-            a_sizes = a_mat.sum(axis=1).astype(np.int64)
-            union = a_sizes[:, None] + b_sizes[None, :] - common
-            with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.round(common / union + 1e-9, 6)
-            ai, bi = np.nonzero((jac >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "jaccard": jac[ai, bi]}
+    def to_bitmap(pdf):
+        vmap = bc_vidx.value
+        mat = np.zeros((len(pdf), len(vmap)), dtype=np.float32)
+        for ri, hs in enumerate(pdf["hs"]):
+            for h in hs:
+                mat[ri, vmap[h]] = 1.0
+        return mat
+
+    def kernel(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
             )
+        a_ids = a_pdf[id_col].to_numpy(dtype=np.int64)
+        b_ids = b_pdf[id_col].to_numpy(dtype=np.int64)
+        a_mat, b_mat = to_bitmap(a_pdf), to_bitmap(b_pdf)
+        common = np.rint(a_mat @ b_mat.T).astype(np.int64)
+        a_sizes = a_mat.sum(axis=1).astype(np.int64)
+        b_sizes = b_mat.sum(axis=1).astype(np.int64)
+        union = a_sizes[:, None] + b_sizes[None, :] - common
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.round(common / union + 1e-9, 6)
+        hits = jac >= threshold
+        id_a, id_b, ai, bi = pair_masks(a_ids, b_ids, hits, diagonal=ba == bb)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard": jac[ai, bi]})
 
-    return rows.mapInPandas(block, schema="id_a long, id_b long, jaccard double")
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        kernel, schema="id_a long, id_b long, jaccard double"
+    )
 
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31−1
@@ -284,6 +301,33 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_br_sweep(n_perm: int, thresholds=(0.5, 0.7, 0.8, 0.9)) -> list[dict]:
+    """Tuning table for the LSH banding trade-off: for every (bands b,
+    rows-per-band r) split of ``n_perm`` permutations, the s-curve
+    candidate probability P(s) = 1 − (1 − s^r)^b and its threshold
+    (the similarity where P crosses ~0.5, ≈ (1/b)^(1/r)).
+
+    Pure closed-form math (the standard MinHash-LSH analysis): at 100 TB
+    you pick (b, r) from this table so the threshold sits at your dedup
+    cutoff — more bands = more recall + more candidate volume; the sweep
+    makes that trade explicit instead of folklore. Driver-side; no Spark.
+    """
+    out = []
+    for bands in range(1, n_perm + 1):
+        if n_perm % bands:
+            continue
+        rows = n_perm // bands
+        row = {
+            "bands": bands,
+            "rows_per_band": rows,
+            "threshold": round((1.0 / bands) ** (1.0 / rows), 4),
+        }
+        for s in thresholds:
+            row[f"p_at_{s}"] = round(1.0 - (1.0 - s**rows) ** bands, 4)
+        out.append(row)
+    return out
 
 
 def simhash(
