@@ -33,10 +33,40 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
 
+# Queries the round-1 driver run never reached (its correctness pass runs
+# registry order under a time budget and stopped mid-inventory), plus the
+# two it flagged (q15 hash fail, q50 no-oracle). They run FIRST so a
+# truncated pass can never leave them unverified again; relative order
+# within each tier is still module order.
+_VERIFY_FIRST = (
+    "q15_sessionize",
+    "q50_approx_sketches",
+    "q35_fingerprints",
+    "q36_text_quality",
+    "q37_langid",
+    "q64_tfidf",
+    "q38_cosine_topk",
+    "q39_ann_lsh_topk",
+    "q40_embedding_neardup",
+    "q41_multimodal_features",
+    "q42_streaming_tumbling",
+    "q53_streaming_stateful",
+    "q56_ann_ivf_topk",
+    "q63_streaming_sliding",
+    "q71_streaming_sessions",
+)
+
+
 def _collect() -> dict[str, QuerySpec]:
-    out: dict[str, QuerySpec] = {}
+    merged: dict[str, QuerySpec] = {}
     for mod in (relational, relational2, timeseries, llm_ops, vector):
-        out.update(mod.SPECS)
+        merged.update(mod.SPECS)
+    out: dict[str, QuerySpec] = {}
+    for name in _VERIFY_FIRST:
+        out[name] = merged[name]
+    for name, spec in merged.items():
+        if name not in out:
+            out[name] = spec
     return out
 
 

@@ -1,0 +1,34 @@
+"""Shared drain-time tuning for the finite-replay verification harness.
+
+Structured Streaming sizes its state store by ``spark.sql.shuffle.
+partitions`` at query START, and every micro-batch commits one checkpoint
+delta PER state partition — for the drain-a-finite-file verification runs
+(tiny state, 1-3 micro-batches) a 32-partition state store is pure
+fixed-cost I/O (~32 store inits + 32 delta files per batch, measured
+seconds per query on this harness).
+
+``drain_partitions`` temporarily lowers the conf while a drain query is
+being planned/started and restores it afterwards. This is harness-only
+sizing, not a semantics change: production sizes state partitions to key
+cardinality and throughput (and would RAISE it at 100 TB); results are
+partitioning-invariant either way.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+DRAIN_PARTITIONS = 4
+
+
+@contextmanager
+def drain_partitions(spark: SparkSession, n: int = DRAIN_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)

@@ -115,13 +115,19 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+
     name = f"sessions_{uuid.uuid4().hex[:12]}"
-    query = (
-        out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with drain_partitions(spark):
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -93,14 +93,20 @@ def streaming_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+
     name = f"stateful_out_{uuid.uuid4().hex[:12]}"
-    query = (
-        out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with drain_partitions(spark):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     result = spark.table(name)
     # Keep only the LAST update per key (multi-trigger runs emit one row
     # per key per batch); with one batch this is the identity. The raw

@@ -76,17 +76,20 @@ def streaming_tumbling_agg(
         )
         .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
     )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with drain_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     # Materialize before the memory sink table goes away with the query.
     result = spark.table(name)
     result = spark.createDataFrame(result.collect(), schema=result.schema)
