@@ -362,6 +362,48 @@ def test_run_ingest_end_to_end(spark, tmp_path):
     assert pdf.columns[0] == "time" and len(pdf) == 6  # 60 min → 6 buckets
 
 
+def test_dense_partitioned_export_roundtrip(spark, tmp_path):
+    """The scalable dense-export twin of K2: station-chunked parquet +
+    CF sidecars, written distributed; partition pruning on read-back."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.dense_export import (
+        read_dense_partitioned,
+        write_dense_partitioned,
+    )
+
+    loc = _write_locations(tmp_path)
+    _write_processed(tmp_path, "Padang_Pariaman", 1, minutes=30)
+    _write_processed(tmp_path, "Makassar", 2, minutes=20)
+    compiled = compile_solar(
+        spark, str(tmp_path / "processed_10min_*_observed_cloud.csv"), str(loc)
+    )
+    out = str(tmp_path / "dense")
+    manifest = write_dense_partitioned(compiled, out)
+    stations = [c["station"] for c in manifest["chunks"]]
+    assert stations == ["Makassar", "Padang_Pariaman"]
+    assert {c["station"]: c["n_rows"] for c in manifest["chunks"]} == {
+        "Makassar": 20,
+        "Padang_Pariaman": 30,
+    }
+    # one directory per chunk-axis value (the Zarr-chunk analogue)
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(out).iterdir() if p.is_dir()}
+    assert dirs == {"station=Makassar", "station=Padang_Pariaman"}
+
+    df, manifest2, attrs = read_dense_partitioned(spark, out, stations=["Makassar"])
+    assert manifest2 == manifest
+    assert attrs["global"]["Conventions"] == "CF-1.8"
+    assert attrs["variables"]["GHI"]["units"] == "Wh m-2"
+    got = df.select("station").distinct().collect()
+    assert [r["station"] for r in got] == ["Makassar"]
+    # pruning reaches the scan: only the selected partition is read
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Makassar" in plan
+    # values survive the round trip
+    back = df.count()
+    assert back == 20
+
+
 def test_netcdf_export_dense_grid(spark, tmp_path):
     loc = _write_locations(tmp_path)
     _write_processed(tmp_path, "Padang_Pariaman", 1, minutes=30)
@@ -373,9 +415,33 @@ def test_netcdf_export_dense_grid(spark, tmp_path):
     assert list(coords.index) == ["Makassar", "Padang_Pariaman"]
     assert wide.shape == (30, 6)  # 3 vars × 2 stations, dense grid (R1)
     assert wide["GHI"]["Makassar"].isna().sum() == 10  # missing combos → NaN
-    try:
-        summary = write_netcdf(compiled, str(tmp_path / "out.nc"))
-        assert summary["n_stations"] == 2
-        assert (tmp_path / "out.nc").exists()
-    except NotImplementedError:
-        pass  # xarray not in this environment — gating contract (K2)
+
+    # The serialization hop always executes now: NETCDF4 via xarray when
+    # present, else the pure-Python classic writer (sinks/netcdf3.py).
+    summary = write_netcdf(compiled, str(tmp_path / "out.nc"))
+    assert summary["n_stations"] == 2
+    assert (tmp_path / "out.nc").exists()
+
+    if summary["format"] == "NETCDF3_CLASSIC":
+        import math
+
+        from wetsa_cams_solrad_timeseries_spark.sinks.netcdf3 import read_netcdf3
+
+        back = read_netcdf3(str(tmp_path / "out.nc"))
+        assert back["attrs"]["Conventions"] == "CF-1.8"
+        assert back["dims"]["station"] == 2 and back["dims"]["time"] == 30
+        assert back["vars"]["time"]["attrs"]["calendar"] == "proleptic_gregorian"
+        names = back["vars"]["station"]["values"]
+        strlen = back["dims"]["name_strlen"]
+        decoded = [
+            names[i * strlen : (i + 1) * strlen].rstrip(b"\x00").decode()
+            for i in range(2)
+        ]
+        assert decoded == ["Makassar", "Padang_Pariaman"]
+        # Value round-trip: the (time, station) grid equals the pandas pivot,
+        # NaN fill included.
+        ghi = back["vars"]["GHI"]["values"]
+        exp = wide["GHI"].reindex(columns=decoded).to_numpy().ravel()
+        assert len(ghi) == len(exp) == 60
+        for got, want in zip(ghi, exp):
+            assert (math.isnan(got) and math.isnan(want)) or got == want

@@ -80,8 +80,13 @@ def to_dense_pandas(compiled: DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 
 def write_netcdf(compiled: DataFrame, path: str) -> dict[str, Any]:
-    """Export the compiled table as a CF NetCDF4 file; returns a summary
-    dict (stations, times, variables) for logging/tests."""
+    """Export the compiled table as a CF NetCDF file; returns a summary
+    dict (stations, times, variables) for logging/tests.
+
+    With xarray present the file is NETCDF4; without it (this
+    environment) the pure-Python classic writer (sinks/netcdf3.py) emits
+    a CDF-1 file with the same CF layout — so the final serialization hop
+    always executes."""
     wide, coords = to_dense_pandas(compiled)
     summary = {
         "n_stations": len(coords),
@@ -90,12 +95,10 @@ def write_netcdf(compiled: DataFrame, path: str) -> dict[str, Any]:
     }
     try:
         import xarray as xr
-    except ImportError as exc:
-        raise NotImplementedError(
-            "NetCDF serialization requires xarray/netCDF4 (not in this "
-            "environment); the dense grid + CF attrs are available via "
-            "to_dense_pandas()"
-        ) from exc
+    except ImportError:
+        _write_netcdf3_classic(wide, coords, summary["variables"], path)
+        summary["format"] = "NETCDF3_CLASSIC"
+        return summary
 
     stations = coords.index.to_list()
     data_vars = {
@@ -120,4 +123,75 @@ def write_netcdf(compiled: DataFrame, path: str) -> dict[str, Any]:
         if name in ds:
             ds[name].attrs.update(attrs)
     ds.to_netcdf(path, format="NETCDF4", encoding={"time": TIME_ENCODING})
+    summary["format"] = "NETCDF4"
     return summary
+
+
+def _write_netcdf3_classic(
+    wide: pd.DataFrame, coords: pd.DataFrame, variables: list[str], path: str
+) -> None:
+    """CF layout via the pure-Python classic writer: time(time) double
+    seconds-since-epoch, station(station, strlen) char, coordinate vars
+    on (station,), data vars on (time, station) with NaN fill."""
+    import math
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.netcdf3 import (
+        NC_CHAR,
+        NC_DOUBLE,
+        write_netcdf3,
+    )
+
+    stations = coords.index.to_list()
+    times = wide.index.to_list()
+    strlen = max((len(str(s)) for s in stations), default=1)
+    dims = {"time": len(times), "station": len(stations), "name_strlen": strlen}
+
+    def epoch_seconds(t) -> float:
+        return pd.Timestamp(t).value / 1e9
+
+    station_bytes = b"".join(
+        str(s).encode("utf-8").ljust(strlen, b"\x00") for s in stations
+    )
+    nc_vars: list[dict[str, Any]] = [
+        {
+            "name": "time",
+            "dims": ("time",),
+            "nc_type": NC_DOUBLE,
+            "values": [epoch_seconds(t) for t in times],
+            "attrs": dict(TIME_ENCODING),
+        },
+        {
+            "name": "station",
+            "dims": ("station", "name_strlen"),
+            "nc_type": NC_CHAR,
+            "values": station_bytes,
+            "attrs": CF_VAR_ATTRS["station"],
+        },
+    ]
+    for cvar in ("latitude", "longitude", "elevation"):
+        nc_vars.append(
+            {
+                "name": cvar,
+                "dims": ("station",),
+                "nc_type": NC_DOUBLE,
+                "values": [float(v) for v in coords[cvar].to_list()],
+                "attrs": CF_VAR_ATTRS.get(cvar, {}),
+            }
+        )
+    for var in variables:
+        grid = wide[var].reindex(columns=stations)
+        flat = [
+            float(v) if v is not None and not pd.isna(v) else math.nan
+            for row in grid.to_numpy()
+            for v in row
+        ]
+        nc_vars.append(
+            {
+                "name": var,
+                "dims": ("time", "station"),
+                "nc_type": NC_DOUBLE,
+                "values": flat,
+                "attrs": {**CF_VAR_ATTRS.get(var, {}), "_FillValue": math.nan},
+            }
+        )
+    write_netcdf3(path, dims, nc_vars, global_attrs=CF_GLOBAL_ATTRS)

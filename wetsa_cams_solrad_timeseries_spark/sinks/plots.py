@@ -90,15 +90,16 @@ def render_compare_png(inputs: dict[str, Any], path: str, dpi: int = 300) -> Non
     """Render the multi-panel comparison figure (reference layout:
     3 scatter+fit panels, bias-vs-cloud, ratio series).
 
-    Gated on matplotlib; the computation half (``plot_inputs``) is the
-    engine's responsibility and is fully tested without it."""
+    With matplotlib present the full annotated layout renders; without it
+    (this environment) the pure-Python fallback (sinks/png.py) rasterizes
+    the same panels — scatter, fitted line, ratio series — into a real
+    PNG, so the render hop always executes. The computation half
+    (``plot_inputs``) is the engine's responsibility either way."""
     try:
         import matplotlib
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PNG rendering requires matplotlib (not in this environment); "
-            "all plotted series/stats are available from plot_inputs()"
-        ) from exc
+    except ImportError:
+        _render_fallback_png(inputs, path)
+        return
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt  # noqa: F401 — real layout goes here
@@ -123,3 +124,41 @@ def render_compare_png(inputs: dict[str, Any], path: str, dpi: int = 300) -> Non
         axes[i].plot(inputs["ratio_series"]["timestamp"], inputs["ratio_series"]["GHI_DHI_ratio"])
     fig.savefig(path, dpi=dpi)
     plt.close(fig)
+
+
+def _render_fallback_png(inputs: dict[str, Any], path: str) -> None:
+    """Rasterize the panel content with the dependency-free PNG encoder:
+    same panels and series as the matplotlib layout, minimal styling."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.png import PanelCanvas, write_png
+
+    panels = len(inputs["components"])
+    panels += 1 if "bias_vs_cloud" in inputs else 0
+    panels += 1 if "ratio_series" in inputs else 0
+    canvas = PanelCanvas(max(panels, 1))
+    i = 0
+    for comp, payload in inputs["components"].items():
+        lim = (0.0, payload["axis_max"] or 1.0)
+        canvas.draw_axes(i)
+        canvas.scatter(
+            i, payload["scatter"]["ground"], payload["scatter"]["cams"], lim, lim
+        )
+        if payload["line"]:
+            canvas.line(i, payload["line"]["x"], payload["line"]["y"], lim, lim)
+        i += 1
+    if "bias_vs_cloud" in inputs:
+        pdf = inputs["bias_vs_cloud"].dropna()
+        if len(pdf):
+            xlim = (float(pdf["cloud_cover"].min()), float(pdf["cloud_cover"].max()))
+            ylim = (float(pdf["GHI_bias"].min()), float(pdf["GHI_bias"].max()))
+            canvas.draw_axes(i)
+            canvas.scatter(i, pdf["cloud_cover"], pdf["GHI_bias"], xlim, ylim)
+        i += 1
+    if "ratio_series" in inputs:
+        pdf = inputs["ratio_series"].dropna()
+        if len(pdf):
+            xs = pdf["timestamp"].astype("int64") / 1e9
+            ylim = (float(pdf["GHI_DHI_ratio"].min()), float(pdf["GHI_DHI_ratio"].max()))
+            xlim = (float(xs.min()), float(xs.max()))
+            canvas.draw_axes(i)
+            canvas.line(i, xs, pdf["GHI_DHI_ratio"], xlim, ylim)
+    write_png(path, canvas.img)
