@@ -27,3 +27,36 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     cols = df.columns
     assert len(cols) == len(set(cols)), "duplicate column names"
     df.limit(5).collect()  # executes the plan
+
+
+def test_round6_nudge_convention():
+    """Structural guard for the cross-engine rounding rule (_spec.round6):
+    every 6-digit rounding in plans/ must carry the +1e-9 nudge, in the
+    Spark expressions AND in the oracle SQL — a raw round(x, 6) is exactly
+    the tie-flake bug the convention exists to prevent."""
+    import pathlib
+    import re
+
+    plans = pathlib.Path("wetsa_cams_solrad_timeseries_spark/plans")
+    bad = []
+    for path in sorted(plans.glob("*.py")):
+        src = path.read_text()
+        # Spark side: capture each F.round( span to its closing paren.
+        for m in re.finditer(r"F\.round\(", src):
+            depth, i = 1, m.end()
+            while depth and i < len(src):
+                depth += {"(": 1, ")": -1}.get(src[i], 0)
+                i += 1
+            span = src[m.start():i]
+            if re.search(r",\s*6\s*,?\s*\)$", span) and "1e-9" not in span:
+                bad.append(f"{path.name}: {span[:70]}")
+        # SQL side: any round(expr, 6) without a nudge inside the span.
+        for m in re.finditer(r"(?<!F\.)\bround\(", src):
+            depth, i = 1, m.end()
+            while depth and i < len(src):
+                depth += {"(": 1, ")": -1}.get(src[i], 0)
+                i += 1
+            span = src[m.start():i]
+            if re.search(r",\s*6\s*\)$", span) and "1e-9" not in span:
+                bad.append(f"{path.name}: {span[:70]}")
+    assert not bad, "round(x, 6) without +1e-9 nudge:\n" + "\n".join(bad)

@@ -1,11 +1,34 @@
-"""Shared QuerySpec constructor (avoids a circular import with registry)."""
+"""Shared QuerySpec constructor (avoids a circular import with registry)
+and the structural cross-engine rounding helpers.
+
+Every multi-row float aggregate that reaches a query's output MUST round
+via ``round6``/``round6_sql`` — the +1e-9 nudge relocates rounding-grid
+ties off values the decimal-resolution data can produce, so Spark and
+DuckDB always round the same way (see registry docstring for the
+measured flake data). These helpers make the convention code instead of
+copy-discipline: use them in every new plan; a nudge-less 6-digit round
+in a plans/ file is a bug (tests/test_registry.py enforces this).
+"""
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def round6(col: Column | str) -> Column:
+    """Spark side of the cross-engine rounding convention."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col + F.lit(1e-9), 6)
+
+
+def round6_sql(expr: str) -> str:
+    """DuckDB-oracle side of the cross-engine rounding convention."""
+    return f"round({expr} + 1e-9, 6)"
 
 
 @dataclass(frozen=True)
