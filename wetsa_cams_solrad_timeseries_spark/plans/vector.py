@@ -130,8 +130,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dup at cosine ≥ 0.4, via the blocked
     numpy-matmul kernel (operators/similarity.py:neardup_pairs_blocked —
-    BLAS per partition block; the expression-tree ``neardup_pairs`` is the
-    formula-exact reference implementation)."""
+    block-pair applyInPandas, one BLAS matmul per block pair, no driver
+    collect or corpus broadcast; the expression-tree ``neardup_pairs`` is
+    the formula-exact reference implementation)."""
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         neardup_pairs_blocked,
     )
