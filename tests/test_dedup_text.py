@@ -171,6 +171,23 @@ def test_tfidf_matches_python(spark):
     assert got[(1, "the")][0] == 2  # 'the' twice in doc 1
 
 
+def test_connected_components_transitive(spark):
+    """A~B, B~C, and a separate D~E: min-label propagation must produce
+    two clusters with min-id representatives, including the transitive
+    (A, C) link that no pair ever stated."""
+    from wetsa_cams_solrad_timeseries_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (10, 11), (2, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
 def test_lsh_br_sweep_properties():
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import lsh_br_sweep
 

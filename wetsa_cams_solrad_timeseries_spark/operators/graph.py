@@ -1,0 +1,91 @@
+"""Connected components over a pair graph (duplicate-cluster resolution).
+
+Near-dup detection emits PAIRS; choosing one canonical survivor per
+duplicate GROUP needs the transitive closure — A~B, B~C must collapse to
+one cluster even though (A, C) was never emitted. This is the standard
+last stage of a dedup pipeline and is missing from pairwise-only
+toolkits.
+
+Algorithm: iterative min-label propagation (HashMin): every node starts
+labeled with its own id; each round every node takes the min of its own
+label and its neighbors' labels; converges to (node → min id in its
+component) in O(graph diameter) rounds. Each round is one shuffle join +
+one grouped min — all DataFrame ops, no driver materialization of nodes
+or edges; only the scalar convergence count comes back per round.
+
+Each round pairs neighbor-min with a pointer jump (label := label of
+label), so even adversarial long-chain graphs converge in O(log
+diameter) rounds; each round's shuffle is |edges|. Lineage is truncated
+per round with localCheckpoint so the plan does not grow with
+iterations (the pointer jump is a self-join — with lineage kept, the
+logical plan would double every round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component
+    = the minimum node id reachable through the pair graph.
+
+    Each round materializes once (eager localCheckpoint) and the
+    convergence check counts a ``changed`` flag on that materialization.
+    Edge duplicates are harmless under min-propagation, so the symmetric
+    union skips a distinct (one less shuffle)."""
+    # localCheckpoint (not persist): the per-round pointer-jump SELF-JOIN
+    # doubles the logical plan each round if lineage is kept — Catalyst
+    # analysis then grows exponentially with rounds (measured: minutes).
+    # Checkpointing truncates the plan so every round plans in O(1).
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # Neighbor-min (HashMin step) ...
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("neigh_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        m = labels.join(neigh_min, on="node", how="left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias("c1"),
+        )
+        # ... then pointer jump (label := label of label): halves the
+        # remaining distance to the component min each round, so long
+        # duplicate CHAINS converge in O(log diameter) rounds instead of
+        # O(diameter) — measured 25+ rounds → a handful on a chainy
+        # near-dup graph. Labels only decrease, so both steps are
+        # monotone and the combined fixpoint is the component min.
+        jump = m.select(F.col("node").alias("c1"), F.col("c1").alias("c2"))
+        stepped = (
+            m.join(jump, on="c1", how="left")
+            .select(
+                "node",
+                F.coalesce("c2", "c1").alias("new_comp"),
+                (F.coalesce("c2", "c1") < F.col("old_comp")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

@@ -308,6 +308,82 @@ WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6) >= 0.5
 
 
 # --------------------------------------------------------------------------
+# q72 — duplicate CLUSTERS: connected components over verified dup pairs
+# --------------------------------------------------------------------------
+def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-group resolution: the q62 verified pairs are a
+    graph; A~B, B~C must collapse into ONE cluster even though (A, C) was
+    never emitted. Min-label propagation (operators/graph.py) finds each
+    node's component; output is (doc_id, cluster_rep = min id in the
+    cluster — the canonical survivor, cluster_size)."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = q62_minhash_dedup_verified(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    w = Window.partitionBy("cluster_rep")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_rep")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def _q72_oracle() -> str:
+    # Reuses q62's verified-pair chain, then computes components with a
+    # recursive CTE (reachability closure; min reachable id = component).
+    return f"""
+WITH RECURSIVE {_SHINGLES_SQL.lstrip()},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b
+),
+dup AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.node = e.dst
+),
+comps AS (SELECT node AS doc_id, min(comp) AS cluster_rep FROM walk GROUP BY node)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM comps
+"""
+
+
+# --------------------------------------------------------------------------
 # q34 — SimHash signatures
 # --------------------------------------------------------------------------
 def q34_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +539,7 @@ SPECS = make_specs(
         ("q32_ngram_jaccard", q32_ngram_jaccard, Q32_ORACLE, (), "n-gram Jaccard near-dup pairs"),
         ("q33_minhash_lsh", q33_minhash_lsh, Q33_ORACLE, (), "MinHash+LSH candidate pairs"),
         ("q62_minhash_dedup_verified", q62_minhash_dedup_verified, Q62_ORACLE, (), "LSH candidates + exact verify"),
+        ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),
         ("q36_text_quality", q36_text_quality, Q36_ORACLE, (), "token counts + quality score"),

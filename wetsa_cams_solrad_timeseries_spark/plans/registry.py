@@ -54,6 +54,7 @@ _VERIFY_FIRST = (
     "q56_ann_ivf_topk",
     "q63_streaming_sliding",
     "q71_streaming_sessions",
+    "q72_dedup_clusters",  # new in round 2 — verify first
 )
 
 

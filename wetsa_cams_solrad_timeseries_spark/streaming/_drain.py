@@ -21,6 +21,21 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 DRAIN_PARTITIONS = 4
+ROWS_PER_STATE_PARTITION = 50_000
+
+
+def size_partitions(spark: SparkSession, n_rows: int) -> int:
+    """State-partition count for a drain over ``n_rows`` input rows.
+
+    Two costs trade off: the state store's per-partition-per-batch
+    checkpoint I/O (wants FEW partitions — measured seconds of fixed cost
+    at 32 on tiny replays) and the Python-side applyInPandas compute
+    (wants MANY — a heavy per-key kernel over 1M rows serialized 4× when
+    squeezed to 4 partitions). Sizing by input volume handles both ends:
+    ~1 partition per 50k rows, clamped to [4, default parallelism] —
+    the same rows-per-task logic a production deployment applies."""
+    hi = max(DRAIN_PARTITIONS, spark.sparkContext.defaultParallelism)
+    return max(DRAIN_PARTITIONS, min(hi, n_rows // ROWS_PER_STATE_PARTITION + 1))
 
 
 @contextmanager

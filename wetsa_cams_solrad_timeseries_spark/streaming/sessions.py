@@ -33,49 +33,64 @@ GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 def _update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
     (user_id,) = key
 
-    def emit(start_us: int, last_us: int, count: int, total: float) -> pd.DataFrame:
+    def emit(sessions: list[tuple]) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [count],
-                "sum_value": [round(total + 1e-9, 6)],
+                "user_id": np.full(len(sessions), user_id, dtype=np.int64),
+                "session_start": pd.to_datetime(
+                    [s[0] for s in sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+                "n_events": np.array([s[2] for s in sessions], dtype=np.int64),
+                "sum_value": [round(s[3] + 1e-9, 6) for s in sessions],
             }
         )
 
     if state.hasTimedOut:
         start_us, last_us, count, total = state.get
         state.remove()
-        yield emit(start_us, last_us, count, total)
+        yield emit([(start_us, last_us, count, total)])
         return
 
     batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-    ts_us = batch["ts"].astype("int64") // 1000
+    ts = batch["ts"].astype("int64").to_numpy() // 1000
+    vals = batch["value"].to_numpy(dtype=np.float64)
     if state.exists:
         start_us, last_us, count, total = state.get
     else:
-        start_us, last_us, count, total = None, None, 0, 0.0
+        start_us = None
 
-    closed = []
-    for t, v in zip(ts_us, batch["value"]):
-        t = int(t)
-        if start_us is None:
-            start_us, last_us, count, total = t, t, 1, float(v)
-        elif t - last_us > GAP_US:
-            closed.append((start_us, last_us, count, total))
-            start_us, last_us, count, total = t, t, 1, float(v)
+    # Vectorized segmentation: a session break is any gap > GAP_US; the
+    # per-event Python loop this replaces was the drain's hot path (one
+    # iteration per event vs one per SESSION here).
+    brk = np.nonzero(np.diff(ts) > GAP_US)[0] + 1
+    seg_starts = np.concatenate(([0], brk))
+    seg_ends = np.concatenate((brk, [len(ts)]))
+    sums = np.add.reduceat(vals, seg_starts)
+    segs = [
+        (int(ts[s]), int(ts[e - 1]), int(e - s), float(sums[i]))
+        for i, (s, e) in enumerate(zip(seg_starts, seg_ends))
+    ]
+    if start_us is not None:
+        # Carried session: merge the first segment into it when the gap
+        # allows, else it stands as its own (to-be-closed) segment.
+        if segs and segs[0][0] - last_us <= GAP_US:
+            first = segs[0]
+            segs[0] = (start_us, first[1], count + first[2], total + first[3])
         else:
-            last_us, count, total = t, count + 1, total + float(v)
+            segs.insert(0, (start_us, last_us, count, total))
 
-    state.update((start_us, last_us, count, total))
+    closed, open_seg = segs[:-1], segs[-1]
+    state.update(open_seg)
     # Close the open session once the watermark passes last_ts + gap:
     # no on-time event can extend it after that.
-    state.setTimeoutTimestamp(last_us // 1000 + GAP_US // 1000)
-    for s in closed:
-        yield emit(*s)
+    state.setTimeoutTimestamp(open_seg[1] // 1000 + GAP_US // 1000)
+    if closed:
+        yield emit(closed)
 
 
 def streaming_sessions(
@@ -115,10 +130,13 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_partitions,
+        size_partitions,
+    )
 
     name = f"sessions_{uuid.uuid4().hex[:12]}"
-    with drain_partitions(spark):
+    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
         query = (
             out.writeStream.outputMode("append")
             .format("memory")

@@ -93,10 +93,13 @@ def streaming_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_partitions,
+        size_partitions,
+    )
 
     name = f"stateful_out_{uuid.uuid4().hex[:12]}"
-    with drain_partitions(spark):
+    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
         query = (
             out.writeStream.outputMode("update")
             .format("memory")

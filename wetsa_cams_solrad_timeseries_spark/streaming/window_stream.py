@@ -76,10 +76,13 @@ def streaming_tumbling_agg(
         )
         .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
     )
-    from wetsa_cams_solrad_timeseries_spark.streaming._drain import drain_partitions
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_partitions,
+        size_partitions,
+    )
 
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    with drain_partitions(spark):
+    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
