@@ -8,18 +8,32 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Driver-side import robustness: the harness may import this file from any
+# cwd; the package lives next to it.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Pin the semantics the engine depends on (UTC, ANSI off) on the
-    driver-provided session; see wetsa_cams_solrad_timeseries_spark.session."""
-    from wetsa_cams_solrad_timeseries_spark.session import SEMANTIC_CONF
+    driver-provided session, and ship the package zip to executor Python
+    workers (addPyFile) so worker-side kernels import regardless of the
+    harness's cwd; see wetsa_cams_solrad_timeseries_spark.session."""
+    from wetsa_cams_solrad_timeseries_spark.session import (
+        SEMANTIC_CONF,
+        ship_package,
+    )
 
     for k, v in SEMANTIC_CONF.items():
         spark.conf.set(k, v)
+    ship_package(spark)
     return spark
 
 

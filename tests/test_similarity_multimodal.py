@@ -62,6 +62,28 @@ def test_neardup_pairs_finds_planted_pair(spark):
     assert got == exp
 
 
+def test_neardup_pairs_lsh_subset_with_planted_pair(spark):
+    """LSH-prefiltered near-dup emits a SUBSET of the exact pairs (same
+    cosine values) and must catch the planted identical pair — identical
+    vectors share every bucket, so no band can separate them."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        neardup_pairs_lsh,
+    )
+
+    df, vecs = _emb_df(spark)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in neardup_pairs(df, 0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in neardup_pairs_lsh(df, 0.5, dim=8).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    assert (0, 1) in got  # planted identical pair always collides
+
+
 def test_neardup_pairs_blocked_matches_exact(spark):
     """The block-pair BLAS kernel must reproduce the expression-tree
     all-pairs form exactly, with n_blocks < n_vecs so off-diagonal block

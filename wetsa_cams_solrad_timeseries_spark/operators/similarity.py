@@ -365,6 +365,59 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_lsh(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH prefilter: candidates are bucket
+    mates only (corpus-linear), then exact cosine ≥ threshold on the
+    candidate set — the sparse-similarity scale path next to the exact
+    block-pair kernel (``neardup_pairs_blocked``); same composition as
+    MinHash→Jaccard (q62). Approximate by construction: pairs whose sign
+    bits differ in every band are never scored (recall is tuned by
+    bands × bits — see ``dedup.lsh_br_sweep`` for the same analysis)."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
+
+    buckets = hyperplane_buckets(emb_df, id_col, emb_col, n_planes, bands, dim)
+    cand = (
+        buckets.select(F.col(id_col).alias("id_a"), "bucket")
+        .join(buckets.select(F.col(id_col).alias("id_b"), "bucket"), on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vd = to_double_array(F.col(emb_col))
+    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
+    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    return (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            on="id_b",
+        )
+        .select("id_a", "id_b", F.round(cos + F.lit(1e-9), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def neardup_pairs_blocked(
     emb_df: DataFrame,
     threshold: float,

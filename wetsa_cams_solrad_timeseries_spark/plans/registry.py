@@ -55,6 +55,7 @@ _VERIFY_FIRST = (
     "q63_streaming_sliding",
     "q71_streaming_sessions",
     "q72_dedup_clusters",  # new in round 2 — verify first
+    "q73_neardup_lsh",  # new in round 2 — verify first
 )
 
 

@@ -152,6 +152,38 @@ WHERE {_cos('a.v', 'b.v')} >= 0.4
 
 
 # --------------------------------------------------------------------------
+# q73 — LSH-prefiltered embedding near-dup (the sparse-regime scale path)
+# --------------------------------------------------------------------------
+def q73_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's composition twin: SRP-LSH bucket candidates → exact cosine
+    verify ≥ 0.4 (operators/similarity.py:neardup_pairs_lsh). The bucket
+    join is corpus-linear; only bucket-mates are exact-scored — the same
+    candidates→verify shape as q62 on the embedding side."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        neardup_pairs_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh(
+        emb, threshold=0.4, n_planes=_N_PLANES, bands=_BANDS, dim=_DIM
+    )
+
+
+Q73_ORACLE = f"""
+WITH {_BUCKETS_SQL},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_cos('va.v', 'vb.v')} AS cosine
+FROM cand
+JOIN vecs va ON va.vec_id = id_a
+JOIN vecs vb ON vb.vec_id = id_b
+WHERE {_cos('va.v', 'vb.v')} >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
 # q41 — multimodal payload features (binary column + mapInPandas)
 # --------------------------------------------------------------------------
 def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +338,7 @@ SPECS = make_specs(
         ("q38_cosine_topk", q38_cosine_topk, Q38_ORACLE, (), "exact cosine top-k"),
         ("q39_ann_lsh_topk", q39_ann_lsh_topk, Q39_ORACLE, (), "SRP-LSH approximate top-k"),
         ("q40_embedding_neardup", q40_embedding_neardup, Q40_ORACLE, (), "embedding near-dup pairs"),
+        ("q73_neardup_lsh", q73_neardup_lsh, Q73_ORACLE, (), "LSH-prefiltered near-dup"),
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),

@@ -59,6 +59,42 @@ PERF_CONF: dict[str, str] = {
 }
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers regardless
+    of the driver process's cwd.
+
+    Worker-side functions that live at module level (streaming state
+    kernels) or are referenced from kernels (``blocked.pair_masks``) are
+    cloudpickled BY REFERENCE — the worker must import this package.
+    Workers inherit the JVM's environment, not the driver's ``sys.path``
+    mutations, so a driver launched outside /root/repo (the spark-graft
+    driver's harness may run anywhere) gets ImportError in any
+    applyInPandas/mapInPandas task. ``addPyFile`` ships a zip of the
+    package and prepends it to every worker's sys.path — the canonical
+    fix, also correct on a real cluster."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    staging = os.path.join(tempfile.gettempdir(), "wetsa_cams_pkg")
+    zip_base = os.path.join(staging, "wetsa_cams_solrad_timeseries_spark_pkg")
+    os.makedirs(staging, exist_ok=True)
+    zip_path = shutil.make_archive(
+        zip_base,
+        "zip",
+        root_dir=pkg_root,
+        base_dir="wetsa_cams_solrad_timeseries_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def get_spark(
     app_name: str = "wetsa-cams-solrad-spark",
     master: str | None = None,
@@ -84,4 +120,5 @@ def get_spark(
     for k, v in SEMANTIC_CONF.items():
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
