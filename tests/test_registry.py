@@ -29,6 +29,36 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     df.limit(5).collect()  # executes the plan
 
 
+def test_worker_imports_survive_foreign_cwd():
+    """Regression for the cwd trap: a driver process launched OUTSIDE the
+    repo must still run worker-side kernels (cloudpickle references the
+    package by name; ship_package's addPyFile makes workers import it).
+    Runs a streaming stateful query — the class that broke — in a
+    subprocess with cwd=/tmp."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[4]')"
+        ".appName('cwd-probe').getOrCreate()\n"
+        "n = e.queries()['q53_streaming_stateful']"
+        "(spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('CWD_PROBE_OK', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CWD_PROBE_OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_round6_nudge_convention():
     """Structural guard for the cross-engine rounding rule (_spec.round6):
     every 6-digit rounding in plans/ must carry the +1e-9 nudge, in the
