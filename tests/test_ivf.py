@@ -31,6 +31,28 @@ def test_ivf_assignment_is_nearest_centroid(spark):
     assert mismatch == 0
 
 
+def test_ivf_mllib_training_assigns_sane_cells(spark):
+    """The distributed MLlib-KMeans training alternative must produce
+    unit-norm centroids whose assignment spreads the corpus over multiple
+    cells and groups exact duplicates together."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivf_train_centroids_mllib,
+    )
+
+    df, vecs = _emb_df(spark)
+    cent = ivf_train_centroids_mllib(df, k=8)
+    assert len(cent) == 8
+    for c in cent:
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cent).collect()}
+    assert len(set(cells.values())) >= 4  # corpus spreads over cells
+    # assignment equals the numpy argmax against the same centroids
+    mat = vecs.astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    exp = np.argmax(mat @ np.array(cent).T, axis=1)
+    assert sum(1 for i in range(len(vecs)) if cells[i] != exp[i]) == 0
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     df, vecs = _emb_df(spark)
     ann1 = ann_topk_ivf(df, lambda c: c < 10, k=3, n_cells=8, n_probe=3)

@@ -266,6 +266,45 @@ def ivf_train_centroids(
     return [[float(x) for x in row] for row in cent]
 
 
+def ivf_train_centroids_mllib(
+    emb_df: DataFrame,
+    k: int = 16,
+    n_iter: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 7,
+):
+    """Fully distributed IVF training via MLlib KMeans — the cluster-scale
+    alternative to the driver-side spherical k-means
+    (``ivf_train_centroids``): training itself shuffles nothing to the
+    driver beyond k centroids. Vectors are L2-normalized first so
+    Euclidean k-means approximates spherical k-means (on the unit sphere,
+    ‖a−b‖² = 2−2cos); centroids are re-normalized on return so
+    ``ivf_assign``'s max-cosine probe applies unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(
+        F.aggregate(
+            to_double_array(F.col(emb_col)),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    unit = F.transform(
+        to_double_array(F.col(emb_col)), lambda x: x / F.nullif(norm, F.lit(0.0))
+    )
+    feats = emb_df.select(array_to_vector(unit).alias("features")).na.drop()
+    model = KMeans(k=k, maxIter=n_iter, seed=seed).fit(feats)
+    out = []
+    for c in model.clusterCenters():
+        import math
+
+        n = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        out.append([float(x) / n for x in c])
+    return out
+
+
 def ann_topk_ivf(
     emb_df: DataFrame,
     query_ids_pred,
