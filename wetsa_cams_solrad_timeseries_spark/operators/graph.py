@@ -55,37 +55,56 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # Neighbor-min (HashMin step) ...
-        neigh_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("neigh_comp"))
-            .withColumnRenamed("src", "node")
-        )
-        m = labels.join(neigh_min, on="node", how="left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias("c1"),
-        )
-        # ... then pointer jump (label := label of label): halves the
-        # remaining distance to the component min each round, so long
-        # duplicate CHAINS converge in O(log diameter) rounds instead of
-        # O(diameter) — measured 25+ rounds → a handful on a chainy
-        # near-dup graph. Labels only decrease, so both steps are
-        # monotone and the combined fixpoint is the component min.
-        jump = m.select(F.col("node").alias("c1"), F.col("c1").alias("c2"))
-        stepped = (
-            m.join(jump, on="c1", how="left")
-            .select(
-                "node",
-                F.coalesce("c2", "c1").alias("new_comp"),
-                (F.coalesce("c2", "c1") < F.col("old_comp")).alias("changed"),
+    # Size the loop's shuffles by |edges|: the verified-pair graph is
+    # orders of magnitude smaller than the corpus, and the harness's
+    # vanilla session (no AQE, 200 shuffle partitions) would otherwise
+    # pay 200-partition fixed costs EVERY round. Same volume-based rule
+    # as streaming/_drain.size_partitions; restored on exit.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = max(4, min(parallelism, n_edges // 100_000 + 1))
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            # Neighbor-min (HashMin step) ...
+            neigh_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("comp").alias("neigh_comp"))
+                .withColumnRenamed("src", "node")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = stepped.filter(F.col("changed")).count()
-        labels = stepped.select("node", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
-    return labels.select("node", "comp")
+            m = labels.join(neigh_min, on="node", how="left").select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias(
+                    "c1"
+                ),
+            )
+            # ... then pointer jump (label := label of label): halves the
+            # remaining distance to the component min each round, so long
+            # duplicate CHAINS converge in O(log diameter) rounds instead
+            # of O(diameter) — measured 25+ rounds → a handful on a
+            # chainy near-dup graph. Labels only decrease, so both steps
+            # are monotone and the combined fixpoint is the component min.
+            jump = m.select(F.col("node").alias("c1"), F.col("c1").alias("c2"))
+            stepped = (
+                m.join(jump, on="c1", how="left")
+                .select(
+                    "node",
+                    F.coalesce("c2", "c1").alias("new_comp"),
+                    (F.coalesce("c2", "c1") < F.col("old_comp")).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter(F.col("changed")).count()
+            labels = stepped.select("node", F.col("new_comp").alias("comp"))
+            if changed == 0:
+                break
+        # Materialize the result while the loop sizing is still active;
+        # callers then build on a checkpointed frame.
+        return labels.select("node", "comp").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old_parts)

@@ -16,9 +16,33 @@ partitioning-invariant either way.
 
 from __future__ import annotations
 
+import os
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+def drain_checkpoint_dir() -> str:
+    """Throwaway checkpoint location for verification drains.
+
+    The state store commits delta files per partition per micro-batch;
+    on this VM the disk behind /tmp has multi-second latency bursts that
+    dominate drain time. The drains' checkpoints are DISPOSABLE (each
+    query drains a finite replay once), so a RAM-backed tmpfs is the
+    right home when present. Durable production queries must keep their
+    checkpointLocation on fault-tolerant storage — this helper is for
+    the drain harness only."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ) else None
+    if base is None:
+        import tempfile
+
+        base = tempfile.gettempdir()
+    path = os.path.join(base, f"spark-drain-ckpt-{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 DRAIN_PARTITIONS = 4
 ROWS_PER_STATE_PARTITION = 50_000

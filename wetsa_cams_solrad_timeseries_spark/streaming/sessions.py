@@ -130,22 +130,28 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    import shutil
+
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
         drain_partitions,
         size_partitions,
     )
 
     name = f"sessions_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        ckpt = drain_checkpoint_dir()
         query = (
             out.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
             query.processAllAvailable()
         finally:
             query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)

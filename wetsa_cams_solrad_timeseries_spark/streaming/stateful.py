@@ -93,23 +93,29 @@ def streaming_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    import shutil
+
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
         drain_partitions,
         size_partitions,
     )
 
     name = f"stateful_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        ckpt = drain_checkpoint_dir()
         query = (
             out.writeStream.outputMode("update")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
             query.processAllAvailable()
         finally:
             query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     result = spark.table(name)
     # Keep only the LAST update per key (multi-trigger runs emit one row
     # per key per batch); with one batch this is the identity. The raw

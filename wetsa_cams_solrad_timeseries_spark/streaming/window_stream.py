@@ -76,23 +76,29 @@ def streaming_tumbling_agg(
         )
         .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
     )
+    import shutil
+
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
         drain_partitions,
         size_partitions,
     )
 
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        ckpt = drain_checkpoint_dir()
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
             query.processAllAvailable()
         finally:
             query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     # Materialize before the memory sink table goes away with the query.
     result = spark.table(name)
     result = spark.createDataFrame(result.collect(), schema=result.schema)
