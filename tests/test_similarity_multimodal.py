@@ -130,10 +130,73 @@ def test_multimodal_payload_and_features(spark):
     assert feats[2]["byte_sum"] == sum(b"Zz9")
 
 
-def test_decode_image_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-    with pytest.raises(NotImplementedError):
-        decode_image(attach_payload(df, "doc_id", "text"))
+def _bmp_bytes(w, h, pixel=(10, 20, 30)):
+    """Minimal uncompressed 24-bpp BMP with a constant pixel."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    pix = (bytes(pixel) * w + b"\x00" * (row - w * 3)) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    return header + info + pix
+
+
+def _wav_bytes(rate=8000, samples=(0, 1000, -1000, 500)):
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_image_real_formats_and_codec_stub(spark):
+    """BMP/PPM/PNG decode for real (dependency-free parsers); JPEG gets
+    a per-row err marker — no task failure, no NotImplementedError."""
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.png import write_png
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        png_path = os.path.join(td, "t.png")
+        write_png(png_path, np.full((4, 6, 3), 100, dtype=np.uint8))
+        png = open(png_path, "rb").read()
+    ppm = b"P6\n6 4\n255\n" + bytes([7, 8, 9]) * 24
+    rows = [
+        (1, _bmp_bytes(6, 4)),
+        (2, ppm),
+        (3, png),
+        (4, b"\xff\xd8\xff\xe0fakejpeg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in decode_image(df).collect()}
+    assert got[1]["format"] == "bmp" and (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[1]["mean_pixel"] == round((10 + 20 + 30) / 3 + 1e-9, 6)
+    assert got[2]["format"] == "ppm" and got[2]["mean_pixel"] == round(8.0 + 1e-9, 6)
+    assert got[3]["format"] == "png" and (got[3]["width"], got[3]["height"]) == (6, 4)
+    assert got[3]["mean_pixel"] == round(100.0 + 1e-9, 6)
+    assert got[4]["format"] == "jpeg" and "codec required" in got[4]["err"]
+    assert got[4]["width"] is None
+
+
+def test_decode_audio_wav(spark):
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, _wav_bytes()), (2, b"not audio")], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r.asDict() for r in decode_audio(df).collect()}
+    assert got[1]["format"] == "wav"
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 1
+    assert got[1]["n_frames"] == 4
+    import math
+
+    exp_rms = math.sqrt((0 + 1000**2 + 1000**2 + 500**2) / 4)
+    assert got[1]["rms"] == round(exp_rms + 1e-9, 6)
+    assert got[2]["err"] is not None
 
 
 def test_sample_frames_offsets(spark):

@@ -6,14 +6,15 @@ bytes in a ``binary`` column plus a typed metadata struct, processed by
 ``mapInPandas`` so each task handles an Arrow batch of payloads without
 ever materializing them on the driver.
 
-The actual codec work (JPEG decode, resampling, frame extraction) needs
-libraries not present in this environment (Pillow / torchaudio / ffmpeg)
-— those steps are STUBBED: the import is attempted, and absent the
-library the operator raises ``NotImplementedError`` (``decode_image``) or
-falls back to a clearly-named deterministic fake (``extract_features``'s
-byte statistics). The Spark-side contract — schemas, batch iteration,
-partitioning — is real and tested; swapping the stub for Pillow is a
-function-body change only.
+Decode is REAL for the simple public containers — BMP / PPM / 8-bit PNG
+and PCM WAV parse dependency-free (functions/media.py: struct + zlib) —
+so ``decode_image``/``decode_audio`` execute end-to-end in this
+environment. Codec-bound formats (JPEG, MP3, video) need libraries not
+present here (Pillow / torchaudio / ffmpeg); those rows get a per-row
+``err`` marker instead of a task failure (the ingest pipeline's O2
+error-isolation contract), and wiring a codec library in is a
+dispatch-table entry. ``extract_features``'s byte statistics remain the
+format-agnostic "decode and embed" stand-in.
 """
 
 from __future__ import annotations
@@ -77,20 +78,86 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode image payloads to (height, width, channels) via Pillow.
+IMAGE_SCHEMA = (
+    "doc_id long, format string, width long, height long, channels long, "
+    "mean_pixel double, err string"
+)
+AUDIO_SCHEMA = (
+    "doc_id long, format string, n_channels long, sample_rate long, "
+    "n_frames long, duration_s double, rms double, err string"
+)
 
-    STUB: Pillow is not available in this environment; the Spark contract
-    (mapInPandas over binary, struct output) is identical to
-    ``extract_features`` — only the per-batch body differs."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken here
-        raise NotImplementedError(
-            "image decode requires Pillow; payload plumbing is exercised via "
-            "extract_features()"
-        ) from exc
-    raise NotImplementedError("wire Image.open over payload batches here")
+
+def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode image payloads to (width, height, channels, mean_pixel),
+    Arrow-batched. BMP/PPM/PNG decode for REAL via the dependency-free
+    parsers (functions/media.py — fixed public layouts, struct+zlib);
+    codec-bound formats (JPEG) and unknown bytes produce a per-ROW
+    ``err`` marker, never a task failure — the same error-isolation
+    contract as the ingest pipeline (O2). Swapping in Pillow for the
+    codec formats is a dispatch-table entry, not a rewrite."""
+    import struct
+
+    from wetsa_cams_solrad_timeseries_spark.functions import media
+
+    parsers = {"bmp": media.parse_bmp, "ppm": media.parse_ppm, "png": media.parse_png}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                fmt = media.sniff_format(data)
+                row = {
+                    "doc_id": int(doc_id), "format": fmt, "width": None,
+                    "height": None, "channels": None, "mean_pixel": None,
+                    "err": None,
+                }
+                parser = parsers.get(fmt)
+                if parser is None:
+                    row["err"] = f"codec required for {fmt}"
+                else:
+                    try:
+                        row.update(parser(data))
+                    except (ValueError, struct.error) as ex:
+                        row["err"] = str(ex)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode audio payloads (PCM WAV for real; compressed formats get a
+    per-row ``err``) to channel/rate/duration/RMS — same contract as
+    :func:`decode_image`."""
+    import struct
+
+    from wetsa_cams_solrad_timeseries_spark.functions import media
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                fmt = media.sniff_format(data)
+                row = {
+                    "doc_id": int(doc_id), "format": fmt, "n_channels": None,
+                    "sample_rate": None, "n_frames": None, "duration_s": None,
+                    "rms": None, "err": None,
+                }
+                if fmt != "wav":
+                    row["err"] = f"codec required for {fmt}"
+                else:
+                    try:
+                        row.update(media.parse_wav(data))
+                        row.pop("bits", None)
+                    except (ValueError, struct.error) as ex:
+                        row["err"] = str(ex)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
