@@ -83,7 +83,9 @@ def ship_package(spark: SparkSession) -> None:
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     staging = os.path.join(tempfile.gettempdir(), "wetsa_cams_pkg")
-    zip_base = os.path.join(staging, "wetsa_cams_solrad_timeseries_spark_pkg")
+    # Per-process zip name: concurrent drivers (pytest + bench) would
+    # otherwise race writing one path while another addPyFile copies it.
+    zip_base = os.path.join(staging, f"wetsa_cams_pkg_{os.getpid()}")
     os.makedirs(staging, exist_ok=True)
     zip_path = shutil.make_archive(
         zip_base,
