@@ -26,6 +26,7 @@ from __future__ import annotations
 from wetsa_cams_solrad_timeseries_spark.plans import (
     relational,
     relational2,
+    relational3,
     timeseries,
     llm_ops,
     vector,
@@ -56,12 +57,15 @@ _VERIFY_FIRST = (
     "q71_streaming_sessions",
     "q72_dedup_clusters",  # new in round 2 — verify first
     "q73_neardup_lsh",  # new in round 2 — verify first
+    "q74_large_volume_customers",
+    "q75_disjunctive_revenue",
+    "q76_market_share",
 )
 
 
 def _collect() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, timeseries, llm_ops, vector):
+    for mod in (relational, relational2, relational3, timeseries, llm_ops, vector):
         merged.update(mod.SPECS)
     out: dict[str, QuerySpec] = {}
     for name in _VERIFY_FIRST:
