@@ -60,18 +60,29 @@ def main() -> None:
         else:
             per_query[name] = round(best, 3)
             total += best
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "n_queries": len(per_query),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf,
+            "n_queries": len(per_query),
+        }
     )
+    # Stdout line for the driver AND an on-disk copy: the driver captures a
+    # bounded stdout TAIL, and a long per-query dict once pushed the front
+    # of the JSON line off that window (BENCH_r02 recorded parsed: null).
+    # The file is the authoritative record either way.
+    print(payload)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError as ex:
+        print(f"# could not write {out_path}: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

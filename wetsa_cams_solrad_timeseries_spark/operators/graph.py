@@ -36,19 +36,25 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``; component
     = the minimum node id reachable through the pair graph.
 
-    Each round materializes once (eager localCheckpoint) and the
-    convergence check counts a ``changed`` flag on that materialization.
-    Edge duplicates are harmless under min-propagation, so the symmetric
-    union skips a distinct (one less shuffle)."""
+    Per-round cost is ONE job: the round's frame is marked for local
+    checkpointing lazily and the convergence count is the action that
+    materializes it — no separate count-then-reuse pass. Edge duplicates
+    are harmless under min-propagation, so the symmetric union skips a
+    distinct (one less shuffle)."""
     # localCheckpoint (not persist): the per-round pointer-jump SELF-JOIN
     # doubles the logical plan each round if lineage is kept — Catalyst
     # analysis then grows exponentially with rounds (measured: minutes).
     # Checkpointing truncates the plan so every round plans in O(1).
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    #
+    # Checkpoint the DIRECTED edges first, THEN build the symmetric
+    # union from the checkpoint: the union's two branches would otherwise
+    # each recompute the caller's whole pair pipeline (for q72 that is
+    # all of q62 — shingle → MinHash → LSH → verify) into the eager
+    # checkpoint, doubling the most expensive stage of the query.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -61,12 +67,13 @@ def connected_components(
     # pay 200-partition fixed costs EVERY round. Same volume-based rule
     # as streaming/_drain.size_partitions; restored on exit.
     spark = edges.sparkSession
-    n_edges = sym.count()
+    n_edges = 2 * e.count()  # cheap scan of the checkpointed edges
     parallelism = spark.sparkContext.defaultParallelism
     loop_parts = max(4, min(parallelism, n_edges // 100_000 + 1))
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     spark.conf.set(conf_key, str(loop_parts))
+    changed = -1
     try:
         for _ in range(max_iter):
             # Neighbor-min (HashMin step) ...
@@ -90,6 +97,10 @@ def connected_components(
             # chainy near-dup graph. Labels only decrease, so both steps
             # are monotone and the combined fixpoint is the component min.
             jump = m.select(F.col("node").alias("c1"), F.col("c1").alias("c2"))
+            # Lazy checkpoint + count = ONE job per round: the count is
+            # the action that computes every partition, and local
+            # checkpointing happens as a side effect of that computation.
+            # (An eager checkpoint followed by a count was two jobs.)
             stepped = (
                 m.join(jump, on="c1", how="left")
                 .select(
@@ -97,12 +108,21 @@ def connected_components(
                     F.coalesce("c2", "c1").alias("new_comp"),
                     (F.coalesce("c2", "c1") < F.col("old_comp")).alias("changed"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             changed = stepped.filter(F.col("changed")).count()
             labels = stepped.select("node", F.col("new_comp").alias("comp"))
             if changed == 0:
                 break
+        if changed != 0:
+            # Partially-converged labels are silently WRONG clusters;
+            # surface it. (Pointer jumping converges in O(log diameter)
+            # rounds, so hitting this means a pathological graph or a
+            # max_iter set far too low.)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still moving); raise max_iter"
+            )
         # Materialize the result while the loop sizing is still active;
         # callers then build on a checkpointed frame.
         return labels.select("node", "comp").localCheckpoint(eager=True)

@@ -96,8 +96,6 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``err`` marker, never a task failure — the same error-isolation
     contract as the ingest pipeline (O2). Swapping in Pillow for the
     codec formats is a dispatch-table entry, not a rewrite."""
-    import struct
-
     from wetsa_cams_solrad_timeseries_spark.functions import media
 
     parsers = {"bmp": media.parse_bmp, "ppm": media.parse_ppm, "png": media.parse_png}
@@ -119,8 +117,12 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 else:
                     try:
                         row.update(parser(data))
-                    except (ValueError, struct.error) as ex:
-                        row["err"] = str(ex)
+                    except Exception as ex:  # noqa: BLE001 — per-ROW err
+                        # contract (O2): corrupt payloads (zlib.error on a
+                        # truncated IDAT, IndexError on short scanlines,
+                        # struct.error on bad headers) must mark the row,
+                        # never fail the task.
+                        row["err"] = f"{type(ex).__name__}: {ex}"
                 rows.append(row)
             yield pd.DataFrame(rows)
 
@@ -131,8 +133,6 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode audio payloads (PCM WAV for real; compressed formats get a
     per-row ``err``) to channel/rate/duration/RMS — same contract as
     :func:`decode_image`."""
-    import struct
-
     from wetsa_cams_solrad_timeseries_spark.functions import media
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,8 +152,8 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     try:
                         row.update(media.parse_wav(data))
                         row.pop("bits", None)
-                    except (ValueError, struct.error) as ex:
-                        row["err"] = str(ex)
+                    except Exception as ex:  # noqa: BLE001 — see decode_image
+                        row["err"] = f"{type(ex).__name__}: {ex}"
                 rows.append(row)
             yield pd.DataFrame(rows)
 

@@ -34,46 +34,62 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
 
-# Queries the round-1 driver run never reached (its correctness pass runs
-# registry order under a time budget and stopped mid-inventory), plus the
-# two it flagged (q15 hash fail, q50 no-oracle). They run FIRST so a
-# truncated pass can never leave them unverified again; relative order
-# within each tier is still module order.
-_VERIFY_FIRST = (
-    "q15_sessionize",
-    "q50_approx_sketches",
-    "q35_fingerprints",
-    "q36_text_quality",
-    "q37_langid",
-    "q64_tfidf",
-    "q38_cosine_topk",
-    "q39_ann_lsh_topk",
-    "q40_embedding_neardup",
-    "q41_multimodal_features",
-    "q42_streaming_tumbling",
-    "q53_streaming_stateful",
+# The driver's correctness pass runs registry order under a ~50-query
+# budget, so with >50 declared queries some get no row each round. The
+# rotation below front-loads whatever the MOST RECENT correctness report
+# did not cover, so coverage alternates and every query's authoritative
+# row stays no older than two rounds. Queries whose kernels changed since
+# their last driver row can be pinned ahead of the automatic rotation.
+_PIN_FIRST = (
+    # Kernels rewritten in round 2 AFTER their last (round-1) driver row —
+    # their authoritative verification is stale until a fresh row lands.
+    "q32_ngram_jaccard",
+    "q33_minhash_lsh",
+    "q34_simhash",
+    "q62_minhash_dedup_verified",
+    "q31_dedup_exact",
+    # Oracles added / kernels touched in round 3.
     "q56_ann_ivf_topk",
-    "q63_streaming_sliding",
     "q71_streaming_sessions",
-    "q72_dedup_clusters",  # new in round 2 — verify first
-    "q73_neardup_lsh",  # new in round 2 — verify first
-    "q74_large_volume_customers",
-    "q75_disjunctive_revenue",
-    "q76_market_share",
+    "q72_dedup_clusters",
 )
+
+
+def _previously_covered() -> frozenset[str]:
+    """Query names with a row in the latest CORRECTNESS_r*.json, if any.
+
+    The reports live in the repo root (two levels above this package).
+    Missing/unparsable reports mean no rotation — plain registry order."""
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    best_round, best_path = -1, None
+    try:
+        for fname in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+            if m and int(m.group(1)) > best_round:
+                best_round, best_path = int(m.group(1)), os.path.join(root, fname)
+        if best_path is None:
+            return frozenset()
+        with open(best_path) as f:
+            return frozenset(json.load(f).keys())
+    except (OSError, ValueError):
+        return frozenset()
 
 
 def _collect() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (relational, relational2, relational3, timeseries, llm_ops, vector):
         merged.update(mod.SPECS)
-    out: dict[str, QuerySpec] = {}
-    for name in _VERIFY_FIRST:
-        out[name] = merged[name]
-    for name, spec in merged.items():
-        if name not in out:
-            out[name] = spec
-    return out
+    covered = _previously_covered()
+    ordered = [name for name in _PIN_FIRST if name in merged]
+    ordered += [n for n in merged if n not in covered and n not in ordered]
+    ordered += [n for n in merged if n not in ordered]
+    return {name: merged[name] for name in ordered}
 
 
 QUERIES: dict[str, QuerySpec] = _collect()

@@ -59,7 +59,7 @@ PERF_CONF: dict[str, str] = {
 }
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -75,9 +75,13 @@ def ship_package(spark: SparkSession) -> None:
     applyInPandas/mapInPandas task. ``addPyFile`` ships a zip of the
     package and prepends it to every worker's sys.path — the canonical
     fix, also correct on a real cluster."""
-    key = id(spark)
+    # Key on applicationId, not id(spark): a stopped+GC'd session's id can
+    # be reused by a NEW SparkContext, which would silently skip addPyFile
+    # and break worker imports. applicationId is unique per context.
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
+    import atexit
     import shutil
     import tempfile
 
@@ -93,6 +97,13 @@ def ship_package(spark: SparkSession) -> None:
         root_dir=pkg_root,
         base_dir="wetsa_cams_solrad_timeseries_spark",
     )
+    def _cleanup(p: str = zip_path) -> None:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_SESSIONS.add(key)
 

@@ -56,7 +56,13 @@ def _update(
         yield emit([(start_us, last_us, count, total)])
         return
 
-    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        # A non-timeout invocation can arrive with zero rows (e.g. a
+        # watermark-advancing trigger); with nothing to merge, leave any
+        # existing state (and its timeout) untouched.
+        return
+    batch = pd.concat(frames, ignore_index=True).sort_values("ts")
     ts = batch["ts"].astype("int64").to_numpy() // 1000
     vals = batch["value"].to_numpy(dtype=np.float64)
     if state.exists:
