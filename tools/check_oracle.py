@@ -103,6 +103,18 @@ def main() -> int:
         )
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # sf-aware oracles: queries whose oracle embeds data-derived literals
+    # (q56's trained centroids) regenerate for the sf being checked —
+    # the static oracle_sql() strings are built for the DRIVER's gate SF.
+    from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
+
+    for name, spec in QUERIES.items():
+        if spec.oracle_fn is not None:
+            sql = spec.oracle_for(sf_dir)
+            if sql is None:
+                oracles.pop(name, None)
+            else:
+                oracles[name] = sql
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

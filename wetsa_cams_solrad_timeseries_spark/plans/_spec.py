@@ -37,6 +37,14 @@ class QuerySpec:
     oracle: str | None
     survey_ids: tuple[str, ...] = field(default=())
     doc: str = ""
+    # Optional sf-aware oracle builder for queries whose oracle embeds
+    # data-derived literals (q56's trained centroids): ``oracle`` stays
+    # the static string the driver runs at ITS gate SF; local checkers
+    # call ``oracle_fn(sf_dir)`` to regenerate for any other SF.
+    oracle_fn: Callable[[str], str | None] | None = None
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        return self.oracle_fn(sf_dir) if self.oracle_fn else self.oracle
 
 
 def make_specs(rows) -> dict[str, QuerySpec]:

@@ -3,6 +3,8 @@ remaining north-star extension surface)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -277,15 +279,53 @@ def q71_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessions closed by EventTimeTimeout state expiry
     (streaming/sessions.py): per-user session state extends within the
     30-min gap and is emitted+cleared when the watermark passes its gap
-    deadline. Rows-only: the emitted SET depends on Spark's ms-truncated
-    watermark-vs-deadline comparison, which SQL can't replicate exactly at
-    boundaries — soundness/completeness against the batch gap
-    construction are pytest-verified (tests/test_streaming_sessions.py)."""
+    deadline. Over a finite replay the emitted set is deterministic:
+    gaps-and-islands sessionization (the q15 construction) MINUS each
+    user's final session when its gap deadline (last event ms + gap ms)
+    has not been passed by the final watermark (max event time, ms-
+    truncated) — which is exactly what the SQL oracle expresses."""
     from wetsa_cams_solrad_timeseries_spark.streaming.sessions import (
         streaming_sessions,
     )
 
     return streaming_sessions(spark, f"{sf_dir}/events.parquet")
+
+
+# Emission rule mirrored from the operator: closed-by-a-later-event
+# sessions always emit; the per-user OPEN session emits only via timeout,
+# i.e. when deadline_ms = floor(epoch_us(last_event)/1000) + gap_ms is
+# strictly below the final watermark floor(epoch_us(max ts)/1000)
+# (Spark fires EventTimeTimeout when the watermark advances BEYOND the
+# set timestamp, and both sides are ms-truncated micros).
+Q71_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         count(*) AS n_events,
+         round(sum(value) + 1e-9, 6) AS sum_value
+  FROM numbered GROUP BY user_id, session_seq
+),
+wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value
+FROM sess s CROSS JOIN wm
+WHERE s.session_seq < (SELECT max(session_seq) FROM sess m
+                       WHERE m.user_id = s.user_id)
+   OR (epoch_us(s.session_end) // 1000) + 30*60*1000 < wm.wm_ms
+"""
 
 
 # --------------------------------------------------------------------------
@@ -295,8 +335,11 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical k-means coarse quantizer (deterministic seeds +
     2 Lloyd iterations, trained driver-side as real IVF training does),
     distributed cell assignment, n_probe=4 of 16 cells probed per query.
-    Rows-only check: the quantizer's float means are not reproducible in
-    SQL; invariants + recall vs brute force are pytest-verified
+    The trainer is fully deterministic, so the oracle replays it bit-for-
+    bit in numpy at oracle-build time and inlines the trained centroids
+    as SQL literals (the same literalization q39 uses for its
+    hyperplanes); assignment + probing + exact rerank are then plain SQL.
+    Invariants + recall vs brute force are additionally pytest-verified
     (tests/test_ivf.py)."""
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import ann_topk_ivf
 
@@ -304,6 +347,116 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(
         emb, query_ids_pred=lambda c: c < 50, k=3, n_cells=16, n_probe=4
     )
+
+
+def _ivf_centroid_values(
+    path: str, k: int = 16, n_iter: int = 2
+) -> str | None:
+    """The q56 trained centroids (for the embeddings parquet at ``path``)
+    as a SQL ``VALUES`` list.
+
+    Replays ``operators/similarity.ivf_train_centroids`` bit-for-bit: the
+    hash-order training sample is the WHOLE corpus whenever it is under
+    ``max_train`` rows (driver gate corpora are), after which the trainer
+    is id-ordered numpy — reading the same parquet through DuckDB yields
+    the identical float64 matrix, so the same numpy steps yield identical
+    centroids. Returns None (oracle falls back to rows-only) when the
+    testdata or DuckDB is unavailable."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    try:
+        rows = duckdb.sql(
+            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    cent = mat[:k].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in row))
+        for i, row in enumerate(cent)
+    )
+
+
+# Assignment replicates ivf_assign's argsort(-sims, stable): ORDER BY
+# sim DESC, cell — ties (never observed; requires exactly equal dots)
+# break toward the lower cell id on both engines.
+_Q56_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 4 AND vec_id < 50
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_cos('qv.v', 'nv.v')} AS cosine
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q56_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q56 oracle: the embeddings table differs per SF (same 500
+    rows, different values at sf0.001 vs sf0.01), so the centroid
+    literals must be trained on the SF being checked."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q56_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+# The driver's correctness gate runs at sf0.01 — the static oracle string
+# it receives is trained on that corpus.
+Q56_ORACLE = q56_oracle_for("/root/testdata/sf0.01")
 
 
 # --------------------------------------------------------------------------
@@ -342,8 +495,14 @@ SPECS = make_specs(
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
-        ("q71_streaming_sessions", q71_streaming_sessions, None, (), "event-time-timeout sessions"),
-        ("q56_ann_ivf_topk", q56_ann_ivf_topk, None, (), "IVF inverted-file ANN"),
+        ("q71_streaming_sessions", q71_streaming_sessions, Q71_ORACLE, (), "event-time-timeout sessions"),
+        ("q56_ann_ivf_topk", q56_ann_ivf_topk, Q56_ORACLE, (), "IVF inverted-file ANN"),  # oracle_fn attached below
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
     ]
+)
+
+import dataclasses as _dc
+
+SPECS["q56_ann_ivf_topk"] = _dc.replace(
+    SPECS["q56_ann_ivf_topk"], oracle_fn=q56_oracle_for
 )
