@@ -484,6 +484,51 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q77 — cross-batch state recovery under a multi-file replay
+# --------------------------------------------------------------------------
+def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's keyed-state operator driven through MULTIPLE micro-batches:
+    the events table is split into 3 parquet files and drained with
+    ``maxFilesPerTrigger=1``, so per-user totals must survive the state
+    store across 3 triggers (checkpointed state recovery, not a single-
+    batch fold). The fn asserts that some key really was updated in more
+    than one micro-batch — a single-batch drain fails loudly instead of
+    silently passing. Final state equals the batch aggregation (the q53
+    oracle): the operator is order-independent and no watermark drops
+    rows, so the file replay order cannot change the answer."""
+    import os
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"wetsa_events_split_{os.getpid()}_{sf_tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        # Round-robin split of the (single-file) events table; per-process
+        # dir so concurrent harnesses never race on the same path.
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(split_dir)
+    out = streaming_running_totals(
+        spark,
+        f"{split_dir}/part-*.parquet",
+        max_files_per_trigger=1,
+        keep_update_count=True,
+    )
+    max_updates = out.agg(F.max("__n_updates")).first()[0]
+    if max_updates is None or max_updates <= 1:
+        raise RuntimeError(
+            "multi-batch drain did not run: no key saw more than one "
+            f"micro-batch update (max={max_updates})"
+        )
+    return out.drop("__n_updates")
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -495,6 +540,7 @@ SPECS = make_specs(
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
+        ("q77_streaming_multibatch", q77_streaming_multibatch, Q53_ORACLE, (), "multi-batch state recovery"),
         ("q71_streaming_sessions", q71_streaming_sessions, Q71_ORACLE, (), "event-time-timeout sessions"),
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, Q56_ORACLE, (), "IVF inverted-file ANN"),  # oracle_fn attached below
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
