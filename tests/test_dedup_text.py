@@ -94,6 +94,32 @@ def test_jaccard_pairs_dense_matches_join_form(spark):
     assert {k: v for k, v in got.items() if v > 0} == exp
 
 
+def test_jaccard_dense_regime_guard_falls_back_to_sparse(spark):
+    """With max_vocab below the corpus vocabulary, jaccard_pairs_dense
+    must take the sparse self-join fallback — and the result must still
+    match the join form exactly (it IS the join form then). The probe
+    collects at most max_vocab+1 rows, so the guard itself is safe on an
+    arbitrarily large vocabulary."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs_dense,
+    )
+
+    sh = word_shingles(_docs_df(spark), "doc_id", "text", n=2)
+    vocab_n = sh.select("shingle_hash").distinct().count()
+    assert vocab_n > 3  # the guard below must actually trip
+    exp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_dense(
+            sh, "doc_id", threshold=0.0, max_vocab=3
+        ).collect()
+    }
+    assert got == exp  # sparse fallback: no 0-common pairs, exact match
+
+
 def _minhash_py(shingle_hashes, n_perm=16):
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
         MINHASH_PRIME,

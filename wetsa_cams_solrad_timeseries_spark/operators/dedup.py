@@ -141,6 +141,7 @@ def jaccard_pairs_dense(
     threshold: float = 0.0,
     shingle_col: str = "shingle_hash",
     n_blocks: int = 8,
+    max_vocab: int | None = 65536,
 ) -> DataFrame:
     """All-pairs Jaccard for the DENSE-VOCABULARY regime: when the distinct
     shingle vocabulary is small (boilerplate-heavy corpora, templated
@@ -161,9 +162,15 @@ def jaccard_pairs_dense(
     (operators/blocked.py) — no driver materialization of the corpus. The
     only driver pull is the VOCABULARY (distinct shingle hashes), which is
     small by the dense-regime precondition itself — the same bounded-side
-    rule as broadcasting a dimension table; if the vocab is too big to
-    collect, this kernel is the wrong regime and ``jaccard_pairs``
-    applies."""
+    rule as broadcasting a dimension table.
+
+    ``max_vocab`` is the REGIME GUARD that makes that precondition safe
+    on any corpus: the vocabulary probe collects at most ``max_vocab + 1``
+    distinct hashes (a bounded pull even on a 100 TB corpus), and if the
+    limit truncated — the vocabulary is larger than the dense regime
+    allows — the call transparently falls back to the sparse self-join
+    ``jaccard_pairs``, which computes the identical measure. Pass
+    ``max_vocab=None`` to skip the guard (kernel-only benchmarking)."""
     import numpy as np
     import pandas as pd
 
@@ -173,9 +180,16 @@ def jaccard_pairs_dense(
     )
 
     spark = shingle_df.sparkSession
-    vocab = sorted(
-        r[0] for r in shingle_df.select(shingle_col).distinct().collect()
-    )
+    vocab_df = shingle_df.select(shingle_col).distinct()
+    if max_vocab is not None:
+        probe = vocab_df.limit(max_vocab + 1).collect()
+        if len(probe) > max_vocab:
+            return jaccard_pairs(
+                shingle_df, id_col, threshold=threshold, shingle_col=shingle_col
+            )
+        vocab = sorted(r[0] for r in probe)
+    else:
+        vocab = sorted(r[0] for r in vocab_df.collect())
     vidx = {h: i for i, h in enumerate(vocab)}
     bc_vidx = spark.sparkContext.broadcast(vidx)
 

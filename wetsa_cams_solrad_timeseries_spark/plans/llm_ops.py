@@ -139,9 +139,11 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense-vocabulary (≈900 distinct bigrams over 5k docs), so the blocked
     bitmap-matmul kernel applies (operators/dedup.py:jaccard_pairs_dense —
     block-pair applyInPandas, no driver materialization of the corpus;
-    only the small vocab is collected). Results are identical to the
-    join-based ``jaccard_pairs``, which remains the sparse-vocabulary /
-    LSH-candidate path at 100 TB."""
+    only the small vocab is collected). The kernel's built-in regime
+    guard (bounded vocabulary probe, default 65536) falls back to the
+    sparse self-join ``jaccard_pairs`` when the vocabulary exceeds the
+    dense precondition, so this declared query is safe on ANY corpus
+    shape; both regimes compute the identical measure."""
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
         jaccard_pairs_dense,
         word_shingles,
