@@ -265,25 +265,54 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the 256 rows with smallest hash of event_id), then the sample's
       lower median (no interpolation → cross-engine exact).
 
-    Scale shape: the per-group state is k rows; here the min-k selection
-    runs as a row_number window (distributed sort) — a production
-    deployment would swap in a custom bounded-k Aggregator, same
-    semantics. Exact twins are hash-checked in q11/q18."""
+    Scale shape: TWO-STAGE bounded-k selection, no per-group sort
+    anywhere in the plan. Stage 1 (mapInPandas, map-side — zero shuffle)
+    keeps each Arrow batch's k smallest rows per group: any row outside
+    a batch's bottom-k cannot be in the global bottom-k, the same
+    pruning argument as map-side combine. Stage 2 aggregates the
+    surviving ≤ partitions·k rows per group with collect_list +
+    sort_array — JVM array ops over a provably bounded set (k·8 bytes of
+    effective state per group, the bounded-k Aggregator semantics).
+    Exact twins are hash-checked in q11/q18."""
+    import pandas as pd
+
     from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
 
     ev = table(spark, sf_dir, "events")
 
-    # KMV over distinct user-id hashes.
+    # KMV over distinct user-id hashes. Stage 1 emits, per Arrow batch
+    # and group, the k smallest hashes PLUS one count row (h=null): the
+    # post-distinct rows are globally unique, so per-batch counts sum to
+    # the exact distinct-hash count — one pass serves both statistics.
     dh = ev.select(
         "event_type", hash32(F.col("user_id").cast("string")).alias("h")
     ).distinct()
-    wh = Window.partitionBy("event_type").orderBy("h")
+
+    def kmv_bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bot = pdf.sort_values("h").groupby("event_type", group_keys=False).head(
+                _KMV_K
+            )
+            cnt = (
+                pdf.groupby("event_type").size().rename("cnt").reset_index()
+            )
+            cnt["h"] = pd.array([None] * len(cnt), dtype="Int64")
+            bot = bot.assign(cnt=pd.array([None] * len(bot), dtype="Int64"))
+            yield pd.concat(
+                [bot[["event_type", "h", "cnt"]], cnt[["event_type", "h", "cnt"]]],
+                ignore_index=True,
+            )
+
     kmv = (
-        dh.withColumn("rk", F.row_number().over(wh))
+        dh.mapInPandas(kmv_bottom_k, schema="event_type string, h long, cnt long")
         .groupBy("event_type")
         .agg(
-            F.max(F.when(F.col("rk") <= _KMV_K, F.col("h"))).alias("hk"),
-            F.count(F.lit(1)).alias("n_h"),
+            F.sum("cnt").alias("n_h"),
+            # kth smallest of the union of per-batch bottom-ks == global
+            # kth smallest; element_at is null when fewer than k survive.
+            F.element_at(F.sort_array(F.collect_list("h")), _KMV_K).alias("hk"),
         )
         .select(
             "event_type",
@@ -296,20 +325,49 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # Bottom-k sample → lower median of value.
+    # Bottom-k sample → lower median of value: same two-stage selection
+    # keyed by (sample-hash, event_id), then the median comes from
+    # sorting the ≤k-element sample array — array ops, not a window.
     hs = hash32(F.concat_ws("_", F.lit("s"), F.col("event_id").cast("string")))
-    ws = Window.partitionBy("event_type").orderBy("hs", "event_id")
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wg = Window.partitionBy("event_type")
+    sampled = ev.select(
+        "event_type", "value", "event_id", hs.alias("hs")
+    )
+
+    def sample_bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pdf.sort_values(["hs", "event_id"]).groupby(
+                "event_type", group_keys=False
+            ).head(_KMV_K)
+
+    samp = F.slice(
+        F.sort_array(F.collect_list(F.struct("hs", "event_id", "value"))),
+        1,
+        _KMV_K,
+    )
+    by_value = F.sort_array(
+        F.transform(
+            F.col("samp"),
+            lambda s: F.struct(
+                s["value"].alias("value"), s["event_id"].alias("event_id")
+            ),
+        )
+    )
+    lower_median_idx = F.floor((F.size(F.col("samp")) + 1) / 2).cast("int") - 1
     med = (
-        ev.select("event_type", "value", "event_id")
-        .withColumn("hs", hs)
-        .withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= _KMV_K)
-        .withColumn("vrk", F.row_number().over(wv))
-        .withColumn("n_samp", F.count(F.lit(1)).over(wg))
-        .filter(F.col("vrk") == F.floor((F.col("n_samp") + 1) / 2))
-        .select("event_type", F.round(F.col("value") + F.lit(1e-9), 6).alias("p50_est"))
+        sampled.mapInPandas(
+            sample_bottom_k,
+            schema="event_type string, value double, event_id long, hs long",
+        )
+        .groupBy("event_type")
+        .agg(samp.alias("samp"))
+        .select(
+            "event_type",
+            F.round(
+                F.get(by_value, lower_median_idx)["value"] + F.lit(1e-9), 6
+            ).alias("p50_est"),
+        )
     )
 
     exact = ev.groupBy("event_type").agg(
