@@ -159,6 +159,240 @@ GROUP BY o_year
 """
 
 
+# --------------------------------------------------------------------------
+# q78 — product-line profit by nation and year (TPC-H Q9 shape)
+# --------------------------------------------------------------------------
+def q78_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, order year) for one product family —
+    the Q9 star: fact scanned once with the name filter pushed through
+    the part join, every dimension broadcast. The testdata has no
+    partsupp, so supply cost is adapted to 10% of the part's retail
+    price per unit (deterministic, documented)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            round6(F.sum(amount)).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q78_ORACLE = f"""
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       {round6_sql('sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity)')} AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------
+# q79 — supplier counts per part class (TPC-H Q16 shape)
+# --------------------------------------------------------------------------
+def q79_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers able to ship each part class, excluding
+    flagged suppliers — Q16 adapted: the part-supplier relation comes
+    from lineitem (no partsupp table) and "complaint" suppliers are
+    those with negative account balance. The exclusion is an anti-join
+    BEFORE the distinct aggregation; part is broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(flagged, on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q79_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q80 — dominant shippers of a product family (TPC-H Q20 shape)
+# --------------------------------------------------------------------------
+def q80_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 20% of a part's total 1996 volume
+    for one product family — the decorrelated Q20 chain: one aggregation
+    per grain (pair, part), an aggregate-aggregate join on partkey, then
+    a semi-join reduces supplier. No correlated subquery, no fact
+    re-scan; availqty is adapted to shipped volume (no partsupp).
+    Boundary comparisons go through the round6 nudge so both engines
+    make identical keep/drop decisions on ULP-close sums."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1996)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    fam = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li_fam = li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey)
+    pair = li_fam.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    part_tot = li_fam.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        pair.join(part_tot, on="l_partkey")
+        .filter(
+            F.round(
+                F.col("pair_qty") - 0.2 * F.col("part_qty") + F.lit(1e-9), 6
+            )
+            > 0
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    na = table(spark, sf_dir, "nation")
+    return (
+        su.join(dominant, on="s_suppkey", how="left_semi")
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+Q80_ORACLE = """
+WITH li_fam AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE year(l_shipdate) = 1996 AND p_name LIKE 'small%'
+),
+pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM li_fam GROUP BY l_partkey, l_suppkey
+),
+part_tot AS (
+  SELECT l_partkey, sum(l_quantity) AS part_qty
+  FROM li_fam GROUP BY l_partkey
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey AS s_suppkey
+  FROM pair JOIN part_tot USING (l_partkey)
+  WHERE round(pair_qty - 0.2 * part_qty + 1e-9, 6) > 0
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN dominant USING (s_suppkey)
+JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q81 — co-located fact-fact join over bucketed tables
+# --------------------------------------------------------------------------
+def q81_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring fact-fact join (lineitem ⋈ orders on orderkey) over
+    PRE-BUCKETED tables: both sides are written ``bucketBy(16, key)``
+    once per session, after which the sort-merge join reads co-located
+    buckets with ZERO Exchange on either side — the shuffle is paid once
+    at write time, the daily join never pays it again (sinks/bucketed.py;
+    the zero-Exchange plan is asserted inline AND pytest-locked in
+    tests/test_bucketing.py). Falls back to the identical plain join when
+    the session can't host managed tables (e.g. a read-only metastore
+    cwd), so the correctness row never depends on catalog health."""
+    import os
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    lt, ot = f"wetsa_b_li_{tag}_{os.getpid()}", f"wetsa_b_o_{tag}_{os.getpid()}"
+    try:
+        if not spark.catalog.tableExists(lt):
+            write_bucketed(li, lt, "l_orderkey", n_buckets=16)
+        if not spark.catalog.tableExists(ot):
+            write_bucketed(o, ot, "o_orderkey", n_buckets=16)
+        # hint("merge"): at gate SF the orders side is broadcast-small,
+        # which would plan a BroadcastExchange and hide the property
+        # under test; the bucketed fact-fact join IS the sort-merge path
+        # at production scale, so pin it.
+        j = spark.table(lt).hint("merge").join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError(
+                "bucketed join planned an Exchange — bucket pruning broke"
+            )
+    except RuntimeError:
+        raise
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain join
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderstatus").agg(
+        round6(F.sum(rev)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q81_ORACLE = f"""
+SELECT o_orderstatus,
+       {round6_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -166,5 +400,9 @@ SPECS = make_specs(
         ("q74_large_volume_customers", q74_large_volume_customers, Q74_ORACLE, (), "TPC-H Q18 shape"),
         ("q75_disjunctive_revenue", q75_disjunctive_revenue, Q75_ORACLE, (), "TPC-H Q19 shape"),
         ("q76_market_share", q76_market_share, Q76_ORACLE, (), "TPC-H Q8 shape"),
+        ("q78_profit_by_nation", q78_profit_by_nation, Q78_ORACLE, (), "TPC-H Q9 shape"),
+        ("q79_supplier_part_counts", q79_supplier_part_counts, Q79_ORACLE, (), "TPC-H Q16 shape"),
+        ("q80_excess_shippers", q80_excess_shippers, Q80_ORACLE, (), "TPC-H Q20 shape"),
+        ("q81_bucketed_colocated_join", q81_bucketed_colocated_join, Q81_ORACLE, (), "bucketed co-located join"),
     ]
 )
