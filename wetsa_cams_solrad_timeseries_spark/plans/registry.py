@@ -52,6 +52,7 @@ _PIN_FIRST = (
     "q56_ann_ivf_topk",
     "q71_streaming_sessions",
     "q72_dedup_clusters",
+    "q50_approx_sketches",
 )
 
 
