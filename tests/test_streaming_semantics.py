@@ -133,3 +133,57 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     )
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_streaming_distinct_dedups_across_batches(spark, sf_dir, tmp_path):
+    """Cross-batch dedup state: every (user_id, event_type) pair recurs in
+    both halves of the time-split replay, so emitting each pair once
+    requires the dropDuplicates state store to survive the trigger
+    boundary; the drained set must equal the batch DISTINCT."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.dedup_stream import (
+        streaming_distinct,
+    )
+
+    out_dir = str(tmp_path / "dedup_events")
+    (tmp_path / "dedup_events").mkdir()
+    ev = _split_events_two_files(spark, sf_dir, out_dir)
+
+    got = streaming_distinct(
+        spark,
+        f"{out_dir}/*.parquet",
+        ["user_id", "event_type"],
+        max_files_per_trigger=1,
+        require_multi_batch=True,
+    )
+    got_set = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    exp_set = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got_set == exp_set
+    # Appended exactly once per pair — no batch-local re-emission.
+    assert got.count() == len(got_set)
+
+
+def test_streaming_distinct_single_batch_raises(spark, sf_dir, tmp_path):
+    """require_multi_batch is a loud-failure contract: a drain that
+    collapsed into one micro-batch must raise, not silently pass."""
+    import pytest
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table as _table
+    from wetsa_cams_solrad_timeseries_spark.streaming.dedup_stream import (
+        streaming_distinct,
+    )
+
+    out_dir = str(tmp_path / "one_file_events")
+    _table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(
+        out_dir
+    )
+    with pytest.raises(RuntimeError, match="multi-batch"):
+        streaming_distinct(
+            spark,
+            f"{out_dir}/part-*.parquet",
+            ["user_id", "event_type"],
+            max_files_per_trigger=1,
+            require_multi_batch=True,
+        )

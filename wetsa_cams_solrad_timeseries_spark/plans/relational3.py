@@ -393,6 +393,182 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# q83 — salted two-phase aggregation (hot-key skew mitigation)
+# --------------------------------------------------------------------------
+def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation over a PATHOLOGICALLY skewed key — events has
+    ~5 event_type values for the whole fact table, so a plain groupBy
+    funnels each key's partials into one reducer (20%+ of 100 TB per
+    task). The salted operator (operators/skew.py) splits each key into
+    16 sub-keys for the partial phase and recombines the tiny per-salt
+    partials, spreading the hot key across 16 reducers; the two-phase
+    plan is asserted inline (the partial aggregate must group on the
+    salt), so the skew path is driver-visible, not just
+    result-transparent. Measures stay algebraic (sum/count/min/max, avg
+    recombined as sum÷count) — exactly the set that decomposes."""
+    from wetsa_cams_solrad_timeseries_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"value": ("sum", "count", "min", "max", "avg")},
+        n_salts=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "__salt" not in plan:
+        raise RuntimeError(
+            "salted aggregation planned without the salt phase — the "
+            "two-phase skew path is not in the executed plan"
+        )
+    return out.select(
+        "event_type",
+        round6("sum_value").alias("sum_value"),
+        F.col("count_value").alias("n_events"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+        round6("avg_value").alias("avg_value"),
+    )
+
+
+Q83_ORACLE = f"""
+SELECT event_type,
+       {round6_sql('sum(value)')} AS sum_value,
+       count(value) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {round6_sql('sum(value) / count(value)')} AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q84 — suppliers who kept orders waiting (TPC-H Q21 shape)
+# --------------------------------------------------------------------------
+_Q84_LATE_DAYS = 60
+_Q84_NATION = "NATION_3"
+
+
+def q84_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's exists/not-exists double self-join, decorrelated: for each
+    finished ('F') order, ONE aggregation pass computes the distinct
+    supplier count and the distinct LATE-supplier count (late =
+    l_shipdate > o_orderdate + 60 days; the corpus has no
+    receipt/commit dates — reference `code/` has no such columns either,
+    so lateness adapts to shipdate-vs-orderdate). A line then qualifies
+    when its supplier is late, the order is multi-supplier, and that
+    supplier is the ONLY late one — the same predicate as EXISTS
+    (another supplier) AND NOT EXISTS (another late supplier), but as
+    one shuffle on orderkey instead of two correlated self-joins; the
+    oracle states the EXISTS form, proving equivalence. Dimension joins
+    (supplier, nation) broadcast."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    na = table(spark, sf_dir, "nation")
+
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q84_LATE_DAYS)
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .filter(F.col("n_name") == _Q84_NATION)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q84_ORACLE = f"""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {_Q84_LATE_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM lo l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE l1.late AND n_name = '{_Q84_NATION}'
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q85 — dormant high-balance customers (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+_Q85_BIG_ORDER = 350000
+
+
+def q85_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22's scalar-subquery + anti-join shape: customers whose balance
+    exceeds the average positive balance (a one-row aggregate broadcast
+    into the filter — no correlated re-scan) and who placed no
+    high-value order (left-anti join against the filtered orders keys;
+    the corpus' every customer has SOME order, so the classic no-orders
+    predicate adapts to no-big-orders). Output is per-nation counts and
+    balance totals."""
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = table(spark, sf_dir, "orders")
+
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > _Q85_BIG_ORDER).select("o_custkey")
+    return (
+        cu.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(big_orders, cu.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            round6(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q85_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       {round6_sql('sum(c_acctbal)')} AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {_Q85_BIG_ORDER})
+GROUP BY c_nationkey
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -404,5 +580,8 @@ SPECS = make_specs(
         ("q79_supplier_part_counts", q79_supplier_part_counts, Q79_ORACLE, (), "TPC-H Q16 shape"),
         ("q80_excess_shippers", q80_excess_shippers, Q80_ORACLE, (), "TPC-H Q20 shape"),
         ("q81_bucketed_colocated_join", q81_bucketed_colocated_join, Q81_ORACLE, (), "bucketed co-located join"),
+        ("q83_salted_skew_agg", q83_salted_skew_agg, Q83_ORACLE, (), "salted hot-key aggregation"),
+        ("q84_waiting_suppliers", q84_waiting_suppliers, Q84_ORACLE, (), "TPC-H Q21 shape"),
+        ("q85_dormant_customers", q85_dormant_customers, Q85_ORACLE, (), "TPC-H Q22 shape"),
     ]
 )

@@ -485,6 +485,27 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Shared multi-file replay input for the cross-batch streaming queries
+# --------------------------------------------------------------------------
+def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Materialize the (single-file) events table as ``n_files`` parquet
+    files so ``maxFilesPerTrigger=1`` yields one micro-batch per file.
+    Written once per process per SF (the _SUCCESS marker gates the
+    rewrite); per-process dir so concurrent harnesses never race."""
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = os.path.join(
+        tempfile.gettempdir(), f"wetsa_events_split_{os.getpid()}_{sf_tag}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            n_files
+        ).write.mode("overwrite").parquet(split_dir)
+    return split_dir
+
+
+# --------------------------------------------------------------------------
 # q77 — cross-batch state recovery under a multi-file replay
 # --------------------------------------------------------------------------
 def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,23 +518,11 @@ def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently passing. Final state equals the batch aggregation (the q53
     oracle): the operator is order-independent and no watermark drops
     rows, so the file replay order cannot change the answer."""
-    import os
-    import tempfile
-
     from wetsa_cams_solrad_timeseries_spark.streaming.stateful import (
         streaming_running_totals,
     )
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    split_dir = os.path.join(
-        tempfile.gettempdir(), f"wetsa_events_split_{os.getpid()}_{sf_tag}"
-    )
-    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
-        # Round-robin split of the (single-file) events table; per-process
-        # dir so concurrent harnesses never race on the same path.
-        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(3).write.mode(
-            "overwrite"
-        ).parquet(split_dir)
+    split_dir = _split_events(spark, sf_dir)
     out = streaming_running_totals(
         spark,
         f"{split_dir}/part-*.parquet",
@@ -529,6 +538,39 @@ def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("__n_updates")
 
 
+# --------------------------------------------------------------------------
+# q82 — streaming deduplication with cross-batch keyed state
+# --------------------------------------------------------------------------
+def q82_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` over the 3-file events replay with
+    ``maxFilesPerTrigger=1``: every (user_id, event_type) pair recurs in
+    every micro-batch, so emitting each pair exactly once requires the
+    dedup state store to survive across all 3 triggers (the fn raises if
+    the drain collapsed into one batch). Emitted rows are the key
+    columns only, so the drained result is a pure set and the batch
+    ``SELECT DISTINCT`` oracle applies regardless of file replay order.
+    The unbounded-stream form swaps in dropDuplicatesWithinWatermark for
+    bounded state (streaming/dedup_stream.py docstring)."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.dedup_stream import (
+        streaming_distinct,
+    )
+
+    split_dir = _split_events(spark, sf_dir)
+    return streaming_distinct(
+        spark,
+        f"{split_dir}/part-*.parquet",
+        ["user_id", "event_type"],
+        max_files_per_trigger=1,
+        require_multi_batch=True,
+    )
+
+
+Q82_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -541,6 +583,7 @@ SPECS = make_specs(
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),
         ("q77_streaming_multibatch", q77_streaming_multibatch, Q53_ORACLE, (), "multi-batch state recovery"),
+        ("q82_streaming_dedup", q82_streaming_dedup, Q82_ORACLE, (), "cross-batch streaming dedup"),
         ("q71_streaming_sessions", q71_streaming_sessions, Q71_ORACLE, (), "event-time-timeout sessions"),
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, Q56_ORACLE, (), "IVF inverted-file ANN"),  # oracle_fn attached below
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),

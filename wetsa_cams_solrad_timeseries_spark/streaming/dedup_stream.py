@@ -1,0 +1,88 @@
+"""Streaming deduplication: ``dropDuplicates`` keyed state across
+micro-batches.
+
+The reference has no streaming surface (SURVEY.md §2.10); this is the
+stream twin of the exact-dedup operator (operators/dedup.py) — the state
+store holds one entry per distinct key and each key is emitted exactly
+once, at first sight, no matter how many micro-batches the key recurs
+in. Emitting ONLY the key columns keeps the drained result a pure set
+(order- and replay-partitioning-independent), which is what makes the
+finite-replay run oracle-checkable against a batch ``SELECT DISTINCT``.
+
+Scale note: keyless-column state is O(distinct keys) and never evicted
+here because the verification source replays a finite file set. An
+unbounded production stream bounds it with
+``withWatermark(...).dropDuplicatesWithinWatermark(...)`` — same
+operator, state GC'd once the watermark passes each key's last
+occurrence; that variant trades exactness for bounded state and is the
+documented 100 TB form.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+    drain_checkpoint_dir,
+    drain_partitions,
+    size_partitions,
+)
+
+
+def streaming_distinct(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: Sequence[str],
+    max_files_per_trigger: int | None = None,
+    require_multi_batch: bool = False,
+) -> DataFrame:
+    """Drain the distinct ``keys`` tuples of a parquet file set replayed
+    as a stream; returns the drained (append-mode) result.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per file so the
+    dedup state genuinely carries across triggers; with
+    ``require_multi_batch`` the drain RAISES unless >1 micro-batch saw
+    input rows — a single-batch fold cannot silently pass as a
+    cross-batch test (same loud-failure contract as q77's update
+    counter)."""
+    keys = list(keys)
+    batch_df = spark.read.parquet(parquet_path)
+    directory, filename = os.path.split(parquet_path.rstrip("/"))
+    reader = spark.readStream.schema(batch_df.schema).option(
+        "pathGlobFilter", filename
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    deduped = reader.parquet(directory).select(*keys).dropDuplicates(keys)
+
+    name = f"dedup_out_{uuid.uuid4().hex[:12]}"
+    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        ckpt = drain_checkpoint_dir()
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed_batches = sum(
+                1
+                for p in query.recentProgress
+                if p.get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if require_multi_batch and fed_batches <= 1:
+        raise RuntimeError(
+            "multi-batch dedup drain did not run: only "
+            f"{fed_batches} micro-batch saw input rows"
+        )
+    return spark.table(name)
