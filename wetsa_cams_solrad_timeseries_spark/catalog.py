@@ -34,22 +34,43 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TimestampType.
+
+    The driver's corpus has shipped ``events.ts`` in two physical shapes
+    across rounds, and both must read identically:
+
+    - TIMESTAMP(NANOS) + ``spark.sql.legacy.parquet.nanosAsLong`` →
+      int64 nanos, truncated (not rounded) to microseconds — the same
+      conversion DuckDB applies, so both engines agree on the instant;
+    - naive ``timestamp[us]`` (isAdjustedToUTC=false) → TIMESTAMP_NTZ,
+      cast to TimestampType. The session zone is pinned to UTC, so the
+      cast is wall-clock- and instant-preserving, and matches DuckDB's
+      naive-TIMESTAMP reading of the same file.
+
+    Already-TimestampType columns pass through untouched.
+    """
+    for field in df.schema.fields:
+        if field.name != col:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, validate: bool = False
 ) -> DataFrame:
     """Read one corpus table. Parquet scan → columnar, pushdown-capable.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as int64 nanos and
-    is truncated (not rounded) to microseconds here — the same conversion
-    DuckDB applies — so both engines agree on the instant.
+    ``events.ts`` arrives in a per-round physical shape; ``normalize_ts``
+    maps every shape to the same session-UTC TimestampType instants.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if validate:
         from wetsa_cams_solrad_timeseries_spark.schemas import validate_schema
 

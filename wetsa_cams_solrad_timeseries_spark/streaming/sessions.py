@@ -113,8 +113,11 @@ def streaming_sessions(
     import os
 
     batch_df = spark.read.parquet(parquet_path)
-    if dict(batch_df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(batch_df.dtypes).get("ts")
+    if ts_dtype == "bigint":  # nanos-as-long table
         ts_fix = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":  # naive micros; session zone is UTC
+        ts_fix = F.col("ts").cast("timestamp")
     else:
         ts_fix = F.col("ts")
     directory, filename = os.path.split(parquet_path.rstrip("/"))

@@ -40,8 +40,11 @@ def streaming_tumbling_agg(
     because streaming sources require a declared schema.
     """
     batch_df = spark.read.parquet(parquet_path)
-    if dict(batch_df.dtypes).get(ts_col) == "bigint":  # nanos-as-long table
+    ts_dtype = dict(batch_df.dtypes).get(ts_col)
+    if ts_dtype == "bigint":  # nanos-as-long table
         ts_fix = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    elif ts_dtype == "timestamp_ntz":  # naive micros; session zone is UTC
+        ts_fix = F.col(ts_col).cast("timestamp")
     else:
         ts_fix = F.col(ts_col)
 
