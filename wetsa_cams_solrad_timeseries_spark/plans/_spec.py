@@ -31,6 +31,32 @@ def round6_sql(expr: str) -> str:
     return f"round({expr} + 1e-9, 6)"
 
 
+# Money sums: the corpus carries 2-decimal money data, so money
+# expressions (price, price*(1-disc), price*(1-disc)*(1+tax), …) have ≤6
+# exact decimal digits and cast to DECIMAL(27,6) losslessly. Summing the
+# decimals is associative-EXACT in both Spark and DuckDB, which makes the
+# aggregate independent of partitioning / join order / merge order —
+# round6 alone cannot do that once the per-group sum magnitude reaches
+# ~1e8 (double sum order variance ~1e-7+ straddles the 1e-6 rounding
+# grid; q81's bucketed SMJ reorder turned exactly this into a red driver
+# row in round 3). Also the 100-TB-right form: group sums reach 1e13+
+# there, where a double sum has NO stable 6th decimal at all.
+_MONEY_DEC = "decimal(27,6)"
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Order-independent money sum (Spark side): exact decimal internally,
+    double out so result schemas stay unchanged."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum(col.cast(_MONEY_DEC)).cast("double")
+
+
+def exact_sum_sql(expr: str) -> str:
+    """DuckDB-oracle twin of :func:`exact_sum`."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]

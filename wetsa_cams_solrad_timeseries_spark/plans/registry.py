@@ -41,18 +41,23 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Kernels rewritten in round 2 AFTER their last (round-1) driver row —
-    # their authoritative verification is stale until a fresh row lands.
-    "q32_ngram_jaccard",
-    "q33_minhash_lsh",
-    "q34_simhash",
-    "q62_minhash_dedup_verified",
-    "q31_dedup_exact",
-    # Oracles added / kernels touched in round 3.
-    "q56_ann_ivf_topk",
-    "q71_streaming_sessions",
-    "q72_dedup_clusters",
-    "q50_approx_sketches",
+    # Round 4: money sums moved to the exact-decimal path (_spec.exact_sum)
+    # after q81's round-3 hash mismatch — every query below changed kernel
+    # AND oracle this round, so their previous driver rows are stale.
+    # q81 first: it is the one that was actually red.
+    "q81_bucketed_colocated_join",
+    "q01_pricing_summary",
+    "q03_star_join_revenue",
+    "q22_local_supplier_volume",
+    "q44_cube",
+    "q45_unpivot",
+    "q47_revenue_forecast",
+    "q59_brand_share",
+    "q66_nation_trade_volume",
+    "q75_disjunctive_revenue",
+    "q76_market_share",
+    "q78_profit_by_nation",
+    "q83_salted_skew_agg",
 )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
 from wetsa_cams_solrad_timeseries_spark.functions.scalar import clean_key, null_safe_ratio
+from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum, exact_sum_sql
 
 
 # --------------------------------------------------------------------------
@@ -35,25 +36,25 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity") + F.lit(1e-9), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice") + F.lit(1e-9), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price) + F.lit(1e-9), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))) + F.lit(1e-9), 6).alias("sum_charge"),
+            F.round(exact_sum("l_extendedprice") + F.lit(1e-9), 6).alias("sum_base_price"),
+            F.round(exact_sum(disc_price) + F.lit(1e-9), 6).alias("sum_disc_price"),
+            F.round(exact_sum(disc_price * (1 + F.col("l_tax"))) + F.lit(1e-9), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity") + F.lit(1e-9), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice") + F.lit(1e-9), 6).alias("avg_price"),
+            F.round(exact_sum("l_extendedprice") / F.count("l_extendedprice") + F.lit(1e-9), 6).alias("avg_price"),
             F.round(F.avg("l_discount") + F.lit(1e-9), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-Q01_ORACLE = """
+Q01_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity) + 1e-9, 6)                                        AS sum_qty,
-       round(sum(l_extendedprice) + 1e-9, 6)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 6)  AS sum_charge,
+       round({exact_sum_sql('l_extendedprice')} + 1e-9, 6)                     AS sum_base_price,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount)')} + 1e-9, 6)  AS sum_disc_price,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} + 1e-9, 6)  AS sum_charge,
        round(avg(l_quantity) + 1e-9, 6)                                        AS avg_qty,
-       round(avg(l_extendedprice) + 1e-9, 6)                                   AS avg_price,
+       round({exact_sum_sql('l_extendedprice')} / count(l_extendedprice) + 1e-9, 6) AS avg_price,
        round(avg(l_discount) + 1e-9, 6)                                        AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
@@ -82,15 +83,15 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-Q03_ORACLE = """
+Q03_ORACLE = f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS revenue,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount)')} + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -487,15 +488,15 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-Q22_ORACLE = """
+Q22_ORACLE = f"""
 SELECT n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS revenue,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount)')} + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

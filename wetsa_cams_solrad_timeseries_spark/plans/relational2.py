@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum, exact_sum_sql
 
 
 # --------------------------------------------------------------------------
@@ -55,17 +56,17 @@ def q44_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice") + F.lit(1e-9), 6).alias("total_price"),
+            F.round(exact_sum("o_totalprice") + F.lit(1e-9), 6).alias("total_price"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         )
     )
 
 
-Q44_ORACLE = """
+Q44_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-9, 6) AS total_price,
+       round({exact_sum_sql('o_totalprice')} + 1e-9, 6) AS total_price,
        CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
        CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
 FROM orders
@@ -90,12 +91,12 @@ def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n_values"),
-        F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
-        F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"),
+        F.round(exact_sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+        F.round(exact_sum("value") / F.count("value") + F.lit(1e-9), 6).alias("avg_value"),
     )
 
 
-Q45_ORACLE = """
+Q45_ORACLE = f"""
 WITH long AS (
   SELECT l_orderkey, measure, value
   FROM lineitem
@@ -104,8 +105,8 @@ WITH long AS (
                                  l_discount AS discount))
 )
 SELECT measure, count(*) AS n_values,
-       round(sum(value) + 1e-9, 6) AS sum_value,
-       round(avg(value) + 1e-9, 6) AS avg_value
+       round({exact_sum_sql('value')} + 1e-9, 6) AS sum_value,
+       round({exact_sum_sql('value')} / count(value) + 1e-9, 6) AS avg_value
 FROM long GROUP BY measure
 """
 
@@ -159,14 +160,14 @@ def q47_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(1e-9), 6).alias("revenue"),
+            F.round(exact_sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-Q47_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 6) AS revenue,
+Q47_ORACLE = f"""
+SELECT round({exact_sum_sql('l_extendedprice * l_discount')} + 1e-9, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -598,20 +599,22 @@ def q59_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
     return joined.agg(
         F.round(
-            F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev) * 100.0 + F.lit(1e-9),
+            exact_sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0)))
+            / exact_sum(rev) * 100.0 + F.lit(1e-9),
             6,
         ).alias("brand1_share_pct"),
-        F.round(F.sum(rev) + F.lit(1e-9), 6).alias("total_revenue"),
+        F.round(exact_sum(rev) + F.lit(1e-9), 6).alias("total_revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
-Q59_ORACLE = """
-SELECT round(sum(CASE WHEN p_brand = 'Brand#1'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)) * 100.0 + 1e-9, 6) AS brand1_share_pct,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS total_revenue,
+_Q59_BRAND_REV = (
+    "CASE WHEN p_brand = 'Brand#1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+)
+Q59_ORACLE = f"""
+SELECT round({exact_sum_sql(_Q59_BRAND_REV)}
+             / {exact_sum_sql('l_extendedprice * (1 - l_discount)')} * 100.0 + 1e-9, 6) AS brand1_share_pct,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount)')} + 1e-9, 6) AS total_revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
@@ -689,16 +692,16 @@ def q66_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("volume"),
+            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-Q66_ORACLE = """
+Q66_ORACLE = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS volume,
+       round({exact_sum_sql('l_extendedprice * (1 - l_discount)')} + 1e-9, 6) AS volume,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

@@ -9,7 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
-from wetsa_cams_solrad_timeseries_spark.plans._spec import round6, round6_sql
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum,
+    exact_sum_sql,
+    round6,
+    round6_sql,
+)
 
 
 # --------------------------------------------------------------------------
@@ -73,7 +78,7 @@ def q75_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (F.col("l_quantity").between(20, 50)))
     )
     return j.filter(clause).agg(
-        round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        round6(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_items"),
@@ -81,7 +86,7 @@ def q75_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q75_ORACLE = f"""
-SELECT {round6_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+SELECT {round6_sql(exact_sum_sql('l_extendedprice * (1 - l_discount)'))} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -127,10 +132,10 @@ def q76_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             round6(
-                F.sum(F.when(F.col("supp_nation") == "BRAZIL", vol).otherwise(0.0))
-                / F.sum(vol)
+                exact_sum(F.when(F.col("supp_nation") == "BRAZIL", vol).otherwise(0.0))
+                / exact_sum(vol)
             ).alias("mkt_share"),
-            round6(F.sum(vol)).alias("region_revenue"),
+            round6(exact_sum(vol)).alias("region_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -151,8 +156,8 @@ WITH j AS (
   WHERE r_name = 'AMERICA'
 )
 SELECT o_year,
-       {round6_sql("sum(CASE WHEN supp_nation = 'BRAZIL' THEN vol ELSE 0.0 END) / sum(vol)")} AS mkt_share,
-       {round6_sql('sum(vol)')} AS region_revenue,
+       {round6_sql(exact_sum_sql("CASE WHEN supp_nation = 'BRAZIL' THEN vol ELSE 0.0 END") + " / " + exact_sum_sql("vol"))} AS mkt_share,
+       {round6_sql(exact_sum_sql('vol'))} AS region_revenue,
        count(*) AS n_items
 FROM j
 GROUP BY o_year
@@ -193,7 +198,7 @@ def q78_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            round6(F.sum(amount)).alias("sum_profit"),
+            round6(exact_sum(amount)).alias("sum_profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -202,7 +207,7 @@ def q78_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q78_ORACLE = f"""
 SELECT n_name AS nation,
        year(o_orderdate) AS o_year,
-       {round6_sql('sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity)')} AS sum_profit,
+       {round6_sql(exact_sum_sql('l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity'))} AS sum_profit,
        count(*) AS n_items
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
@@ -379,14 +384,14 @@ def q81_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.groupBy("o_orderstatus").agg(
-        round6(F.sum(rev)).alias("revenue"),
+        round6(exact_sum(rev)).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 Q81_ORACLE = f"""
 SELECT o_orderstatus,
-       {round6_sql('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       {round6_sql(exact_sum_sql('l_extendedprice * (1 - l_discount)'))} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
@@ -409,11 +414,17 @@ def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     recombined as sum÷count) — exactly the set that decomposes."""
     from wetsa_cams_solrad_timeseries_spark.operators.skew import salted_aggregate
 
-    ev = table(spark, sf_dir, "events")
+    # Salting deliberately REORDERS the partial sums, so the money sum
+    # goes through the exact-decimal path (cast before the operator; the
+    # decimal sum is associative-exact, see _spec.exact_sum) — avg is
+    # recombined from the exact sum instead of requested from the op.
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(27,6)")
+    )
     out = salted_aggregate(
         ev,
         ["event_type"],
-        {"value": ("sum", "count", "min", "max", "avg")},
+        {"value": ("sum", "count", "min", "max")},
         n_salts=16,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -422,23 +433,24 @@ def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "salted aggregation planned without the salt phase — the "
             "two-phase skew path is not in the executed plan"
         )
+    sum_dbl = F.col("sum_value").cast("double")
     return out.select(
         "event_type",
-        round6("sum_value").alias("sum_value"),
+        round6(sum_dbl).alias("sum_value"),
         F.col("count_value").alias("n_events"),
-        F.col("min_value").alias("min_value"),
-        F.col("max_value").alias("max_value"),
-        round6("avg_value").alias("avg_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        round6(sum_dbl / F.col("count_value")).alias("avg_value"),
     )
 
 
 Q83_ORACLE = f"""
 SELECT event_type,
-       {round6_sql('sum(value)')} AS sum_value,
+       {round6_sql(exact_sum_sql('value'))} AS sum_value,
        count(value) AS n_events,
        min(value) AS min_value,
        max(value) AS max_value,
-       {round6_sql('sum(value) / count(value)')} AS avg_value
+       {round6_sql(exact_sum_sql('value') + ' / count(value)')} AS avg_value
 FROM events
 GROUP BY event_type
 """
