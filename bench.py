@@ -60,21 +60,24 @@ def main() -> None:
         else:
             per_query[name] = round(best, 3)
             total += best
-    payload = json.dumps(
-        {
-            "metric": "total_query_time",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": per_query,
-            "sf": sf,
-            "n_queries": len(per_query),
-        }
+    meta = {
+        "metric": "total_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+    }
+    # Stdout line for the driver AND an on-disk copy. The driver captures a
+    # bounded stdout TAIL (~3 KB): with 77 long query names the full dict
+    # overflowed it twice (BENCH_r02/r03 recorded parsed: null), so stdout
+    # gets SHORT keys (the unique qNN prefix) and compact separators —
+    # ~2 KB — while BENCH_LOCAL.json keeps the full names as the
+    # authoritative record.
+    short = {name.split("_", 1)[0]: v for name, v in per_query.items()}
+    print(
+        json.dumps({**meta, "queries": short}, separators=(",", ":"))
     )
-    # Stdout line for the driver AND an on-disk copy: the driver captures a
-    # bounded stdout TAIL, and a long per-query dict once pushed the front
-    # of the JSON line off that window (BENCH_r02 recorded parsed: null).
-    # The file is the authoritative record either way.
-    print(payload)
+    payload = json.dumps({**meta, "queries": per_query})
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )

@@ -51,13 +51,21 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     Already-TimestampType columns pass through untouched.
     """
     for field in df.schema.fields:
-        if field.name != col:
-            continue
-        if isinstance(field.dataType, T.LongType):
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-        elif isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        if field.name == col:
+            df = df.withColumn(col, ts_fix_expr(field.dataType.simpleString(), col))
     return df
+
+
+def ts_fix_expr(ts_dtype: str | None, col: str = "ts") -> F.Column:
+    """The single physical-shape dispatch behind :func:`normalize_ts`,
+    exposed for the streaming readers (which must declare a schema up
+    front and so dispatch on the BATCH-peeked dtype string rather than a
+    DataFrame). One helper, one place to add a third physical shape."""
+    if ts_dtype == "bigint":  # nanos-as-long table
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    if ts_dtype == "timestamp_ntz":  # naive micros; session zone is UTC
+        return F.col(col).cast("timestamp")
+    return F.col(col)
 
 
 def table(

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
 from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
     drain_checkpoint_dir,
     drain_partitions,
@@ -58,7 +59,13 @@ def streaming_distinct(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    deduped = reader.parquet(directory).select(*keys).dropDuplicates(keys)
+    src = reader.parquet(directory)
+    if "ts" in keys:
+        # A ts dedup key must stream the NORMALIZED timestamp, or the raw
+        # physical values (bigint nanos / timestamp_ntz) would mismatch
+        # any batch oracle built on normalize_ts'd reads.
+        src = src.withColumn("ts", ts_fix_expr(dict(batch_df.dtypes).get("ts")))
+    deduped = src.select(*keys).dropDuplicates(keys)
 
     name = f"dedup_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):

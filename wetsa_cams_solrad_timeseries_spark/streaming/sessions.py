@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
+
 OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
@@ -113,13 +115,7 @@ def streaming_sessions(
     import os
 
     batch_df = spark.read.parquet(parquet_path)
-    ts_dtype = dict(batch_df.dtypes).get("ts")
-    if ts_dtype == "bigint":  # nanos-as-long table
-        ts_fix = F.timestamp_micros(F.expr("ts div 1000"))
-    elif ts_dtype == "timestamp_ntz":  # naive micros; session zone is UTC
-        ts_fix = F.col("ts").cast("timestamp")
-    else:
-        ts_fix = F.col("ts")
+    ts_fix = ts_fix_expr(dict(batch_df.dtypes).get("ts"))
     directory, filename = os.path.split(parquet_path.rstrip("/"))
     reader = spark.readStream.schema(batch_df.schema).option(
         "pathGlobFilter", filename

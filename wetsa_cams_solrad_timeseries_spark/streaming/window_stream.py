@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
+
 
 def streaming_tumbling_agg(
     spark: SparkSession,
@@ -40,13 +42,7 @@ def streaming_tumbling_agg(
     because streaming sources require a declared schema.
     """
     batch_df = spark.read.parquet(parquet_path)
-    ts_dtype = dict(batch_df.dtypes).get(ts_col)
-    if ts_dtype == "bigint":  # nanos-as-long table
-        ts_fix = F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-    elif ts_dtype == "timestamp_ntz":  # naive micros; session zone is UTC
-        ts_fix = F.col(ts_col).cast("timestamp")
-    else:
-        ts_fix = F.col(ts_col)
+    ts_fix = ts_fix_expr(dict(batch_df.dtypes).get(ts_col), ts_col)
 
     # The file stream source wants a DIRECTORY; scope a shared directory to
     # this table's file(s) with pathGlobFilter.
