@@ -187,3 +187,41 @@ def test_streaming_distinct_single_batch_raises(spark, sf_dir, tmp_path):
             max_files_per_trigger=1,
             require_multi_batch=True,
         )
+
+
+def test_ttl_eviction_boundaries(spark, sf_dir):
+    """State GC fires exactly per the TTL rule: an infinite TTL evicts
+    nobody; a zero TTL evicts every user except those whose last event
+    IS the stream's final watermark instant; evicted totals equal the
+    batch aggregation for those users."""
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table as _table
+    from wetsa_cams_solrad_timeseries_spark.streaming.ttl import (
+        streaming_ttl_evictions,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    ev = _table(spark, sf_dir, "events")
+
+    # TTL beyond the stream span: no deadline can precede the watermark.
+    none_evicted = streaming_ttl_evictions(spark, path, ttl_ms=10**15)
+    assert none_evicted.count() == 0
+
+    # TTL=0: deadline is the user's own last-event ms — strictly below
+    # the final watermark for everyone except the max-ts holder(s).
+    all_but_last = streaming_ttl_evictions(spark, path, ttl_ms=0)
+    wm_ms = ev.agg(
+        (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("wm")
+    ).first()["wm"]
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("last_ms"),
+        )
+        .filter(F.col("last_ms") < wm_ms)
+    )
+    got = {(r["user_id"], r["n_events"]) for r in all_but_last.collect()}
+    want = {(r["user_id"], r["n_events"]) for r in expected.collect()}
+    assert got == want and len(got) > 0

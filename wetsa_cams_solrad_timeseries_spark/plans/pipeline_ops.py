@@ -1,0 +1,237 @@
+"""Training-data pipeline operators (round 4): deterministic dataset
+splitting, stratified sampling, n-gram vocabulary statistics, and keyed
+state-store GC — the data-curation surface a 100 TB LLM corpus pipeline
+needs beyond dedup/similarity (llm_ops.py, vector.py).
+
+All four follow the engine-wide determinism rules (_spec docstring):
+hash-derived orderings use md5 hex strings (bit-identical in Spark and
+DuckDB, binary collation both), integer sums CAST to BIGINT in the
+oracle (DuckDB sums to HUGEINT), float aggregates round via the nudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.plans._spec import round6_sql
+
+
+# --------------------------------------------------------------------------
+# q86 — deterministic train/val/test hash split
+# --------------------------------------------------------------------------
+def q86_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable dataset splitting: bucket = first hex char of
+    md5(doc_id) → train (0-b, 12/16), val (c-d), test (e-f). The split is
+    a pure per-row map (no shuffle until the 3-group rollup), reproducible
+    across engines/runs/cluster sizes, and stable under corpus growth —
+    adding documents never moves an existing one between splits (the
+    property random() splits lack). Scan-bound at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+Q86_ORACLE = """
+WITH tagged AS (
+  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM tagged
+GROUP BY split
+"""
+
+
+# --------------------------------------------------------------------------
+# q87 — stratified deterministic sample (k per stratum, hash order)
+# --------------------------------------------------------------------------
+_SAMPLE_K = 10
+
+
+def q87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 documents per language, chosen as the k smallest md5(doc_id)
+    per stratum — a deterministic uniform sample (md5 order is
+    independent of any data column).
+
+    Scale shape: the q50 two-stage bounded-k selection, not a per-stratum
+    global sort. Stage 1 (mapInPandas, map-side, zero shuffle) keeps each
+    Arrow batch's k smallest hashes per stratum — a row outside its
+    batch's bottom-k cannot be in the global bottom-k. Stage 2 ranks the
+    ≤ partitions·k survivors per stratum with a window over a provably
+    bounded set. A hot stratum (one language owning most of 100 TB)
+    therefore never funnels its full row set through one reducer."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hashed = docs.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.sort_values(["h", "doc_id"])
+                .groupby("lang", group_keys=False)
+                .head(_SAMPLE_K)
+            )
+
+    survivors = hashed.mapInPandas(
+        bottom_k, schema="doc_id long, lang string, h string"
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+Q87_ORACLE = f"""
+SELECT doc_id, lang, rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# q88 — corpus bigram vocabulary (top-k n-grams)
+# --------------------------------------------------------------------------
+_NGRAM_TOPK = 25
+
+
+def q88_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word bigrams corpus-wide with deterministic tie-break — the
+    vocabulary-building / n-gram-LM statistics pass. Explode + count is
+    the map-side-combinable form (partial counts per partition, one
+    shuffle on the bigram key); the final top-k ranks the (small)
+    aggregated side only, never the exploded fact set."""
+    docs = table(spark, sf_dir, "documents")
+    with_words = docs.select(F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = with_words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _NGRAM_TOPK)
+        .select("bigram", "cnt", "rn")
+    )
+
+
+Q88_ORACLE = f"""
+WITH words AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS bigram
+  FROM words
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT bigram, count(*) AS cnt FROM bigrams GROUP BY bigram
+)
+SELECT bigram, cnt, rn
+FROM (
+  SELECT bigram, cnt,
+         row_number() OVER (ORDER BY cnt DESC, bigram) AS rn
+  FROM counts
+)
+WHERE rn <= {_NGRAM_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q89 — streaming TTL eviction (state-store GC)
+# --------------------------------------------------------------------------
+_TTL_MS = 6 * 3600 * 1000  # 6 h idle → evict
+
+
+def q89_streaming_ttl_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming state with a TTL: users idle > 6 h behind the
+    watermark are EVICTED — final totals emitted exactly once via
+    EventTimeTimeout, state cleared (streaming/ttl.py). Emitted rows are
+    produced ONLY by the timeout path, so the result being a strict,
+    non-empty subset of users proves the GC executed and that active
+    keys were retained; the fn raises otherwise. Bounds state to keys
+    active within the TTL window — the unbounded-stream requirement the
+    NoTimeout operator (q53) does not meet."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.ttl import (
+        streaming_ttl_evictions,
+    )
+
+    out = streaming_ttl_evictions(
+        spark, f"{sf_dir}/events.parquet", ttl_ms=_TTL_MS
+    )
+    n_evicted = out.count()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    if not 0 < n_evicted < n_users:
+        raise RuntimeError(
+            f"TTL eviction degenerate: {n_evicted} evicted of {n_users} "
+            "users — the timeout/GC path did not run as a strict subset"
+        )
+    return out
+
+
+# Eviction rule mirrored from the operator (q71's ms-truncation
+# convention): deadline_ms = floor(epoch_us(last event)/1000) + ttl_ms
+# fires iff strictly below the final watermark floor(epoch_us(max ts)/1000).
+Q89_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         {round6_sql('sum(value)')} AS sum_value,
+         max(ts) AS last_ts
+  FROM events
+  GROUP BY user_id
+),
+wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events)
+SELECT user_id, n_events, sum_value, last_ts
+FROM per_user CROSS JOIN wm
+WHERE (epoch_us(last_ts) // 1000) + {_TTL_MS} < wm_ms
+"""
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q86_hash_split", q86_hash_split, Q86_ORACLE, (), "deterministic hash split"),
+        ("q87_stratified_sample", q87_stratified_sample, Q87_ORACLE, (), "stratified bounded-k sample"),
+        ("q88_bigram_topk", q88_bigram_topk, Q88_ORACLE, (), "n-gram vocabulary top-k"),
+        ("q89_streaming_ttl_eviction", q89_streaming_ttl_eviction, Q89_ORACLE, (), "streaming state TTL/GC"),
+    ]
+)

@@ -30,6 +30,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     timeseries,
     llm_ops,
     vector,
+    pipeline_ops,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -89,7 +90,15 @@ def _previously_covered() -> frozenset[str]:
 
 def _collect() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, relational3, timeseries, llm_ops, vector):
+    for mod in (
+        relational,
+        relational2,
+        relational3,
+        timeseries,
+        llm_ops,
+        vector,
+        pipeline_ops,
+    ):
         merged.update(mod.SPECS)
     covered = _previously_covered()
     ordered = [name for name in _PIN_FIRST if name in merged]
