@@ -46,6 +46,41 @@ GROUP BY md5(text)
 # --------------------------------------------------------------------------
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
+
+def quality_score_expr(text: F.Column) -> F.Column:
+    """The composite quality score as a single JVM-side expression —
+    shared by q36 (per-doc metrics) and the q90 curation funnel so the
+    scoring rule has exactly one definition per engine (SQL twin:
+    :func:`quality_score_sql`). Unrounded; callers round for output."""
+    words = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(words).cast("long")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    alpha_ratio = n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
+    return (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + alpha_ratio * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+
+
+def quality_score_sql(text: str = "text") -> str:
+    """DuckDB twin of :func:`quality_score_expr` (unrounded)."""
+    n_tokens = f"len(string_split_regex(trim({text}), '\\s+'))"
+    n_stop = (
+        f"len(list_filter(string_split_regex(trim({text}), '\\s+'),"
+        f" w -> w IN {_STOP_SQL}))"
+    )
+    n_alpha = f"length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))"
+    return (
+        f"(least({n_tokens} / 100.0, 1.0) * 0.5"
+        f" + (CAST({n_alpha} AS DOUBLE) / nullif(length({text}), 0)) * 0.3"
+        f" + least((CAST({n_stop} AS DOUBLE) / nullif({n_tokens}, 0)) * 5.0, 1.0) * 0.2)"
+    )
+
+
 def q36_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: whitespace token count, BPE-ish regex
     token count, char stats, stopword ratio, and a composite quality score.
@@ -70,13 +105,7 @@ def q36_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         F.round(stop_ratio + F.lit(1e-9), 6).alias("stopword_ratio"),
         F.round(alpha_ratio + F.lit(1e-9), 6).alias("alpha_ratio"),
-        F.round(
-            (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-             + alpha_ratio * 0.3
-             + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
-             + F.lit(1e-9)),
-            6,
-        ).alias("quality_score"),
+        F.round(quality_score_expr(text) + F.lit(1e-9), 6).alias("quality_score"),
     )
 
 

@@ -139,11 +139,14 @@ def q88_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram")
     )
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition top-k,
+    # then a k-row merge on the driver — the vocabulary never funnels
+    # through a single-partition global sort. The row_number window then
+    # ranks only the k survivors.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("bigram")).limit(_NGRAM_TOPK)
     w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= _NGRAM_TOPK)
-        .select("bigram", "cnt", "rn")
+    return top.withColumn("rn", F.row_number().over(w).cast("long")).select(
+        "bigram", "cnt", "rn"
     )
 
 
@@ -225,6 +228,94 @@ WHERE (epoch_us(last_ts) // 1000) + {_TTL_MS} < wm_ms
 """
 
 
+# --------------------------------------------------------------------------
+# q90 — end-to-end curation funnel (quality → canonical dedup → split)
+# --------------------------------------------------------------------------
+_QUALITY_MIN = 0.5
+
+
+def q90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline as ONE lazy plan:
+
+    1. quality gate — composite score ≥ 0.5 (shared rule with q36,
+       llm_ops.quality_score_expr), a scan-parallel per-row filter;
+    2. canonical dedup — documents identical up to word order/repetition
+       collapse: key = md5 of the sorted distinct word set, keep the
+       smallest doc_id per key (the bag-of-words canonicalization step
+       between exact dedup (q31) and MinHash near-dup (q33));
+    3. deterministic split tag (q86's md5-bucket rule);
+    4. per-split rollup: surviving docs, chars, languages.
+
+    One scan feeds everything; the only shuffles are the dedup groupBy
+    (keyed on a 32-hex digest — uniform, skew-free at any corpus size)
+    and the 3-group rollup. Catalyst keeps the quality filter inside the
+    scan stage, so rejected documents never reach the dedup exchange."""
+    docs = table(spark, sf_dir, "documents")
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import quality_score_expr
+
+    canon_key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            ),
+            " ",
+        )
+    )
+    kept = (
+        docs.filter(quality_score_expr(F.col("text")) >= _QUALITY_MIN)
+        .withColumn("canon_key", canon_key)
+        .groupBy("canon_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+            F.min_by("lang", "doc_id").alias("lang"),
+        )
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _q90_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import quality_score_sql
+
+    return f"""
+WITH kept AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS canon_key,
+         doc_id, n_chars, lang
+  FROM documents
+  WHERE {quality_score_sql('text')} >= {_QUALITY_MIN}
+),
+dedup AS (
+  SELECT canon_key,
+         min(doc_id) AS doc_id,
+         min_by(n_chars, doc_id) AS n_chars,
+         min_by(lang, doc_id) AS lang
+  FROM kept GROUP BY canon_key
+)
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM dedup
+GROUP BY 1
+"""
+
+
+Q90_ORACLE = _q90_oracle()
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -233,5 +324,6 @@ SPECS = make_specs(
         ("q87_stratified_sample", q87_stratified_sample, Q87_ORACLE, (), "stratified bounded-k sample"),
         ("q88_bigram_topk", q88_bigram_topk, Q88_ORACLE, (), "n-gram vocabulary top-k"),
         ("q89_streaming_ttl_eviction", q89_streaming_ttl_eviction, Q89_ORACLE, (), "streaming state TTL/GC"),
+        ("q90_curation_funnel", q90_curation_funnel, Q90_ORACLE, (), "quality→dedup→split funnel"),
     ]
 )
