@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
-from wetsa_cams_solrad_timeseries_spark.plans._spec import round6_sql
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum_sql,
+    round6,
+    round6_sql,
+)
 
 
 # --------------------------------------------------------------------------
@@ -316,6 +320,140 @@ GROUP BY 1
 Q90_ORACLE = _q90_oracle()
 
 
+# --------------------------------------------------------------------------
+# q91 — partition-pruned scan over a hive-partitioned layout
+# --------------------------------------------------------------------------
+def q91_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads ONLY the matching partition directory of a hive-partitioned
+    events layout (``event_type=click/…``) — partition pruning, the
+    cheapest 100 TB lever: the filter is resolved against directory
+    metadata, so non-matching partitions are never listed, opened, or
+    scanned. The layout is written once per process per SF (same
+    lifecycle as q77's split replay input); the fn RAISES unless the
+    executed plan's PartitionFilters actually prune (so the property is
+    driver-visible, like q81's zero-Exchange assert). Aggregates go
+    through the exact-decimal sum: the rewritten layout's row order
+    differs from the source file's, which is exactly the reorder case
+    round6 alone cannot stabilize."""
+    import os
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    part_dir = os.path.join(
+        tempfile.gettempdir(), f"wetsa_events_parts_{os.getpid()}_{sf_tag}"
+    )
+    if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+        table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(part_dir)
+
+    df = (
+        spark.read.parquet(part_dir)
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(exact_sum("value")).alias("sum_value"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
+        "PartitionFilters:", 1
+    )[1].split("]", 1)[0]:
+        raise RuntimeError(
+            "partitioned scan did not prune on event_type — "
+            "PartitionFilters missing from the executed plan"
+        )
+    return df
+
+
+# DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday → +1 aligns (q48).
+Q91_ORACLE = f"""
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       count(*) AS n_events,
+       {round6_sql(exact_sum_sql('value'))} AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q92 — KMV sketch MERGE (distributed-sketch composability)
+# --------------------------------------------------------------------------
+_MERGE_K = 256
+_MERGE_SCALE = float((_MERGE_K - 1) * 4294967296)
+
+
+def q92_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches distributed-friendly: per-group
+    KMV sketches MERGE losslessly into the global estimate. Any hash in
+    the global bottom-k is, within its own group, preceded by < k smaller
+    hashes — so it survives that group's k-truncated sketch, and
+    (dedup → bottom-k) over the union of sketches reproduces the global
+    bottom-k exactly. The global estimate therefore needs only the tiny
+    per-group sketch arrays, never a re-scan — how a 1000-executor
+    rollup serves any group-combination cardinality from one pass.
+
+    Scale shape: per-batch map-side bottom-k prune (zero shuffle) bounds
+    every collect_list to ≤ partitions·k rows, as in q50/q87. The final
+    merge touches ≤ groups·k longs. Output also carries the exact
+    distinct count, so the row verifies estimate-vs-truth in one look."""
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    ev = table(spark, sf_dir, "events")
+    dh = ev.select(
+        "event_type", hash32(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+
+    def bottom_k(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield (
+                pdf.sort_values("h")
+                .groupby("event_type", group_keys=False)
+                .head(_MERGE_K)
+            )
+
+    pruned = dh.mapInPandas(bottom_k, schema="event_type string, h long")
+    sketches = pruned.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, _MERGE_K).alias("sketch")
+    )
+    merged = sketches.select(F.explode("sketch").alias("h")).distinct()
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.element_at(F.sort_array(F.collect_list("h")), _MERGE_K).alias("hk"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return agg.crossJoin(exact).select(
+        F.when(
+            F.col("n_h") >= _MERGE_K,
+            F.round(F.lit(_MERGE_SCALE) / F.col("hk") + F.lit(1e-9), 0).cast("long"),
+        )
+        .otherwise(F.col("n_h"))
+        .alias("kmv_users"),
+        "exact_users",
+    )
+
+
+Q92_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM events
+),
+stats AS (SELECT count(*) AS n_h FROM h),
+kth AS (SELECT h FROM h ORDER BY h LIMIT 1 OFFSET {_MERGE_K - 1})
+SELECT CASE WHEN stats.n_h >= {_MERGE_K}
+            THEN CAST(round({_MERGE_SCALE} / kth.h + 1e-9, 0) AS BIGINT)
+            ELSE stats.n_h END AS kmv_users,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+FROM stats LEFT JOIN kth ON true
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -325,5 +463,7 @@ SPECS = make_specs(
         ("q88_bigram_topk", q88_bigram_topk, Q88_ORACLE, (), "n-gram vocabulary top-k"),
         ("q89_streaming_ttl_eviction", q89_streaming_ttl_eviction, Q89_ORACLE, (), "streaming state TTL/GC"),
         ("q90_curation_funnel", q90_curation_funnel, Q90_ORACLE, (), "quality→dedup→split funnel"),
+        ("q91_partition_pruned_scan", q91_partition_pruned_scan, Q91_ORACLE, (), "hive-partition pruning"),
+        ("q92_sketch_merge", q92_sketch_merge, Q92_ORACLE, (), "KMV sketch mergeability"),
     ]
 )
