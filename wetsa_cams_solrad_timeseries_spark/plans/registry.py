@@ -59,6 +59,9 @@ _PIN_FIRST = (
     "q76_market_share",
     "q78_profit_by_nation",
     "q83_salted_skew_agg",
+    # Top-k re-planned to TakeOrderedAndProject in round 4.
+    "q21_shipping_priority",
+    "q65_returned_items",
 )
 
 

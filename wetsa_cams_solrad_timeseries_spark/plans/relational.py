@@ -440,10 +440,14 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"))
     )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # k-row merge) — at scale the aggregated side is every qualifying
+    # order, so a global window-rank single-partition sort is the wrong
+    # shape; the row_number then ranks only the 10 survivors.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
-        agg.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 10)
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rn")
     )
 

@@ -641,11 +641,11 @@ def q65_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_returned_items"),
         )
     )
+    # TakeOrderedAndProject shape (see q21/q88): rank only the 20
+    # survivors, never single-partition-sort the full aggregated side.
+    top = agg.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 20)
-    )
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 Q65_ORACLE = """
