@@ -11,6 +11,8 @@ oracle (DuckDB sums to HUGEINT), float aggregates round via the nudge.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -20,6 +22,8 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     round6,
     round6_sql,
 )
+
+_PROC_TOKEN = uuid.uuid4().hex[:12]
 
 
 # --------------------------------------------------------------------------
@@ -341,8 +345,10 @@ def q91_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # Process-unique token, not the pid: /tmp outlives the process and a
+    # recycled pid would reuse a stale layout via the _SUCCESS gate.
     part_dir = os.path.join(
-        tempfile.gettempdir(), f"wetsa_events_parts_{os.getpid()}_{sf_tag}"
+        tempfile.gettempdir(), f"wetsa_events_parts_{_PROC_TOKEN}_{sf_tag}"
     )
     if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
         table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(

@@ -5,6 +5,8 @@ customers (Q18), disjunctive predicate pushdown (Q19), and market share
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +17,8 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     round6,
     round6_sql,
 )
+
+_PROC_TOKEN = uuid.uuid4().hex[:12]
 
 
 # --------------------------------------------------------------------------
@@ -360,7 +364,11 @@ def q81_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
-    lt, ot = f"wetsa_b_li_{tag}_{os.getpid()}", f"wetsa_b_o_{tag}_{os.getpid()}"
+    # Process-unique token, NOT the pid: the warehouse dir outlives the
+    # process (driver runs leave ./spark-warehouse behind), and a recycled
+    # pid would make tableExists() skip the write and read a stale table.
+    lt = f"wetsa_b_li_{tag}_{_PROC_TOKEN}"
+    ot = f"wetsa_b_o_{tag}_{_PROC_TOKEN}"
     try:
         if not spark.catalog.tableExists(lt):
             write_bucketed(li, lt, "l_orderkey", n_buckets=16)

@@ -487,6 +487,9 @@ GROUP BY user_id
 # --------------------------------------------------------------------------
 # Shared multi-file replay input for the cross-batch streaming queries
 # --------------------------------------------------------------------------
+_SPLIT_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
 def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     """Materialize the (single-file) events table as ``n_files`` parquet
     files so ``maxFilesPerTrigger=1`` yields one micro-batch per file.
@@ -495,8 +498,10 @@ def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     import tempfile
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # Process-unique token, not the pid: /tmp outlives the process and a
+    # recycled pid would reuse a stale split via the _SUCCESS gate.
     split_dir = os.path.join(
-        tempfile.gettempdir(), f"wetsa_events_split_{os.getpid()}_{sf_tag}"
+        tempfile.gettempdir(), f"wetsa_events_split_{_SPLIT_TOKEN}_{sf_tag}"
     )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
