@@ -460,6 +460,48 @@ FROM stats LEFT JOIN kth ON true
 """
 
 
+# --------------------------------------------------------------------------
+# q93 — per-label embedding centroids (class-centroid training op)
+# --------------------------------------------------------------------------
+def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per label in DIMENSION-MAJOR form: posexplode →
+    one hash aggregate on (label, pos). The combiner-friendly layout for
+    vector aggregation at scale — map-side partials hold one running
+    (sum, count) per (label, dim) instead of whole vectors, the shuffle
+    carries labels·dim scalars, and no executor materializes a per-group
+    vector list (the collect_list anti-pattern). Output stays flat
+    (label, pos, centroid_val) so the cross-engine hash compares scalars,
+    not nested arrays; a consumer needing array form sorts + collects the
+    64 rows per label."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        flat.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            round6(F.avg("v")).alias("centroid_val"),
+        )
+    )
+
+
+Q93_ORACLE = f"""
+WITH flat AS (
+  SELECT label, t.i AS pos, embedding[t.i] AS v
+  FROM embeddings
+  CROSS JOIN (
+    SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i
+  ) t
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       count(*) AS n_vectors,
+       {round6_sql('avg(v)')} AS centroid_val
+FROM flat
+GROUP BY label, pos
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -471,5 +513,6 @@ SPECS = make_specs(
         ("q90_curation_funnel", q90_curation_funnel, Q90_ORACLE, (), "quality→dedup→split funnel"),
         ("q91_partition_pruned_scan", q91_partition_pruned_scan, Q91_ORACLE, (), "hive-partition pruning"),
         ("q92_sketch_merge", q92_sketch_merge, Q92_ORACLE, (), "KMV sketch mergeability"),
+        ("q93_label_centroids", q93_label_centroids, Q93_ORACLE, (), "per-label embedding centroids"),
     ]
 )
