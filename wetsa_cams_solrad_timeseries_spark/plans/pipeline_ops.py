@@ -502,6 +502,64 @@ GROUP BY label, pos
 """
 
 
+# --------------------------------------------------------------------------
+# q94 — OHLC resample (ordered first/last aggregation per time bucket)
+# --------------------------------------------------------------------------
+def q94_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open/high/low/close per event type — the downsampling shape
+    tumbling means (q02) cannot express, because open/close are
+    ORDER-dependent aggregates. One window over (type, day) ordered by
+    (ts, event_id) serves every statistic: first/last value by event
+    time plus frame-wide min/max/count, then the rn=1 row per bucket is
+    kept. Single shuffle on the bucket key, per-bucket sort bounded by
+    bucket size — the same cost envelope as the plain bucket aggregate.
+    The event_id tie-break makes duplicate timestamps deterministic in
+    both engines."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_type",
+            "day",
+            F.row_number().over(w).alias("rn"),
+            F.first("value").over(w).alias("open"),
+            F.last("value").over(wfull).alias("close"),
+            F.min("value").over(wfull).alias("low"),
+            F.max("value").over(wfull).alias("high"),
+            F.count(F.lit(1)).over(wfull).alias("n_events"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+Q94_ORACLE = """
+SELECT event_type, day, open, close, low, high, n_events
+FROM (
+  SELECT event_type,
+         -- DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         row_number() OVER win AS rn,
+         first_value(value) OVER win AS open,
+         last_value(value) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS close,
+         min(value) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS low,
+         max(value) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS high,
+         count(*) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS n_events
+  FROM events
+  WINDOW win AS (PARTITION BY event_type, date_trunc('day', ts)
+                 ORDER BY ts, event_id)
+)
+WHERE rn = 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -514,5 +572,6 @@ SPECS = make_specs(
         ("q91_partition_pruned_scan", q91_partition_pruned_scan, Q91_ORACLE, (), "hive-partition pruning"),
         ("q92_sketch_merge", q92_sketch_merge, Q92_ORACLE, (), "KMV sketch mergeability"),
         ("q93_label_centroids", q93_label_centroids, Q93_ORACLE, (), "per-label embedding centroids"),
+        ("q94_ohlc_resample", q94_ohlc_resample, Q94_ORACLE, (), "OHLC ordered resample"),
     ]
 )
