@@ -257,6 +257,55 @@ def test_distributed_fetch_error_isolation(spark, tmp_path):
     assert res[res.ok]["output_path"].notna().all()
 
 
+def test_default_cds_fetch_builds_reference_request(tmp_path):
+    """The default cdsapi-backed fetch_fn issues the reference's retrieve
+    call (get-cams-solrad-ts.py:127,148-159): dataset name, request dict
+    field-for-field, and the raw_1min_{station}_{sky} output naming —
+    asserted against a mocked client, no network."""
+    from wetsa_cams_solrad_timeseries_spark.pipelines.ingest import (
+        CAMS_DATASET,
+        cams_request,
+        make_cds_fetch_fn,
+    )
+
+    calls = []
+
+    class FakeClient:
+        def retrieve(self, dataset, request, target):
+            calls.append((dataset, request, target))
+
+    fetch = make_cds_fetch_fn(
+        str(tmp_path),
+        date_range="2024-01-01/2024-03-31",
+        client_factory=FakeClient,
+    )
+    task = {
+        "station": "Mount Top/1",  # sanitizer must neutralize the slash
+        "sky_type": "observed_cloud",
+        "latitude": -6.9,
+        "longitude": 107.6,
+        "elevation": 791,
+    }
+    path = fetch(task)
+
+    assert len(calls) == 1
+    dataset, request, target = calls[0]
+    assert dataset == CAMS_DATASET == "cams-solar-radiation-timeseries"
+    assert request == {
+        "sky_type": "observed_cloud",
+        "location": {"latitude": -6.9, "longitude": 107.6},
+        "altitude": "791",  # reference passes altitude as str(elevation)
+        "date": "2024-01-01/2024-03-31",
+        "time_step": "1minute",
+        "time_reference": "universal_time",
+        "format": "csv_expert",
+    }
+    assert target == path
+    assert path.endswith("raw_1min_Mount_Top_1_observed_cloud.csv")
+    # Builder is reusable standalone (per-task request parity).
+    assert cams_request(task)["date"] == "2024-01-01/2024-12-31"
+
+
 def test_cf_metadata_on_schema(spark, tmp_path):
     from wetsa_cams_solrad_timeseries_spark.sinks.netcdf import (
         CF_VAR_ATTRS,

@@ -52,10 +52,79 @@ BUDGETS = [
     ("q87_stratified_sample", 1, [], []),
     # Windowed analytics reuse one partitioning.
     ("q43_analytic_windows", 1, [], []),
+    # Exact near-dup verification: block-pair explode + one hash
+    # partitioning on (ba, bb) — never a cartesian/nested-loop join, never
+    # a corpus broadcast (compute is quadratic by problem statement; the
+    # PLAN must stay shuffle-linear).
+    ("q40_embedding_neardup", 1, ["FlatMapGroupsInPandas"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # Anti/semi joins stay broadcast at dimension scale.
     ("q19_anti_join", 1, ["Broadcast"], ["CartesianProduct"]),
     ("q20_semi_join", 1, ["Broadcast"], ["CartesianProduct"]),
 ]
+
+
+# --------------------------------------------------------------------------
+# Broadcast-hint scale gate: SF-scaling tables (customer / supplier / part)
+# must NOT carry an unconditional F.broadcast hint — AQE can promote a
+# shuffle join to broadcast at runtime but can never demote a user hint, so
+# a hinted customer join OOMs at 100x. maybe_broadcast drops the hint when
+# Catalyst's size estimate exceeds the session threshold. Emulate "the
+# table outgrew the threshold" by disabling it, then assert the only
+# broadcasts left are the scale-invariant dims (nation=25 / region=5).
+# --------------------------------------------------------------------------
+
+# (query, expected BroadcastHashJoin count with threshold disabled)
+_SCALE_GATED = [
+    ("q21_shipping_priority", 0),
+    ("q22_local_supplier_volume", 2),   # nation, region
+    ("q57_event_enrichment", 2),        # nation, region
+    ("q65_returned_items", 0),
+    ("q66_nation_trade_volume", 2),     # nation x2
+    ("q74_large_volume_customers", 0),
+    ("q76_market_share", 3),            # nation x2, region-nation semi
+]
+
+
+@pytest.mark.parametrize("name,n_bhj", _SCALE_GATED)
+def test_no_forced_broadcast_of_scaling_tables(spark, name, n_bhj):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES[name].fn(spark, SF))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    got = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert got == n_bhj, (
+        f"{name}: {got} BroadcastHashJoin (expected {n_bhj} — only "
+        f"scale-invariant dims may stay hinted when the size gate trips)\n"
+        f"{plan[:2000]}"
+    )
+    # The large-side joins must have fallen back to a shuffle strategy.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+
+
+def test_maybe_broadcast_gate(spark):
+    """maybe_broadcast hints under the threshold, is identity above it."""
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import maybe_broadcast
+
+    cu = table(spark, SF, "customer")
+    assert maybe_broadcast(cu) is not cu  # small at sf0.001 -> hinted
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        assert maybe_broadcast(cu) is cu  # over threshold -> unhinted
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert maybe_broadcast(cu) is cu  # disabled -> unhinted
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 @pytest.mark.parametrize("name,max_ex,required,forbidden", BUDGETS)

@@ -36,6 +36,82 @@ from wetsa_cams_solrad_timeseries_spark.sources.expert_csv import read_expert_cs
 
 SKY_TYPES = ("clear", "observed_cloud")
 
+# The CAMS dataset the reference downloads (get-cams-solrad-ts.py:17).
+CAMS_DATASET = "cams-solar-radiation-timeseries"
+_DEFAULT_DATE_RANGE = "2024-01-01/2024-12-31"
+
+
+def cams_request(
+    task: dict,
+    date_range: str = _DEFAULT_DATE_RANGE,
+    time_step: str = "1minute",
+) -> dict:
+    """The documented CDS request dict for one (station × sky_type) task —
+    field-for-field the reference's request (get-cams-solrad-ts.py:148-156):
+    sky type, lat/lon location, altitude as a string, date range, 1-minute
+    step, universal-time reference, expert-CSV format."""
+    return {
+        "sky_type": task["sky_type"],
+        "location": {
+            "latitude": float(task["latitude"]),
+            "longitude": float(task["longitude"]),
+        },
+        "altitude": str(task["elevation"]),
+        "date": date_range,
+        "time_step": time_step,
+        "time_reference": "universal_time",
+        "format": "csv_expert",
+    }
+
+
+def make_cds_fetch_fn(
+    out_dir: str,
+    date_range: str = _DEFAULT_DATE_RANGE,
+    client_factory: Callable[[], object] | None = None,
+) -> Callable[[dict], str]:
+    """Default EP1 ``fetch_fn``: a cdsapi-backed fetch closing over only
+    plain strings, so it ships to executors without dragging session state
+    (reference call: ``cdsapi.Client().retrieve(CAMS_DATASET, request,
+    raw_file)`` at get-cams-solrad-ts.py:127,159).
+
+    The ``cdsapi`` import is deferred into the task body and guarded —
+    the package (public PyPI) and its ``~/.cdsapirc`` credentials must be
+    present on the EXECUTORS, and a missing install surfaces as a per-task
+    error row, not a job failure. ``client_factory`` injects a mock for
+    tests; by default each task builds its own ``cdsapi.Client`` (the
+    client is not picklable, so per-task construction is also the only
+    shape that fan-outs across executors). Output naming matches the
+    reference (``raw_1min_{station}_{sky_type}.csv``) and is idempotent:
+    a retried task overwrites its own file.
+    """
+    import os
+
+    from wetsa_cams_solrad_timeseries_spark.functions.scalar import (
+        sanitize_filename_str,
+    )
+
+    def fetch(task: dict) -> str:
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            try:
+                import cdsapi
+            except ImportError as ex:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "cdsapi is not installed; `pip install cdsapi` on the "
+                    "executors (and configure ~/.cdsapirc) or inject a "
+                    "custom fetch_fn"
+                ) from ex
+            client = cdsapi.Client()
+        safe = sanitize_filename_str(task["station"])
+        raw_file = os.path.join(
+            out_dir, f"raw_1min_{safe}_{task['sky_type']}.csv"
+        )
+        client.retrieve(CAMS_DATASET, cams_request(task, date_range), raw_file)
+        return raw_file
+
+    return fetch
+
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("station", T.StringType()),
@@ -130,7 +206,7 @@ def aggregate_to_10min(
 def run_ingest(
     spark: SparkSession,
     locations_path: str,
-    fetch_fn: Callable[[dict], str],
+    fetch_fn: Callable[[dict], str] | None,
     out_dir: str,
     sky_types=SKY_TYPES,
 ) -> DataFrame:
@@ -158,6 +234,8 @@ def run_ingest(
     from wetsa_cams_solrad_timeseries_spark.operators.filters import require_columns
     from wetsa_cams_solrad_timeseries_spark.pipelines.compile import read_locations
 
+    if fetch_fn is None:
+        fetch_fn = make_cds_fetch_fn(out_dir)
     locations = read_locations(spark, locations_path)
     require_columns(locations, ["latitude", "longitude", "elevation", "station"])
     results = distributed_fetch(fetch_tasks(locations, sky_types), fetch_fn)

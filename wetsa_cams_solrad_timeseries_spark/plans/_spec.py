@@ -57,6 +57,49 @@ def exact_sum_sql(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Session autoBroadcastJoinThreshold in bytes (-1 disables)."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        pass
+    try:
+        return int(spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw))
+    except Exception:
+        return 10 * 1024 * 1024
+
+
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Size-gated broadcast hint for SF-scaling tables.
+
+    AQE can *promote* a shuffle join to broadcast at runtime when the
+    built side turns out small, but it can never *demote* an explicit
+    ``F.broadcast`` hint — so hard-hinting a table that grows with scale
+    factor (customer: 150k rows x SF, supplier: 10k x SF, part: 200k x
+    SF) is an executor OOM at 100x even though it is fast and green at
+    test SFs. This helper consults Catalyst's own size estimate for the
+    frame and hints only when it fits the session broadcast threshold;
+    above it (or when the threshold is disabled) the frame is returned
+    unhinted and the threshold + AQE pick the join strategy at runtime.
+
+    Use ``F.broadcast`` directly only for frames whose cardinality is
+    scale-invariant by construction (nation=25, region=5, literal
+    frames, 1-row aggregates); use ``maybe_broadcast`` for every hint on
+    a table that scales with the corpus.
+    """
+    spark = df.sparkSession
+    threshold = _broadcast_threshold_bytes(spark)
+    if threshold <= 0:
+        return df
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= threshold else df
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
 from wetsa_cams_solrad_timeseries_spark.functions.scalar import clean_key, null_safe_ratio
-from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum, exact_sum_sql
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum,
+    exact_sum_sql,
+    maybe_broadcast,
+)
 
 
 # --------------------------------------------------------------------------
@@ -78,7 +82,7 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -436,7 +440,7 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu), o.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"))
     )
@@ -476,8 +480,11 @@ WHERE rn <= 10
 # q22 — local supplier volume (TPC-H Q5 shape: 5-way join, correlated keys)
 # --------------------------------------------------------------------------
 def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-way join where customer and supplier must share a nation —
-    broadcast all dimensions, single shuffle for the final aggregate."""
+    """Five-way join where customer and supplier must share a nation.
+    nation/region are hinted broadcast (scale-invariant); customer and
+    supplier go through the size-gated ``maybe_broadcast`` — they grow
+    with SF, so at 100x the hint disappears and AQE picks SMJ/broadcast
+    at runtime instead of OOMing on a forced build side."""
     cu = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -486,8 +493,8 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), (o.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(maybe_broadcast(cu), (o.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))

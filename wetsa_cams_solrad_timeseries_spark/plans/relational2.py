@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
-from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum, exact_sum_sql
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum,
+    exact_sum_sql,
+    maybe_broadcast,
+)
 
 
 # --------------------------------------------------------------------------
@@ -528,7 +532,7 @@ def q57_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region")
     return (
-        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        ev.join(maybe_broadcast(cu), ev.user_id == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), "event_type")
@@ -596,7 +600,7 @@ def q59_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pa = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    joined = li.join(maybe_broadcast(pa), li.l_partkey == pa.p_partkey)
     return joined.agg(
         F.round(
             exact_sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(F.lit(0.0)))
@@ -634,7 +638,7 @@ def q65_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     agg = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu), o.o_custkey == cu.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("lost_revenue"),
@@ -685,8 +689,8 @@ def q66_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(maybe_broadcast(cu), o.o_custkey == cu.c_custkey)
         .join(F.broadcast(n1), su.s_nationkey == F.col("supp_nk"))
         .join(F.broadcast(n2), cu.c_nationkey == F.col("cust_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -724,8 +728,8 @@ def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     su = table(spark, sf_dir, "supplier")
     pa = table(spark, sf_dir, "part")
-    priced = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).join(
-        F.broadcast(pa), li.l_partkey == pa.p_partkey
+    priced = li.join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey).join(
+        maybe_broadcast(pa), li.l_partkey == pa.p_partkey
     )
     w = Window.partitionBy("l_partkey")
     return (

@@ -14,6 +14,7 @@ from wetsa_cams_solrad_timeseries_spark.catalog import table
 from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     exact_sum,
     exact_sum_sql,
+    maybe_broadcast,
     round6,
     round6_sql,
 )
@@ -42,7 +43,7 @@ def q74_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu), o.o_custkey == cu.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
@@ -72,7 +73,7 @@ def q75_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast join on part), never a union of three scans."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
     clause = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
          & (F.col("l_quantity").between(1, 20)))
@@ -116,21 +117,28 @@ def q76_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region")
 
-    cust_region = (
-        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
-        .filter(F.col("r_name") == "AMERICA")
-        .select("c_custkey")
+    # Region filter reduced to a scale-invariant nation-key set (<=25 rows)
+    # semi-joined into customer: keeps the base-table size estimate on
+    # cust_region so maybe_broadcast can hint it at test SFs and drop the
+    # hint when customer outgrows the threshold.
+    region_nations = (
+        na.join(
+            F.broadcast(re.filter(F.col("r_name") == "AMERICA")),
+            na.n_regionkey == re.r_regionkey,
+        ).select("n_nationkey")
     )
-    supp_nation = (
-        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
+    cust_region = cu.join(
+        F.broadcast(region_nations),
+        cu.c_nationkey == region_nations.n_nationkey,
+        "left_semi",
+    ).select("c_custkey")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_region), o.o_custkey == cust_region.c_custkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(maybe_broadcast(cust_region), o.o_custkey == cust_region.c_custkey)
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .withColumn("supp_nation", F.col("n_name"))
     )
     return (
         j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -191,8 +199,8 @@ def q78_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     )
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
@@ -249,7 +257,7 @@ def q79_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(flagged, on="l_suppkey", how="left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -289,7 +297,7 @@ def q80_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").startswith("small"))
         .select("p_partkey")
     )
-    li_fam = li.join(F.broadcast(fam), li.l_partkey == fam.p_partkey)
+    li_fam = li.join(maybe_broadcast(fam), li.l_partkey == fam.p_partkey)
     pair = li_fam.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("pair_qty")
     )
@@ -506,7 +514,7 @@ def q84_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.filter(F.col("late"))
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(maybe_broadcast(su), F.col("l_suppkey") == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .filter(F.col("n_name") == _Q84_NATION)
         .groupBy("s_name")

@@ -130,11 +130,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # q40 — embedding near-dup pairs (cosine threshold)
 # --------------------------------------------------------------------------
 def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding near-dup at cosine ≥ 0.4, via the blocked
-    numpy-matmul kernel (operators/similarity.py:neardup_pairs_blocked —
-    block-pair applyInPandas, one BLAS matmul per block pair, no driver
-    collect or corpus broadcast; the expression-tree ``neardup_pairs`` is
-    the formula-exact reference implementation)."""
+    """EXACT all-pairs embedding near-dup at cosine ≥ 0.4 — the
+    verification stage of the dedup pipeline, via the blocked numpy-matmul
+    kernel (operators/similarity.py:neardup_pairs_blocked — block-pair
+    applyInPandas, one BLAS matmul per block pair, no crossJoin, no driver
+    collect, no corpus broadcast; shuffle volume is (n_blocks+1)x linear).
+
+    Scale note (see SCALING.md): exact all-pairs is Θ(n²·d) COMPUTE by
+    problem definition — no plan removes that while keeping exact
+    semantics, and at a 0.4 cosine threshold SRP-LSH cannot prefilter with
+    high recall (P[bit agree] = 1 − θ/π ≈ 0.63 ⇒ any banding sparse
+    enough to prune is also blind to most true pairs; q73 measures this:
+    1 of 59 true pairs survives its 8-bit×2-band config at sf0.01). The
+    declared pair is therefore: q73 = candidates (corpus-linear, tunable
+    recall), q40 = exact verify (run it on q73's candidate set at 100 TB,
+    or on the full corpus when exactness is the requirement). The
+    expression-tree ``neardup_pairs`` is the formula-exact reference
+    implementation, pytest-locked against this kernel."""
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         neardup_pairs_blocked,
     )
@@ -582,8 +594,13 @@ SPECS = make_specs(
     [
         ("q38_cosine_topk", q38_cosine_topk, Q38_ORACLE, (), "exact cosine top-k"),
         ("q39_ann_lsh_topk", q39_ann_lsh_topk, Q39_ORACLE, (), "SRP-LSH approximate top-k"),
-        ("q40_embedding_neardup", q40_embedding_neardup, Q40_ORACLE, (), "embedding near-dup pairs"),
-        ("q73_neardup_lsh", q73_neardup_lsh, Q73_ORACLE, (), "LSH-prefiltered near-dup"),
+        ("q40_embedding_neardup", q40_embedding_neardup, Q40_ORACLE, (),
+         "exact near-dup VERIFICATION stage (block-matmul, no crossJoin/"
+         "collect; compute is quadratic because exact all-pairs IS the "
+         "problem statement — at 100 TB feed it q73's LSH candidates)"),
+        ("q73_neardup_lsh", q73_neardup_lsh, Q73_ORACLE, (),
+         "LSH-prefiltered near-dup — the corpus-linear scale path: "
+         "candidates = SRP bucket mates only, then q40's exact verify"),
         ("q41_multimodal_features", q41_multimodal_features, Q41_ORACLE, (), "binary payload features"),
         ("q42_streaming_tumbling", q42_streaming_tumbling, Q42_ORACLE, (), "streaming window twin"),
         ("q53_streaming_stateful", q53_streaming_stateful, Q53_ORACLE, (), "keyed-state streaming"),

@@ -71,3 +71,77 @@ def drain_partitions(spark: SparkSession, n: int = DRAIN_PARTITIONS):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def drain_rows(
+    spark: SparkSession,
+    out_df,
+    *,
+    output_mode: str,
+    sink: str = "memory",
+    name: str | None = None,
+    out_dir: str | None = None,
+):
+    """Run a finite-replay streaming query to completion and return the
+    emitted rows as a DataFrame.
+
+    Two sink forms:
+
+    - ``sink="memory"`` — Spark's memory sink accumulates results on the
+      DRIVER. This is the oracle-gate form: results round-trip through
+      ``spark.table(name)`` for comparison. Inherently driver-side (the
+      memory sink is defined that way), so it does not scale past what
+      one driver heap holds.
+    - ``sink="parquet"`` — the 100 TB drain form: each micro-batch's
+      tasks append parquet shards DIRECTLY FROM THE EXECUTORS; the driver
+      never materializes a row. ``output_mode`` must be ``append`` (the
+      only mode file sinks support). The returned DataFrame is a lazy
+      read of ``out_dir`` — production leaves the files as the product;
+      tests read them back to assert parity with the memory form.
+
+    The checkpoint is created fresh and removed afterwards (disposable by
+    design — see ``drain_checkpoint_dir``); pass an explicit durable
+    ``checkpointLocation`` via the writer instead if crash recovery
+    across restarts is required (see
+    tests/test_streaming_semantics.py::test_checkpoint_crash_recovery).
+    """
+    import shutil
+
+    ckpt = drain_checkpoint_dir()
+    try:
+        if sink == "memory":
+            name = name or f"drain_{uuid.uuid4().hex[:12]}"
+            query = (
+                out_df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+            return spark.table(name)
+        if sink == "parquet":
+            if output_mode != "append":
+                raise ValueError(
+                    f"file sinks support append mode only, got {output_mode!r}"
+                )
+            if out_dir is None:
+                out_dir = ckpt + "-out"
+            query = (
+                out_df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+            return spark.read.parquet(out_dir)
+        raise ValueError(f"unknown sink {sink!r} (memory|parquet)")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -106,12 +106,16 @@ def streaming_sessions(
     parquet_path: str,
     max_files_per_trigger: int | None = None,
     watermark: str = "0 seconds",
+    sink: str = "memory",
 ) -> DataFrame:
     """Drain the session operator over a replayed file set and return the
     emitted (closed) sessions. With ``watermark='0 seconds'`` the final
     watermark reaches max event time, so every session whose gap deadline
     precedes it closes — over a finite replay that is every session except
-    possibly the very last per user (deadline beyond the last event)."""
+    possibly the very last per user (deadline beyond the last event).
+
+    ``sink="parquet"`` drains executor-side (append-mode file sink, the
+    100 TB form — see ``_drain.drain_rows``); memory is the oracle gate."""
     import os
 
     batch_df = spark.read.parquet(parquet_path)
@@ -135,28 +139,15 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    import shutil
-
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
         drain_partitions,
+        drain_rows,
         size_partitions,
     )
 
     name = f"sessions_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+        result = drain_rows(
+            spark, out, output_mode="append", sink=sink, name=name
         )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -59,6 +59,7 @@ def streaming_running_totals(
     parquet_path: str,
     max_files_per_trigger: int | None = None,
     keep_update_count: bool = False,
+    sink: str = "memory",
 ) -> DataFrame:
     """Run the stateful per-user running-totals operator over a (static)
     parquet file set replayed as a stream; returns the drained result.
@@ -68,6 +69,15 @@ def streaming_running_totals(
     (the file source otherwise ingests every available file in the first
     trigger); the drained final state equals the batch aggregation either
     way, which is what the oracle checks.
+
+    ``sink="memory"`` (default) drains through the memory sink — the
+    oracle-gate form, driver-side by the sink's own design.
+    ``sink="parquet"`` is the executor-side 100 TB form: micro-batch
+    tasks append parquet shards straight from the executors (file sinks
+    are append-only, so the operator is declared in append output mode —
+    our update fn emits the same running-total rows either way, and the
+    last-update-per-key filter below collapses both forms to identical
+    final state; tests/test_streaming_semantics.py asserts the parity).
     """
     import os
 
@@ -85,37 +95,25 @@ def streaming_running_totals(
         .withColumn("ts", ts_fix)
         .select("user_id", "ts", "value")
     )
+    mode = "update" if sink == "memory" else "append"
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
-        outputMode="update",
+        outputMode=mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import shutil
-
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
         drain_partitions,
+        drain_rows,
         size_partitions,
     )
 
     name = f"stateful_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+        result = drain_rows(
+            spark, out, output_mode=mode, sink=sink, name=name
         )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    result = spark.table(name)
     # Keep only the LAST update per key (multi-trigger runs emit one row
     # per key per batch); with one batch this is the identity. The raw
     # update count is carried as __n_updates so callers/tests can assert

@@ -79,16 +79,17 @@ def streaming_ttl_evictions(
     parquet_path: str,
     ttl_ms: int = DEFAULT_TTL_MS,
     watermark: str = "0 seconds",
+    sink: str = "memory",
 ) -> DataFrame:
     """Drain the TTL operator over a replayed file set; returns ONLY the
     evicted keys' final totals (active keys are retained in the store and
-    emit nothing)."""
+    emit nothing). ``sink="parquet"`` drains executor-side (see
+    ``_drain.drain_rows``)."""
     import os
-    import shutil
 
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
         drain_partitions,
+        drain_rows,
         size_partitions,
     )
 
@@ -113,18 +114,7 @@ def streaming_ttl_evictions(
     )
     name = f"ttl_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+        result = drain_rows(
+            spark, out, output_mode="append", sink=sink, name=name
         )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    result = spark.table(name)
     return spark.createDataFrame(result.collect(), schema=result.schema)
