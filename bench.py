@@ -74,6 +74,12 @@ def main() -> None:
     # ~2 KB — while BENCH_LOCAL.json keeps the full names as the
     # authoritative record.
     short = {name.split("_", 1)[0]: v for name, v in per_query.items()}
+    # A duplicate qNN prefix would silently collapse two entries in the
+    # driver-visible dict (last one wins) — fail loudly instead.
+    assert len(short) == len(per_query), (
+        "duplicate short query prefix would drop a bench result: "
+        f"{sorted(n for n in per_query if sum(1 for m in per_query if m.split('_', 1)[0] == n.split('_', 1)[0]) > 1)}"
+    )
     print(
         json.dumps({**meta, "queries": short}, separators=(",", ":"))
     )

@@ -344,11 +344,19 @@ def q91_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wetsa_cams_solrad_timeseries_spark.plans._spec import exact_sum
 
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     # Process-unique token, not the pid: /tmp outlives the process and a
     # recycled pid would reuse a stale layout via the _SUCCESS gate.
-    part_dir = os.path.join(
-        tempfile.gettempdir(), f"wetsa_events_parts_{_PROC_TOKEN}_{sf_tag}"
+    # claim_artifact_dir sweeps prior-generation layouts for this SF and
+    # registers ours for atexit removal (bounded /tmp growth).
+    part_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_events_parts_*_{sf_tag}"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(), f"wetsa_events_parts_{_PROC_TOKEN}_{sf_tag}"
+        ),
     )
     if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
         table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
@@ -488,11 +496,14 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q93_ORACLE = f"""
 WITH flat AS (
-  SELECT label, t.i AS pos, embedding[t.i] AS v
+  -- Per-row unnest (zipped with generate_subscripts) so ragged arrays
+  -- expand to exactly their own elements — a global max-len range would
+  -- pad short rows with NULL positions and inflate count(*), silently
+  -- diverging from Spark's posexplode if dims ever varied.
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
   FROM embeddings
-  CROSS JOIN (
-    SELECT unnest(range(1, (SELECT max(len(embedding)) + 1 FROM embeddings))) AS i
-  ) t
 )
 SELECT label, CAST(pos AS BIGINT) AS pos,
        count(*) AS n_vectors,

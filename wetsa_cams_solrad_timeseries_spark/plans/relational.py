@@ -491,6 +491,12 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier")
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Money expression projected to decimal once at the scan (see q66):
+    # the join shuffles carry one decimal instead of two doubles.
+    li = li.withColumn(
+        "__revenue_dec",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)"),
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(su), li.l_suppkey == su.s_suppkey)
@@ -499,7 +505,7 @@ def q22_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(1e-9), 6).alias("revenue"),
+            F.round(F.sum("__revenue_dec").cast("double") + F.lit(1e-9), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

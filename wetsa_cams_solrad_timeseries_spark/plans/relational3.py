@@ -377,6 +377,22 @@ def q81_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid would make tableExists() skip the write and read a stale table.
     lt = f"wetsa_b_li_{tag}_{_PROC_TOKEN}"
     ot = f"wetsa_b_o_{tag}_{_PROC_TOKEN}"
+    # Sweep prior-generation bucketed table dirs (their owning processes'
+    # in-memory metastores are gone, so the warehouse files are orphans)
+    # and register ours for atexit removal — bounded warehouse growth.
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_artifact_dir,
+        )
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        for t, fam in ((lt, f"wetsa_b_li_{tag}_*"), (ot, f"wetsa_b_o_{tag}_*")):
+            claim_artifact_dir(
+                os.path.join(wh, fam), _PROC_TOKEN, os.path.join(wh, t)
+            )
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
     try:
         if not spark.catalog.tableExists(lt):
             write_bucketed(li, lt, "l_orderkey", n_buckets=16)
@@ -431,16 +447,19 @@ def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.skew import salted_aggregate
 
     # Salting deliberately REORDERS the partial sums, so the money sum
-    # goes through the exact-decimal path (cast before the operator; the
+    # goes through the exact-decimal path (a dedicated cast column; the
     # decimal sum is associative-exact, see _spec.exact_sum) — avg is
     # recombined from the exact sum instead of requested from the op.
+    # min/max run on the RAW double column: they are order-insensitive,
+    # and a decimal(27,6) cast would silently round any input with >6
+    # decimal digits away from the oracle's raw-double min/max.
     ev = table(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast("decimal(27,6)")
+        "value_dec", F.col("value").cast("decimal(27,6)")
     )
     out = salted_aggregate(
         ev,
         ["event_type"],
-        {"value": ("sum", "count", "min", "max")},
+        {"value_dec": ("sum", "count"), "value": ("min", "max")},
         n_salts=16,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -449,14 +468,14 @@ def q83_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "salted aggregation planned without the salt phase — the "
             "two-phase skew path is not in the executed plan"
         )
-    sum_dbl = F.col("sum_value").cast("double")
+    sum_dbl = F.col("sum_value_dec").cast("double")
     return out.select(
         "event_type",
         round6(sum_dbl).alias("sum_value"),
-        F.col("count_value").alias("n_events"),
-        F.col("min_value").cast("double").alias("min_value"),
-        F.col("max_value").cast("double").alias("max_value"),
-        round6(sum_dbl / F.col("count_value")).alias("avg_value"),
+        F.col("count_value_dec").alias("n_events"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+        round6(sum_dbl / F.col("count_value_dec")).alias("avg_value"),
     )
 
 

@@ -509,11 +509,19 @@ def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
     rewrite); per-process dir so concurrent harnesses never race."""
     import tempfile
 
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     # Process-unique token, not the pid: /tmp outlives the process and a
     # recycled pid would reuse a stale split via the _SUCCESS gate.
-    split_dir = os.path.join(
-        tempfile.gettempdir(), f"wetsa_events_split_{_SPLIT_TOKEN}_{sf_tag}"
+    # claim_artifact_dir sweeps prior-generation splits for this SF and
+    # registers ours for atexit removal (bounded /tmp growth).
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_events_split_*_{sf_tag}"),
+        _SPLIT_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(), f"wetsa_events_split_{_SPLIT_TOKEN}_{sf_tag}"
+        ),
     )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
