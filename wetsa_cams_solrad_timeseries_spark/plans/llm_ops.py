@@ -562,6 +562,69 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# q97 — tokenizer statistics (whitespace vs BPE-ish regex segmentation)
+# --------------------------------------------------------------------------
+# ASCII-explicit classes so the Java (Spark) and RE2 (DuckDB) engines
+# segment identically; the corpus is ASCII (verified for q41).
+_Q97_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r]"
+
+
+def q97_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics per (lang, source): whitespace tokens vs a
+    BPE-ish pre-tokenization (word runs + single punctuation marks — the
+    split every byte-pair tokenizer starts from), plus chars-per-token,
+    the standard budget/quality diagnostic for training-data curation.
+    Pure JVM expressions (regexp_extract_all + size), scan-parallel, one
+    aggregation shuffle on the tiny (lang, source) key space."""
+    docs = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    bpe_tokens = F.size(
+        F.expr(f"regexp_extract_all(text, '{_Q97_TOKEN_RE}', 0)")
+    )
+    per_doc = docs.select(
+        "lang",
+        "source",
+        ws_tokens.alias("ws_tokens"),
+        bpe_tokens.alias("bpe_tokens"),
+        F.col("n_chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("sum_ws_tokens"),
+        F.sum("bpe_tokens").alias("sum_bpe_tokens"),
+        F.round(F.avg("bpe_tokens") + F.lit(1e-9), 6).alias("avg_bpe_tokens"),
+        F.round(
+            F.sum("n_chars") / F.sum("bpe_tokens") + F.lit(1e-9), 6
+        ).alias("chars_per_token"),
+    )
+
+
+Q97_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'))
+         END AS ws_tokens,
+         len(regexp_extract_all(text, '{_Q97_TOKEN_RE}')) AS bpe_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+       round(avg(bpe_tokens) + 1e-9, 6) AS avg_bpe_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe_tokens) + 1e-9, 6)
+           AS chars_per_token
+FROM per_doc
+GROUP BY lang, source
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -576,5 +639,6 @@ SPECS = make_specs(
         ("q36_text_quality", q36_text_quality, Q36_ORACLE, (), "token counts + quality score"),
         ("q37_langid", q37_langid, _langid_oracle(), (), "marker-word language ID"),
         ("q64_tfidf", q64_tfidf, Q64_ORACLE, (), "DataFrame-native TF-IDF"),
+        ("q97_token_stats", q97_token_stats, Q97_ORACLE, (), "whitespace vs BPE-ish token stats"),
     ]
 )

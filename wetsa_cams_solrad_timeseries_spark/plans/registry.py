@@ -42,26 +42,37 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 4: money sums moved to the exact-decimal path (_spec.exact_sum)
-    # after q81's round-3 hash mismatch — every query below changed kernel
-    # AND oracle this round, so their previous driver rows are stale.
-    # q81 first: it is the one that was actually red.
-    "q81_bucketed_colocated_join",
-    "q01_pricing_summary",
-    "q03_star_join_revenue",
-    "q22_local_supplier_volume",
-    "q44_cube",
-    "q45_unpivot",
-    "q47_revenue_forecast",
-    "q59_brand_share",
+    # Round 5 changed kernels/oracles — their r3/r4 driver rows are stale:
+    # broadcast hints on SF-scaling tables became size-gated
+    # (maybe_broadcast) in q03/q21/q22/q57/q59/q65/q66/q67/q74-q80/q84;
+    # q66/q22 additionally pre-project the decimal money column; q83's
+    # min/max moved to the raw double column; q93's oracle unnests
+    # per-row; q71's session kernel constant-factor path changed; q76 was
+    # restructured (region semi-join). Pinned in
+    # most-structurally-changed-first order.
     "q66_nation_trade_volume",
-    "q75_disjunctive_revenue",
+    "q22_local_supplier_volume",
     "q76_market_share",
-    "q78_profit_by_nation",
     "q83_salted_skew_agg",
-    # Top-k re-planned to TakeOrderedAndProject in round 4.
+    "q93_label_centroids",
+    "q71_streaming_sessions",
     "q21_shipping_priority",
     "q65_returned_items",
+    "q57_event_enrichment",
+    "q74_large_volume_customers",
+    "q03_star_join_revenue",
+    "q59_brand_share",
+    "q67_cheapest_supplier",
+    "q75_disjunctive_revenue",
+    "q78_profit_by_nation",
+    "q79_supplier_part_counts",
+    "q80_excess_shippers",
+    "q84_waiting_suppliers",
+    "q91_partition_pruned_scan",
+    "q81_bucketed_colocated_join",
+    "q77_streaming_multibatch",
+    "q82_streaming_dedup",
+    "q53_streaming_stateful",
 )
 
 

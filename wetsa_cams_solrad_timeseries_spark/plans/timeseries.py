@@ -628,6 +628,170 @@ FROM conv
 """
 
 
+# --------------------------------------------------------------------------
+# q95 — time-weighted average (irregular-sampling aggregate)
+# --------------------------------------------------------------------------
+def q95_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time-weighted average per (event_type, day): each
+    observation's value holds until the NEXT observation, so the mean is
+    Σ value·Δt / Σ Δt — the correct aggregate for irregularly-sampled
+    series (a plain avg over-weights bursts; the reference's resample
+    sidesteps this only because its input grid is regular,
+    code/get-cams-solrad-ts.py:94). One window (lead) and one grouped
+    aggregate share the (type, day) shuffle; the weighted sum runs in
+    exact decimal (value·Δt magnitudes reach 1e12+, where double
+    partial-sum order variance would cross the 1e-6 rounding grid —
+    see _spec.exact_sum). The day's last observation carries no weight
+    (its hold interval is open-ended); single-observation days yield a
+    NULL twa rather than a fabricated weight."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    obs = ev.withColumn("day", F.date_trunc("day", F.col("ts"))).withColumn(
+        "next_ts", F.lead("ts").over(w)
+    )
+    dt = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    num = (F.col("value") * dt.cast("double")).cast("decimal(27,6)")
+    return obs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dt).cast("bigint").alias("dt_us"),
+        F.round(
+            F.sum(num).cast("double") / F.sum(dt).cast("double") + F.lit(1e-9), 6
+        ).alias("twa"),
+    )
+
+
+Q95_ORACLE = """
+WITH obs AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, value,
+         lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+SELECT event_type, day,
+       count(*) AS n_obs,
+       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS dt_us,
+       round(CAST(sum(CAST(value * CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE)
+                           AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS DOUBLE) + 1e-9,
+             6) AS twa
+FROM obs
+GROUP BY event_type, day
+"""
+
+
+# --------------------------------------------------------------------------
+# q96 — gap-filling linear interpolation over the dense bucket grid
+# --------------------------------------------------------------------------
+def q96_gap_fill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly grid with EMPTY buckets linearly interpolated
+    from the nearest real buckets on each side (edge gaps take the one
+    available side) — the standard cleanup step between the reference's
+    resample (which leaves NaN rows, code/get-cams-solrad-ts.py:94) and a
+    model-ready series. Plan: one (type, bucket) aggregate, an
+    executor-side ``sequence()`` grid per type, a left join, then TWO
+    ignore-nulls windows (last-before / first-after) sharing one
+    (type, bucket) sort — no self-join, no driver loop; at 100 TB every
+    stage is keyed by (type, bucket) so the sort is reused. Bucket means
+    are rounded BEFORE interpolation on both engines, so the
+    interpolation arithmetic consumes identical inputs."""
+    ev = table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+        )
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6).alias("avg_value"))
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start"),
+    )
+    dense = grid.join(agg, on=["event_type", "bucket_start"], how="left")
+
+    t = F.unix_micros(F.col("bucket_start")).cast("double")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("avg_value").isNotNull(), t)
+    prev_val = F.last("avg_value", ignorenulls=True).over(w_back)
+    prev_ts = F.last(obs_ts, ignorenulls=True).over(w_back)
+    next_val = F.first("avg_value", ignorenulls=True).over(w_fwd)
+    next_ts = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .otherwise(
+            prev_val
+            + (next_val - prev_val) * (t - prev_ts) / (next_ts - prev_ts)
+        )
+    )
+    return dense.select(
+        "event_type",
+        "bucket_start",
+        F.round(interp + F.lit(1e-9), 6).alias("filled_value"),
+        F.col("avg_value").isNull().cast("int").alias("was_gap"),
+    )
+
+
+Q96_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         round(avg(value) + 1e-9, 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(date_trunc('hour', min(ts)),
+                                date_trunc('hour', max(ts)),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM events GROUP BY event_type
+),
+dense AS (
+  SELECT g.event_type, g.bucket_start, a.avg_value,
+         CAST(epoch_us(g.bucket_start) AS DOUBLE) AS t
+  FROM grid g LEFT JOIN agg a USING (event_type, bucket_start)
+),
+ctx AS (
+  SELECT *,
+         last_value(avg_value IGNORE NULLS) OVER w_back AS prev_val,
+         last_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+             OVER w_back AS prev_ts,
+         first_value(avg_value IGNORE NULLS) OVER w_fwd AS next_val,
+         first_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+             OVER w_fwd AS next_ts
+  FROM dense
+  WINDOW
+    w_back AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY event_type ORDER BY bucket_start
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_start,
+       round(CASE
+               WHEN avg_value IS NOT NULL THEN avg_value
+               WHEN prev_val IS NULL THEN next_val
+               WHEN next_val IS NULL THEN prev_val
+               ELSE prev_val + (next_val - prev_val) * (t - prev_ts)
+                               / (next_ts - prev_ts)
+             END + 1e-9, 6) AS filled_value,
+       CAST(avg_value IS NULL AS INTEGER) AS was_gap
+FROM ctx
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -646,5 +810,7 @@ SPECS = make_specs(
         ("q61_table_profile", q61_table_profile, Q61_ORACLE, (), "one-pass table profiling"),
         ("q68_funnel", q68_funnel, Q68_ORACLE, (), "signup→purchase funnel"),
         ("q69_latest_snapshot", q69_latest_snapshot, Q69_ORACLE, (), "max_by latest-state snapshot"),
+        ("q95_time_weighted_avg", q95_time_weighted_avg, Q95_ORACLE, ("A1",), "time-weighted average"),
+        ("q96_gap_fill_interpolation", q96_gap_fill_interpolation, Q96_ORACLE, ("A1", "R1"), "gap-fill linear interpolation"),
     ]
 )

@@ -596,6 +596,69 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# q98 — int8 symmetric quantization round-trip error (vector compression)
+# --------------------------------------------------------------------------
+def q98_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max|x|/127, the
+    standard embedding-compression layout: 4x smaller vectors for ANN
+    serving) and its round-trip error, aggregated per label — the
+    quality gate a pipeline runs before switching its index to int8.
+    All array math is JVM-side higher-order functions (transform /
+    aggregate / array_max): scan-parallel, zero Python, one shuffle on
+    the label key. The quantize round carries the same +1e-9 tie nudge
+    as every cross-engine rounding in this repo, so Spark's HALF_UP and
+    DuckDB's half-away-from-zero can never see an exact .5."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.nullif(max_abs, F.lit(0.0)) / F.lit(127.0)
+    err = F.transform(
+        v,
+        lambda x: F.when(scale.isNull(), F.lit(0.0)).otherwise(
+            F.abs(x - F.round(x / scale + F.lit(1e-9), 0) * scale)
+        ),
+    )
+    per_vec = emb.select(
+        "label",
+        F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x).alias("sum_err"),
+        F.array_max(err).alias("max_err"),
+        F.size(err).alias("dim"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("sum_err") / F.sum("dim") + F.lit(1e-9), 6).alias(
+            "avg_abs_err"
+        ),
+        F.round(F.max("max_err") + F.lit(1e-9), 6).alias("max_abs_err"),
+    )
+
+
+Q98_ORACLE = """
+WITH per_vec AS (
+  SELECT label,
+         CAST(embedding AS DOUBLE[]) AS v,
+         nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> abs(x))), 0) / 127.0 AS scale
+  FROM embeddings
+),
+errs AS (
+  SELECT label,
+         [CASE WHEN scale IS NULL THEN 0.0
+               ELSE abs(x - round(x / scale + 1e-9, 0) * scale) END
+          FOR x IN v] AS err,
+         len(v) AS dim
+  FROM per_vec
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(sum(list_sum(err)) / sum(dim) + 1e-9, 6) AS avg_abs_err,
+       round(max(list_max(err)) + 1e-9, 6) AS max_abs_err
+FROM errs
+GROUP BY label
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -617,6 +680,7 @@ SPECS = make_specs(
         ("q71_streaming_sessions", q71_streaming_sessions, Q71_ORACLE, (), "event-time-timeout sessions"),
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, Q56_ORACLE, (), "IVF inverted-file ANN"),  # oracle_fn attached below
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
+        ("q98_int8_quantization", q98_int8_quantization, Q98_ORACLE, (), "int8 quantization error stats"),
     ]
 )
 

@@ -40,13 +40,18 @@ def _update(
     (user_id,) = key
 
     def emit(sessions: list[tuple]) -> pd.DataFrame:
+        # Built from typed numpy arrays (datetime64[us] directly, no
+        # pd.to_datetime parse) — this constructor runs once per GROUP
+        # per batch, so its constant factor is the drain's hot path.
         return pd.DataFrame(
             {
                 "user_id": np.full(len(sessions), user_id, dtype=np.int64),
-                "session_start": pd.to_datetime(
-                    [s[0] for s in sessions], unit="us"
+                "session_start": np.array(
+                    [s[0] for s in sessions], dtype="datetime64[us]"
                 ),
-                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+                "session_end": np.array(
+                    [s[1] for s in sessions], dtype="datetime64[us]"
+                ),
                 "n_events": np.array([s[2] for s in sessions], dtype=np.int64),
                 "sum_value": [round(s[3] + 1e-9, 6) for s in sessions],
             }
@@ -64,9 +69,15 @@ def _update(
         # watermark-advancing trigger); with nothing to merge, leave any
         # existing state (and its timeout) untouched.
         return
-    batch = pd.concat(frames, ignore_index=True).sort_values("ts")
+    # numpy sort on the int64 keys instead of a pandas frame sort, and no
+    # concat for the (dominant) single-frame case — per-group constant
+    # costs, paid once per key per micro-batch.
+    batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
     ts = batch["ts"].astype("int64").to_numpy() // 1000
     vals = batch["value"].to_numpy(dtype=np.float64)
+    order = np.argsort(ts, kind="stable")
+    ts = ts[order]
+    vals = vals[order]
     if state.exists:
         start_us, last_us, count, total = state.get
     else:
