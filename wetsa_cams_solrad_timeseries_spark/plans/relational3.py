@@ -618,6 +618,66 @@ GROUP BY c_nationkey
 
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
+# --------------------------------------------------------------------------
+# q100 — SCD1 upsert merge (MERGE INTO semantics as a full outer join)
+# --------------------------------------------------------------------------
+def q100_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format: apply a change batch (each
+    user's latest event value as their new balance) onto the customer
+    snapshot — matched rows update, source-only rows insert, target-only
+    rows carry through unchanged, i.e. the WHEN MATCHED / NOT MATCHED /
+    NOT MATCHED BY SOURCE triple as ONE full outer join + coalesce
+    projection. The change batch is post-aggregation (one row per active
+    user), so the threshold auto-broadcasts it under the full-join's
+    shuffle at test SF and at 100 TB the join is a plain co-partitioned
+    SMJ — either way a single pass over the snapshot, the Delta/Iceberg
+    copy-on-write merge plan minus the transaction log."""
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    # (user_id, ts) is unique in events (same guarantee q69 relies on),
+    # so max_by is deterministic.
+    changes = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("c_custkey"))
+        .agg(
+            F.round(F.expr("max_by(value, ts)") + F.lit(1e-9), 6).alias("new_bal"),
+            F.max("ts").alias("changed_at"),
+        )
+    )
+    merged = cu.join(changes, on="c_custkey", how="full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce(F.col("c_name"), F.lit("NEW")).alias("c_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("c_mktsegment"),
+        F.round(
+            F.coalesce(F.col("new_bal"), F.col("c_acctbal")) + F.lit(1e-9), 6
+        ).alias("acctbal"),
+        F.when(F.col("new_bal").isNotNull() & F.col("c_acctbal").isNotNull(), "update")
+        .when(F.col("c_acctbal").isNull(), "insert")
+        .otherwise("carry")
+        .alias("merge_action"),
+    )
+
+
+Q100_ORACLE = """
+WITH changes AS (
+  SELECT user_id AS c_custkey,
+         round(arg_max(value, ts) + 1e-9, 6) AS new_bal,
+         max(ts) AS changed_at
+  FROM events GROUP BY user_id
+)
+SELECT coalesce(c.c_custkey, ch.c_custkey) AS c_custkey,
+       coalesce(c_name, 'NEW') AS c_name,
+       coalesce(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+       round(coalesce(new_bal, c_acctbal) + 1e-9, 6) AS acctbal,
+       CASE WHEN new_bal IS NOT NULL AND c_acctbal IS NOT NULL THEN 'update'
+            WHEN c_acctbal IS NULL THEN 'insert'
+            ELSE 'carry' END AS merge_action
+FROM customer c FULL OUTER JOIN changes ch USING (c_custkey)
+"""
+
+
 SPECS = make_specs(
     [
         ("q74_large_volume_customers", q74_large_volume_customers, Q74_ORACLE, (), "TPC-H Q18 shape"),
@@ -630,5 +690,6 @@ SPECS = make_specs(
         ("q83_salted_skew_agg", q83_salted_skew_agg, Q83_ORACLE, (), "salted hot-key aggregation"),
         ("q84_waiting_suppliers", q84_waiting_suppliers, Q84_ORACLE, (), "TPC-H Q21 shape"),
         ("q85_dormant_customers", q85_dormant_customers, Q85_ORACLE, (), "TPC-H Q22 shape"),
+        ("q100_upsert_merge", q100_upsert_merge, Q100_ORACLE, (), "SCD1 MERGE as full outer join"),
     ]
 )

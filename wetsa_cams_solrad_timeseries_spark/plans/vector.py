@@ -8,7 +8,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.catalog import table, ts_fix_expr
 
 _DIM = 64
 _N_PLANES, _BANDS = 16, 2
@@ -597,6 +597,115 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# q99 — watermarked stream-stream interval join
+# --------------------------------------------------------------------------
+def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    each click joins the same user's views within the following 30
+    minutes. The one major Structured Streaming operator class the
+    inventory didn't yet cover — BOTH sides are unbounded, so the join
+    buffers rows in the state store and the watermark + range condition
+    bound that state (Spark derives the retention window from the
+    interval: a click is evictable once the watermark passes
+    click_ts + 30 min, the provably-safe point where no on-time view can
+    match it). Drained over the 3-file chronological replay with
+    maxFilesPerTrigger=1, so matches genuinely span micro-batches —
+    cross-batch pairs exist only if batch-1 click state survived into
+    batch 2+; the fn asserts >1 micro-batch fed rows. Result equals the
+    batch interval join, which the oracle checks."""
+    import json
+
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    split_dir = _split_events(spark, sf_dir)
+    batch_df = spark.read.parquet(split_dir)
+    ts_fix = ts_fix_expr(dict(batch_df.dtypes).get("ts"))
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", "part-*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(split_dir)
+            .withColumn("ts", ts_fix)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            # The 3-file replay is repartition()-split, NOT chronological,
+            # so every batch contains rows "late" w.r.t. the previous
+            # batch's max event time — a production-small delay would
+            # legitimately DROP them (append-mode join discards
+            # late-beyond-watermark input). The delay therefore covers the
+            # replay's whole span: state stays bounded by the watermark in
+            # production (where arrival tracks event time); eviction
+            # itself is proven by q89/q71's EventTimeTimeout paths.
+            .withWatermark(f"{prefix}_ts", "365 days")
+        )
+
+    clicks, views = side("click", "click"), side("view", "view")
+    joined = clicks.join(
+        views,
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "view_ts",
+        "click_value",
+        "view_value",
+    )
+
+    import shutil
+    import uuid as _uuid
+
+    name = f"ssj_out_{_uuid.uuid4().hex[:12]}"
+    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        ckpt = drain_checkpoint_dir()
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed = sum(
+                1 for p in query.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if fed <= 1:
+        raise RuntimeError(
+            f"stream-stream join drained in {fed} micro-batch(es) — the "
+            "cross-batch state buffering was not exercised"
+        )
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+Q99_ORACLE = """
+SELECT a.user_id, a.ts AS click_ts, b.ts AS view_ts,
+       a.value AS click_value, b.value AS view_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
+# --------------------------------------------------------------------------
 # q98 — int8 symmetric quantization round-trip error (vector compression)
 # --------------------------------------------------------------------------
 def q98_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +790,8 @@ SPECS = make_specs(
         ("q56_ann_ivf_topk", q56_ann_ivf_topk, Q56_ORACLE, (), "IVF inverted-file ANN"),  # oracle_fn attached below
         ("q63_streaming_sliding", q63_streaming_sliding, Q63_ORACLE, (), "streaming sliding windows"),
         ("q98_int8_quantization", q98_int8_quantization, Q98_ORACLE, (), "int8 quantization error stats"),
+        ("q99_stream_stream_join", q99_stream_stream_join, Q99_ORACLE, (),
+         "watermarked stream-stream interval join"),
     ]
 )
 
