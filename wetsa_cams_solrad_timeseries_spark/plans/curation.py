@@ -1,0 +1,498 @@
+"""Corpus-curation operators (round 5): domain-mixture rebalancing,
+PII-shaped regex scrubbing, repetition filtering, benchmark-contamination
+screening, plus the two classic decorrelated-subquery TPC-H shapes the
+relational surface still lacked (Q17 small-quantity revenue, Q18 large
+orders).
+
+These extend the training-data pipeline surface (pipeline_ops.py,
+llm_ops.py) with the remaining steps a production pretraining curation
+run performs between raw scrape and tokenizer: decide the sampling
+weight per domain, strip sensitive spans, drop degenerate/repetitive
+documents, and verify the corpus does not contain the eval benchmarks.
+
+All queries follow the engine-wide determinism rules (_spec docstring):
+float aggregates round via the +1e-9 nudge, integer sums CAST to BIGINT
+in the oracle, money sums use exact DECIMAL(27,6), hash orderings have
+unique tie-breaks. Regex patterns avoid constructs that differ between
+Java regex (Spark) and RE2 (DuckDB) — word boundaries, alternation and
+character classes only — and are passed as Column literals on the Spark
+side so no SQL-string escape pass touches the backslashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum,
+    exact_sum_sql,
+    maybe_broadcast,
+    round6,
+    round6_sql,
+)
+
+
+# --------------------------------------------------------------------------
+# q101 — domain-mixture rebalancing weights
+# --------------------------------------------------------------------------
+
+
+def q101_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling weights that move the corpus toward a uniform
+    source mixture — the "data mixing" step every pretraining pipeline
+    runs before sampling (cf. DoReMi / The Pile's per-source epochs).
+
+    weight(s) = min(1, target_share / actual_share) with a uniform
+    target: over-represented domains are downsampled, under-represented
+    ones kept whole (no upsampling — duplication is dedup's enemy).
+
+    Scale shape: one partial-aggregated count per source (map-side
+    combine, shuffle carries ~n_sources rows), then a single-row global
+    total joined back by broadcast. No window over the corpus, no sort;
+    at 100 TB this is a scan plus two tiny exchanges.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    # 1-row aggregate: broadcast is scale-invariant by construction.
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_docs") / F.col("total")
+    target = F.lit(1.0) / F.col("n_sources")
+    weight = F.least(F.lit(1.0), target / share)
+    return j.select(
+        "source",
+        "n_docs",
+        round6(share).alias("share"),
+        round6(weight).alias("weight"),
+        round6(F.col("n_docs") * weight).alias("expected_docs"),
+    )
+
+
+Q101_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source,
+       n_docs,
+       {round6_sql('n_docs * 1.0 / total')} AS share,
+       {round6_sql('least(1.0, (1.0 / n_sources) / (n_docs * 1.0 / total))')}
+         AS weight,
+       {round6_sql('n_docs * least(1.0, (1.0 / n_sources) / (n_docs * 1.0 / total))')}
+         AS expected_docs
+FROM per, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# q102 — PII-shaped regex scrub
+# --------------------------------------------------------------------------
+
+# Denylist stand-in for the email/phone/SSN patterns a real scrubber
+# carries (the synthetic corpus has no digits, so the pattern targets two
+# frequent terms instead; the pipeline shape — count, redact, measure —
+# is identical). \b and alternation behave the same in Java regex and
+# RE2.
+_Q102_PAT = r"\b(key|value)\b"
+_Q102_SUB = "[PII]"
+
+
+def q102_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing pipeline: per document count the sensitive-span
+    matches, redact them, measure the size delta; report per-source
+    totals — the audit summary a PII pass emits alongside the cleaned
+    corpus.
+
+    Scale shape: regexp_extract_all / regexp_replace are JVM
+    whole-stage-codegen expressions evaluated in the scan stage
+    (scan-parallel, zero Python); the only shuffle is the tiny
+    per-source rollup with map-side partial aggregation. The redacted
+    text itself would be written back columnar (K3); here the audit
+    aggregate is the query result.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pat = F.lit(_Q102_PAT)
+    n_hits = F.size(F.regexp_extract_all(F.col("text"), pat, F.lit(0)))
+    red_len = F.length(F.regexp_replace(F.col("text"), _Q102_PAT, _Q102_SUB))
+    per_doc = docs.select(
+        "source",
+        n_hits.cast("long").alias("n_hits"),
+        red_len.cast("long").alias("red_len"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_hits").alias("total_hits"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_with_hits"),
+        round6(F.avg("n_hits")).alias("avg_hits"),
+        F.sum("red_len").alias("redacted_chars"),
+        F.sum("n_chars").alias("original_chars"),
+    )
+
+
+Q102_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_hits,
+       {round6_sql('avg(n_hits)')} AS avg_hits,
+       CAST(sum(red_len) AS BIGINT) AS redacted_chars,
+       CAST(sum(n_chars) AS BIGINT) AS original_chars
+FROM (
+  SELECT source,
+         len(regexp_extract_all(text, '{_Q102_PAT}')) AS n_hits,
+         length(regexp_replace(text, '{_Q102_PAT}', '{_Q102_SUB}', 'g'))
+           AS red_len,
+         n_chars
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# q103 — repetition filter (Gopher-style max-token-fraction)
+# --------------------------------------------------------------------------
+
+_Q103_THRESHOLD = 0.18
+
+
+def q103_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition filter: per document, the fraction of tokens
+    taken by the single most frequent token and the distinct-token
+    ratio — the Rae et al. (Gopher) quality rules that drop
+    boilerplate/spam pages; reported as a per-language summary.
+
+    Scale shape: explode(split) fans each document into its tokens in
+    the scan stage (no shuffle — generation is pipeline-local), then two
+    keyed aggregations: (doc, token) counts and the per-doc rollup, both
+    with map-side partial aggregation and both keyed by doc_id, so AQE
+    coalesces them into one exchange lineage. Per-doc state is bounded
+    by the doc's vocabulary, never the corpus's.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("max_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("distinct_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("max_frac") > _Q103_THRESHOLD).cast("long")).alias(
+            "n_repetitive"
+        ),
+        round6(F.avg("max_frac")).alias("avg_max_frac"),
+        round6(F.avg("distinct_ratio")).alias("avg_distinct_ratio"),
+    )
+
+
+Q103_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, lang, tok, count(*) AS c
+  FROM toks GROUP BY doc_id, lang, tok
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(max(c) AS DOUBLE) / sum(c) AS max_frac,
+         CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+  FROM cnt GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN max_frac > {_Q103_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive,
+       {round6_sql('avg(max_frac)')} AS avg_max_frac,
+       {round6_sql('avg(distinct_ratio)')} AS avg_distinct_ratio
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q104 — benchmark-contamination screen (n-gram overlap)
+# --------------------------------------------------------------------------
+
+_Q104_EVAL_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+_Q104_N = 4  # shingle width
+
+
+def q104_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screen: flag corpus documents sharing any
+    4-token shingle with the held-out benchmark set (here: every 97th
+    doc stands in for the benchmark), the decontamination step run
+    before any pretraining corpus ships (cf. GPT-3 appendix C's 13-gram
+    screen — width is a dial, the plan is identical).
+
+    Scale shape: shingles are built with a per-document lead() window
+    (sort bounded by document length), the benchmark side is reduced to
+    DISTINCT shingles, and membership is a semi-join on the shingle
+    string. Real benchmark suites are fixed-size (they do NOT grow with
+    the corpus), so the eval side is broadcast-able at any corpus scale;
+    here the hint is size-gated (maybe_broadcast) because the stand-in
+    eval set scales with SF. The candidate side never materializes
+    per-pair state — the semi-join short-circuits on first match, and
+    the distinct doc set is one keyed aggregation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")]
+    for i in range(1, _Q104_N):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    sh = toks.select(
+        "doc_id", "source", F.concat(*parts).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    cand = sh.filter(~is_eval)
+    contaminated = (
+        cand.join(maybe_broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = docs.filter(~is_eval).select("doc_id", "source")
+    return (
+        base.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+            round6(
+                F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+def _q104_shingle_sql() -> str:
+    parts = ["tok"]
+    for i in range(1, _Q104_N):
+        parts += ["' '", f"lead(tok, {i}) OVER w"]
+    return " || ".join(parts)
+
+
+Q104_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         generate_subscripts(arr, 1) AS pos,
+         unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, source,
+           string_split_regex(trim(text), '\\s+') AS arr
+    FROM documents
+  )
+),
+sh AS (
+  SELECT doc_id, source, {_q104_shingle_sql()} AS sh
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+eval_sh AS (
+  SELECT DISTINCT sh FROM sh
+  WHERE doc_id % {_Q104_EVAL_MOD} = 0 AND sh IS NOT NULL
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % {_Q104_EVAL_MOD} <> 0 AND sh IS NOT NULL
+    AND sh IN (SELECT sh FROM eval_sh)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       {round6_sql('avg(CASE WHEN c.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)')}
+         AS contaminated_frac
+FROM documents d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {_Q104_EVAL_MOD} <> 0
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# q105 — small-quantity-order revenue (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+
+_Q105_BRANDS = ("Brand#13", "Brand#23")
+
+
+def q105_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average order quantity) moved to
+    bulk. The correlated scalar subquery decorrelated as an
+    aggregate-then-rejoin on l_partkey — the OTHER decorrelation form
+    from q46's window (here the subquery aggregates a DIFFERENT grain
+    than the probe rows, so a window cannot express it without carrying
+    every row through the sort).
+
+    Scale shape: the brand filter reaches the part scan (pushdown); the
+    filtered part keys are size-gated-broadcast into lineitem
+    (maybe_broadcast: part scales with SF), so the big fact is scanned
+    once and reduced early. The per-part averages re-join the SAME
+    filtered lineitem on the SAME key — both sides hash-partitioned on
+    l_partkey, so the second exchange reuses the first's partitioning.
+    Money sum in exact decimal. Per-part avg quantity is a sum of small
+    integers (exact in double at any summation order) divided by a
+    count, so the 0.2·avg threshold is bit-identical in both engines.
+
+    Reference: classic decision-support shape; no reference-repo analog
+    (the reference has no relational engine) — included for relational
+    surface completeness.
+    """
+    pa = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*_Q105_BRANDS))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(
+        maybe_broadcast(pa), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    lim = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    small = li_b.join(lim, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_lim")
+    )
+    return small.agg(
+        round6(exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+Q105_ORACLE = f"""
+WITH li_b AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('{_Q105_BRANDS[0]}', '{_Q105_BRANDS[1]}')
+),
+lim AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+  FROM li_b GROUP BY l_partkey
+)
+SELECT {round6_sql(exact_sum_sql('s.l_extendedprice') + ' / 7.0')}
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM li_b s
+JOIN lim ON s.l_partkey = lim.l_partkey
+WHERE s.l_quantity < lim.qty_lim
+"""
+
+
+# --------------------------------------------------------------------------
+# q106 — large-volume orders (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+
+_Q106_MIN_QTY = 300
+_Q106_TOPK = 100
+
+
+def q106_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the top-100 largest-volume orders (total line
+    quantity above a threshold) with their customer — GROUP BY + HAVING
+    on the fact's own key feeding a dimension join.
+
+    Scale shape: the quantity rollup partial-aggregates map-side and
+    shuffles once on l_orderkey; the HAVING filter reduces it to a tiny
+    key set BEFORE any join, and that set drives orders via a size-gated
+    broadcast (the surviving keys are threshold-bounded — far smaller
+    than orders — but still SF-scaling, hence maybe_broadcast, not a
+    hard hint). customer joins shuffle-to-shuffle on c_custkey
+    (SF-scaling, never hinted). Final top-k is TakeOrderedAndProject —
+    per-partition heaps, no global sort. o_orderkey breaks totalprice
+    ties so the kept 100 are deterministic in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q106_MIN_QTY)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(maybe_broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .drop("l_orderkey")
+        .join(cu, o.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(_Q106_TOPK)
+    )
+
+
+Q106_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {_Q106_MIN_QTY}
+) b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT {_Q106_TOPK}
+"""
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q101_domain_rebalance", q101_domain_rebalance, Q101_ORACLE, (),
+         "domain-mixture sampling weights"),
+        ("q102_pii_scrub", q102_pii_scrub, Q102_ORACLE, (),
+         "regex PII scrub audit"),
+        ("q103_repetition_score", q103_repetition_score, Q103_ORACLE, (),
+         "Gopher-style repetition filter"),
+        ("q104_contamination", q104_contamination, Q104_ORACLE, (),
+         "benchmark n-gram contamination screen"),
+        ("q105_small_qty_revenue", q105_small_qty_revenue, Q105_ORACLE, (),
+         "TPC-H Q17 decorrelated aggregate-rejoin"),
+        ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),
+         "TPC-H Q18 HAVING + top-k"),
+    ]
+)

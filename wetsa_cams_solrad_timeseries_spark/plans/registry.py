@@ -31,6 +31,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     llm_ops,
     vector,
     pipeline_ops,
+    curation,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -112,6 +113,7 @@ def _collect() -> dict[str, QuerySpec]:
         llm_ops,
         vector,
         pipeline_ops,
+        curation,
     ):
         merged.update(mod.SPECS)
     covered = _previously_covered()
