@@ -1,0 +1,86 @@
+"""Distributed global rank/ntile (operators/rank.py): exactness vs the
+single-partition window reference, partitioning invariance, and the
+SQL-standard NTILE split rule."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+    global_ntile,
+    global_rank,
+)
+
+
+def _reference_rank(df, cols):
+    w = Window.orderBy(*cols)
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def test_global_rank_matches_window(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(docs, ["n_chars", "doc_id"]).collect()
+    }
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in _reference_rank(docs, ["n_chars", "doc_id"]).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_partitioning_invariant(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(
+            docs, ["n_chars", "doc_id"], num_partitions=3
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["rank"]
+        for r in global_rank(
+            docs, ["n_chars", "doc_id"], num_partitions=17
+        ).collect()
+    }
+    assert a == b
+
+
+def test_global_ntile_matches_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    got = {
+        r["event_id"]: r["tile"]
+        for r in global_ntile(ev, ["value", "event_id"], 7).collect()
+    }
+    w = Window.orderBy("value", "event_id")
+    want = {
+        r["event_id"]: r["tile"]
+        for r in ev.withColumn("tile", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark, sf_dir):
+    """n < k: the SQL rule puts one row in each of the first n tiles."""
+    na = table(spark, sf_dir, "nation").select("n_nationkey").limit(4)
+    tiles = sorted(
+        r["tile"]
+        for r in global_ntile(na, ["n_nationkey"], 10).collect()
+    )
+    assert tiles == [1, 2, 3, 4]
+
+
+def test_global_rank_no_single_partition_data_window(spark, sf_dir):
+    """The physical plan must not sort the DATA in one task: every Window
+    over the full input runs after a range repartition (the only
+    single-partition window is the per-partition offsets frame, bounded
+    by partition count)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    plan = (
+        global_rank(docs, ["n_chars", "doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()

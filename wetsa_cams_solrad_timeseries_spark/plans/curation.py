@@ -478,6 +478,198 @@ LIMIT {_Q106_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q107 — corpus quality deciles via distributed exact NTILE
+# --------------------------------------------------------------------------
+
+_Q107_K = 10
+
+
+def q107_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length deciles — the "what does each quality/size band
+    look like" profile used to tune mixture and filter thresholds.
+    NTILE over a corpus-wide ordering is the interesting part: a naked
+    ``Window.orderBy`` ntile collapses the corpus into ONE task, so this
+    runs :func:`operators.rank.global_ntile` — range-repartition +
+    per-range row_number + per-partition offsets — which is exact,
+    deterministic (doc_id tie-break), and scales as a normal sort.
+    The oracle is plain ``ntile(10) OVER (ORDER BY …)``: the distributed
+    decomposition reproduces SQL-standard NTILE bit-for-bit.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import global_ntile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiled = global_ntile(
+        docs, ["n_chars", "doc_id"], _Q107_K, tile_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        round6(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+Q107_ORACLE = f"""
+WITH tiled AS (
+  SELECT doc_id, n_chars,
+         ntile({_Q107_K}) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {round6_sql('avg(n_chars)')} AS avg_chars
+FROM tiled
+GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------------
+# q108 — fixed-width histogram with cumulative distribution
+# --------------------------------------------------------------------------
+
+_Q108_NB = 12
+
+
+def q108_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the event value distribution with running
+    cumulative share — the profiling primitive behind threshold picking
+    (where to cut a quality score, where the tail starts).
+
+    Scale shape: the min/max envelope is one partial-aggregated 1-row
+    pass broadcast back into the scan; bucket assignment is a pure
+    arithmetic expression (whole-stage codegen, no UDF, no shuffle until
+    the ~NB-row bucket rollup). The cumulative window runs over NB rows —
+    bounded by the bucket count, not the data. Bucket edges use the same
+    IEEE double arithmetic in both engines, so boundary assignment is
+    bit-identical.
+    """
+    ev = table(spark, sf_dir, "events").select("value")
+    env = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    j = ev.crossJoin(F.broadcast(env))  # 1-row envelope
+    w = (F.col("vmax") - F.col("vmin")) / F.lit(_Q108_NB)
+    bucket = F.least(
+        F.lit(_Q108_NB - 1),
+        F.floor((F.col("value") - F.col("vmin")) / w),
+    ).cast("int")
+    hist = (
+        j.select(
+            bucket.alias("bucket"),
+            F.col("vmin"),
+            (F.col("vmin") + w * bucket).alias("lo_raw"),
+            (F.col("vmin") + w * (bucket + 1)).alias("hi_raw"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.min("lo_raw")).alias("bucket_lo"),
+            round6(F.min("hi_raw")).alias("bucket_hi"),
+        )
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        "bucket_lo",
+        "bucket_hi",
+        "n_events",
+        round6(F.col("n_events") / F.sum("n_events").over(total)).alias(
+            "share"
+        ),
+        round6(
+            F.sum("n_events").over(cum) / F.sum("n_events").over(total)
+        ).alias("cum_share"),
+    )
+
+
+Q108_ORACLE = f"""
+WITH env AS (
+  SELECT min(value) AS vmin, max(value) AS vmax FROM events
+),
+b AS (
+  SELECT least({_Q108_NB} - 1,
+               CAST(floor((value - vmin) / ((vmax - vmin) / {_Q108_NB}))
+                    AS BIGINT)) AS bucket,
+         vmin, (vmax - vmin) / {_Q108_NB} AS w
+  FROM events, env
+),
+hist AS (
+  SELECT CAST(bucket AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events,
+         {round6_sql('min(vmin + w * bucket)')} AS bucket_lo,
+         {round6_sql('min(vmin + w * (bucket + 1))')} AS bucket_hi
+  FROM b GROUP BY bucket
+)
+SELECT bucket, bucket_lo, bucket_hi, n_events,
+       {round6_sql('n_events * 1.0 / sum(n_events) OVER ()')} AS share,
+       {round6_sql('sum(n_events) OVER (ORDER BY bucket ROWS BETWEEN '
+                   'UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / '
+                   'sum(n_events) OVER ()')} AS cum_share
+FROM hist
+"""
+
+
+# --------------------------------------------------------------------------
+# q109 — stream–static enrichment join (streaming q57)
+# --------------------------------------------------------------------------
+
+
+def q109_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q57's dimension-chain enrichment as a REAL Structured Streaming
+    plan: readStream events joined per-micro-batch against the static
+    customer→nation→region chain (pre-joined batch-side into one
+    custkey→region dimension), then a watermarked daily windowed
+    aggregate. Stream–static joins buffer NO stream state — the third
+    streaming join class in the inventory next to stream-stream (q99)
+    and stateful aggregation (q53). Result equals the batch join+agg,
+    which the oracle checks (streaming/enrich.py).
+    """
+    from wetsa_cams_solrad_timeseries_spark.streaming.enrich import (
+        streaming_enriched_agg,
+    )
+
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    dim = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("user_key"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    return streaming_enriched_agg(
+        spark,
+        f"{sf_dir}/events.parquet",
+        maybe_broadcast(dim),
+        stream_key="user_id",
+        dim_key="user_key",
+    )
+
+
+Q109_ORACLE = """
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS bucket_start,
+       r.r_name AS region_name,
+       e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value) + 1e-9, 6) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -494,5 +686,11 @@ SPECS = make_specs(
          "TPC-H Q17 decorrelated aggregate-rejoin"),
         ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),
          "TPC-H Q18 HAVING + top-k"),
+        ("q107_quality_deciles", q107_quality_deciles, Q107_ORACLE, (),
+         "distributed exact NTILE deciles"),
+        ("q108_value_histogram", q108_value_histogram, Q108_ORACLE, (),
+         "equi-width histogram + CDF"),
+        ("q109_stream_static_enrich", q109_stream_static_enrich, Q109_ORACLE,
+         (), "stream-static dimension enrichment"),
     ]
 )
