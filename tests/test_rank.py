@@ -71,6 +71,28 @@ def test_global_ntile_fewer_rows_than_tiles(spark, sf_dir):
     assert tiles == [1, 2, 3, 4]
 
 
+def test_global_prefix_sum_matches_window(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in global_prefix_sum(
+            docs, ["doc_id"], "n_chars", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in docs.withColumn("cum", F.sum("n_chars").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_global_rank_no_single_partition_data_window(spark, sf_dir):
     """The physical plan must not sort the DATA in one task: every Window
     over the full input runs after a range repartition (the only

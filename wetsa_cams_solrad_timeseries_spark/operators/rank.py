@@ -82,6 +82,49 @@ def global_rank(
     return out if keep_total else out.drop(_TOTAL)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total of ``value_col`` over a global ordering,
+    computed with the same two-phase decomposition as :func:`global_rank`
+    (per-range local cumsum + per-partition totals → offsets) instead of
+    a one-task window. The workhorse behind shard planning ("cut the
+    corpus every N bytes in key order") and exact CDF assignment.
+
+    Exactness note: with integer values the result is independent of the
+    partition boundaries (integer addition is associative); with doubles
+    the grouping of additions differs from a serial scan, so use integer
+    byte/count columns for bit-stable planning decisions.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = df.repartitionByRange(nparts, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("__gr_lsum", F.sum(value_col).over(w_local))
+    totals = parted.groupBy(_PID).agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias(_OFF)
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col("__gr_lsum") + F.col(_OFF))
+        .drop(_PID, "__gr_lsum", _OFF)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list[str | Column],

@@ -670,6 +670,322 @@ GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# q110 — set operations (INTERSECT / EXCEPT / UNION DISTINCT)
+# --------------------------------------------------------------------------
+
+
+def q110_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra: purchasers vs clickers as INTERSECT (did
+    both), EXCEPT (clicked but never bought — the retargeting segment),
+    and UNION DISTINCT (reached either way) — the remaining ANSI set
+    operators the inventory had not declared (UNION ALL is q10).
+
+    Scale shape: each side is reduced to DISTINCT user_ids FIRST (keyed
+    partial-aggregated distinct, shuffle carries unique keys only);
+    Catalyst compiles intersect/subtract to left-semi/left-anti joins on
+    those deduplicated sides, hash-partitioned on the same key so the
+    exchanges line up. Counts come off 1-row aggregates combined by a
+    width-1 crossJoin (broadcast, scale-free).
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+        )
+
+    buyers, clickers = users("purchase"), users("click")
+    counts = [
+        buyers.agg(F.count(F.lit(1)).alias("n_buyers")),
+        clickers.agg(F.count(F.lit(1)).alias("n_clickers")),
+        buyers.intersect(clickers).agg(F.count(F.lit(1)).alias("n_both")),
+        clickers.subtract(buyers).agg(
+            F.count(F.lit(1)).alias("n_click_only")
+        ),
+        buyers.union(clickers)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_either")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+Q110_ORACLE = """
+WITH buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+clickers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM buyers) AS n_buyers,
+  (SELECT CAST(count(*) AS BIGINT) FROM clickers) AS n_clickers,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers))
+    AS n_both,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers))
+    AS n_click_only,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT user_id FROM buyers UNION SELECT user_id FROM clickers))
+    AS n_either
+"""
+
+
+# --------------------------------------------------------------------------
+# q111 — bounded window frames (ROWS n PRECEDING + RANGE interval)
+# --------------------------------------------------------------------------
+
+
+def q111_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling statistics with the two bounded frame classes the
+    window inventory lacked: a ROWS frame (last-5-events moving average)
+    and a RANGE frame (all events within the trailing 10 minutes by
+    event time — frame membership by VALUE distance, so timestamp peers
+    are always included together regardless of tie order).
+
+    Scale shape: one shuffle on user_id serves both frames (two sort
+    orders within the same partitioning — Catalyst plans one Exchange,
+    two local Sorts); frames are evaluated with sliding accumulators
+    over each sorted run, never re-scanning the partition per row.
+    RANGE ordering uses epoch seconds (Spark's rangeBetween requires a
+    numeric ordering key; floor-of-seconds in both engines).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        round6(F.avg("value").over(w_rows)).alias("avg_last5"),
+        round6(F.sum("value").over(w_range)).alias("sum_10m"),
+        F.count(F.lit(1)).over(w_range).alias("n_10m"),
+    )
+
+
+Q111_ORACLE = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 1e-9, 6)
+         AS avg_last5,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) + 1e-9, 6)
+         AS sum_10m,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10m
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q112 — explicit GROUPING SETS + grouping_id
+# --------------------------------------------------------------------------
+
+
+def q112_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals at three explicit granularities — (status, priority),
+    (status), and grand total — via GROUPING SETS, completing the
+    multi-granularity family next to ROLLUP (q16) and CUBE (q44).
+    grouping_id disambiguates NULL-as-ALL from a genuine NULL key (both
+    engines use the leftmost-column-is-MSB bitmask convention).
+
+    Scale shape: Spark expands grouping sets with one Expand node (each
+    row replicated once per set) feeding a single hash aggregate with
+    map-side partial aggregation — one shuffle regardless of how many
+    sets, and replication factor = n_sets, not n_columns².
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders",
+                "total_price", "gid")
+    )
+
+
+Q112_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {exact_sum_sql('o_totalprice')} AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# q113 — cohort retention
+# --------------------------------------------------------------------------
+
+
+def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, then
+    the share of each cohort active N weeks later — the standard
+    product-analytics matrix, and a distinct composition (two
+    self-derived aggregates re-joined on the cohort key) from funnel
+    (q68) and sessionization (q15).
+
+    Scale shape: (user, week) activity is a keyed distinct with map-side
+    partial aggregation; the cohort assignment is a min-aggregate on
+    user_id and re-joins the activity set on user_id — both sides
+    hash-partitioned on the same key, so the join reuses the exchange.
+    Cohort sizes are a ~weeks-sized frame joined by size-gated
+    broadcast. No window over the corpus anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    activity = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .distinct()
+    )
+    cohort = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    joined = activity.join(cohort, "user_id")
+    weeks_since = (
+        (F.col("week").cast("long") - F.col("cohort_week").cast("long"))
+        / F.lit(604800)
+    ).cast("long")
+    ret = joined.groupBy(
+        "cohort_week", weeks_since.alias("weeks_since")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        ret.join(maybe_broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            round6(F.col("n_active") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+Q113_ORACLE = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+),
+ret AS (
+  SELECT c.cohort_week,
+         CAST((epoch(a.week) - epoch(c.cohort_week)) / 604800 AS BIGINT)
+           AS weeks_since,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+           AS cohort_size
+  FROM cohort GROUP BY cohort_week
+)
+SELECT r.cohort_week, r.weeks_since, r.n_active, s.cohort_size,
+       {round6_sql('r.n_active * 1.0 / s.cohort_size')} AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+
+# --------------------------------------------------------------------------
+# q114 — output-shard planning via distributed prefix sum
+# --------------------------------------------------------------------------
+
+_Q114_TARGET = 8192  # bytes per shard
+
+
+def q114_shard_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer planning: cut the corpus into ~8 KB output shards in
+    doc_id order by exact running byte total — the "which file does each
+    record land in" decision every sharded-dataset writer makes
+    (WebDataset tars, TFRecord shards, parquet row-group planning).
+    shard = floor(bytes_before_this_doc / target).
+
+    The running total comes from
+    :func:`operators.rank.global_prefix_sum` — range repartition +
+    per-range local cumsum + per-partition offsets — never a one-task
+    window; integer byte counts make the result exactly
+    partitioning-invariant. The oracle is the plain single-window SQL
+    cumsum, which the decomposition must reproduce exactly.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = global_prefix_sum(docs, ["doc_id"], "n_chars", out_col="cum_bytes")
+    shard = (
+        (F.col("cum_bytes") - F.col("n_chars")) / F.lit(_Q114_TARGET)
+    ).cast("long")
+    return (
+        cum.select("doc_id", "n_chars", shard.alias("shard_id"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+Q114_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM documents
+)
+SELECT CAST(floor((cum_bytes - n_chars) * 1.0 / {_Q114_TARGET}) AS BIGINT)
+         AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -692,5 +1008,15 @@ SPECS = make_specs(
          "equi-width histogram + CDF"),
         ("q109_stream_static_enrich", q109_stream_static_enrich, Q109_ORACLE,
          (), "stream-static dimension enrichment"),
+        ("q110_set_operations", q110_set_operations, Q110_ORACLE, (),
+         "INTERSECT/EXCEPT/UNION DISTINCT"),
+        ("q111_rolling_frames", q111_rolling_frames, Q111_ORACLE, (),
+         "ROWS + RANGE bounded window frames"),
+        ("q112_grouping_sets", q112_grouping_sets, Q112_ORACLE, (),
+         "GROUPING SETS + grouping_id"),
+        ("q113_cohort_retention", q113_cohort_retention, Q113_ORACLE, (),
+         "weekly cohort retention matrix"),
+        ("q114_shard_planning", q114_shard_planning, Q114_ORACLE, (),
+         "shard cuts via distributed prefix sum"),
     ]
 )

@@ -49,8 +49,10 @@ _PIN_FIRST = (
     # q66/q22 additionally pre-project the decimal money column; q83's
     # min/max moved to the raw double column; q93's oracle unnests
     # per-row; q71's session kernel constant-factor path changed; q76 was
-    # restructured (region semi-join). Pinned in
+    # restructured (region semi-join); q40's kernel moved from crossJoin
+    # to the blocked-matmul applyInPandas path. Pinned in
     # most-structurally-changed-first order.
+    "q40_embedding_neardup",
     "q66_nation_trade_volume",
     "q22_local_supplier_volume",
     "q76_market_share",
