@@ -21,6 +21,8 @@ side so no SQL-string escape pass touches the backslashes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -986,6 +988,166 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q115 — streaming MERGE via foreachBatch
+# --------------------------------------------------------------------------
+
+
+def q115_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep a keyed table current from a stream: foreachBatch applies the
+    q100-style full-outer latest-wins MERGE per micro-batch and swaps the
+    target generation atomically (streaming/upsert_stream.py). The merge
+    is associative, so ANY micro-batch slicing converges to the batch
+    answer — which this oracle checks across a forced 3-batch replay
+    (maxFilesPerTrigger=1; the kernel asserts >1 batch ran)."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _split_events
+    from wetsa_cams_solrad_timeseries_spark.streaming.upsert_stream import (
+        streaming_foreachbatch_upsert,
+    )
+
+    split_dir = _split_events(spark, sf_dir)
+    return streaming_foreachbatch_upsert(spark, split_dir)
+
+
+Q115_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event,
+       value AS last_val, CAST(n AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q116 — Arrow-vectorized pandas_udf scoring (the sanctioned UDF path)
+# --------------------------------------------------------------------------
+
+# Deterministic 64-dim weight vector (no RNG — reproducible literals).
+_Q116_W = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_Q116_TOPK = 20
+
+
+def q116_pandas_udf_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring escape hatch: when a formula outgrows expression
+    trees (a real model would call into numpy/torch), the engine's rule
+    is an Arrow-batched ``@pandas_udf`` — NEVER a row-at-a-time Python
+    UDF. Here a linear relevance head (w·x through a sigmoid) scores
+    every embedding; the UDF body is one BLAS matmul per Arrow batch,
+    and the sigmoid + top-k stay JVM-side so only the dot product pays
+    the Python boundary. Top-k via TakeOrderedAndProject.
+
+    The oracle recomputes the identical formula with DuckDB's
+    list_dot_product, so this also pins the Arrow float32→float64
+    widening behavior cross-engine.
+    """
+    from wetsa_cams_solrad_timeseries_spark.functions.vectorized import (
+        dot_literal,
+        sigmoid,
+    )
+
+    dot_w = dot_literal(_Q116_W)
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", sigmoid(dot_w(F.col("embedding"))).alias("raw")
+    )
+    return (
+        scored.select("vec_id", round6(F.col("raw")).alias("score"))
+        .orderBy(F.desc("raw"), F.asc("vec_id"))
+        .limit(_Q116_TOPK)
+    )
+
+
+def _q116_w_sql() -> str:
+    return "[" + ", ".join(repr(w) for w in _Q116_W) + "]"
+
+
+Q116_ORACLE = f"""
+SELECT vec_id,
+       {round6_sql('1.0 / (1.0 + exp(-list_dot_product('
+                   'CAST(embedding AS DOUBLE[]), ' + _q116_w_sql() + ')))')}
+         AS score
+FROM embeddings
+ORDER BY 1.0 / (1.0 + exp(-list_dot_product(
+         CAST(embedding AS DOUBLE[]), {_q116_w_sql()}))) DESC, vec_id ASC
+LIMIT {_Q116_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q117 — JSON-lines source scan with declared schema
+# --------------------------------------------------------------------------
+
+
+def q117_json_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion: the events table re-materialized once per
+    process as newline-delimited JSON (the wire format logs actually
+    arrive in), then scanned back with a DECLARED schema — no sampling
+    inference pass, the production rule for JSON at scale (schema
+    inference reads the data twice and locks in whatever the sample
+    happened to contain). The aggregate proves the scan round-trips
+    values exactly (Jackson writes shortest-round-trip doubles; the
+    oracle reads the original parquet).
+
+    Scale shape: JSON parsing is JVM-side (Jackson) and scan-parallel;
+    with a declared schema Spark prunes to the referenced fields during
+    parsing. Still ~10× the CPU of parquet — the archived-columnar copy
+    (K3) is where repeated analytics should run; this query is the
+    landing-zone reader.
+    """
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import (
+        claim_artifact_dir,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.pipeline_ops import (
+        _PROC_TOKEN,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    json_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_events_json_*_{sf_tag}"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(), f"wetsa_events_json_{_PROC_TOKEN}_{sf_tag}"
+        ),
+    )
+    ev = table(spark, sf_dir, "events")
+    # Default JSON timestampFormat truncates to milliseconds; declare
+    # microsecond precision on BOTH sides so event times round-trip.
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
+        ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(
+            json_dir
+        )
+    parsed = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(json_dir)
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        round6(F.sum("value")).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+Q117_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {round6_sql('sum(value)')} AS sum_value,
+       max(ts) AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1018,5 +1180,11 @@ SPECS = make_specs(
          "weekly cohort retention matrix"),
         ("q114_shard_planning", q114_shard_planning, Q114_ORACLE, (),
          "shard cuts via distributed prefix sum"),
+        ("q115_streaming_upsert", q115_streaming_upsert, Q115_ORACLE, (),
+         "foreachBatch MERGE into keyed table"),
+        ("q116_pandas_udf_scoring", q116_pandas_udf_scoring, Q116_ORACLE, (),
+         "Arrow-vectorized pandas_udf scoring"),
+        ("q117_json_source_scan", q117_json_source_scan, Q117_ORACLE, (),
+         "JSON-lines scan with declared schema"),
     ]
 )

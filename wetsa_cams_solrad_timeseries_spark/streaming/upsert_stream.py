@@ -1,0 +1,150 @@
+"""Streaming MERGE via ``foreachBatch``: the micro-batch upsert pattern.
+
+File/Kafka sinks are append-only, so "keep a keyed table current from a
+stream" is expressed with ``foreachBatch``: each micro-batch becomes a
+normal BATCH DataFrame, merged into the target with the same full-outer
+latest-wins plan as q100's SCD1 merge, and the target is atomically
+replaced per batch (write-new-generation-then-swap — the poor man's
+Delta/Iceberg MERGE; with a transactional table format the merge body
+is identical and the swap is the format's commit).
+
+Correctness rests on the merge being ASSOCIATIVE: "latest row per key"
+under (ts, event_id) ordering and "count of rows per key" both combine
+associatively across batches, so any micro-batch slicing converges to
+the same table the batch query computes — which the DuckDB oracle
+checks. The fn asserts >1 micro-batch actually ran, so the associativity
+claim is genuinely exercised, not vacuously true.
+
+Scale shape: every per-batch step (delta rollup, full-outer merge,
+rewrite) is a distributed job; the driver only sequences batches. State
+lives in the target table itself — nothing in the state store — so
+restart recovery is the checkpoint's source-offset replay plus the last
+committed generation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
+
+
+def _latest_per_key(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Per-key rollup: latest (ts, event_id)-ordered row + row count.
+    One grouped aggregation (struct-max carries the winning row's
+    payload), no window over the batch."""
+    s = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        )
+    ).alias("s")
+    return (
+        df.groupBy(key)
+        .agg(s, F.count(F.lit(1)).alias("n"))
+        .select(
+            key,
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.eid").alias("last_event"),
+            F.col("s.v").alias("last_val"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
+def _merge(cur: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """Full-outer latest-wins merge of two per-key rollups (associative)."""
+    t, d = cur.alias("t"), delta.alias("d")
+    j = t.join(d, key, "full_outer")
+    d_wins = F.col("t.last_ts").isNull() | (
+        F.struct(F.col("d.last_ts"), F.col("d.last_event"))
+        > F.struct(F.col("t.last_ts"), F.col("t.last_event"))
+    ) & F.col("d.last_ts").isNotNull()
+    pick = lambda c: F.when(  # noqa: E731
+        F.col("d.last_ts").isNotNull() & d_wins, F.col(f"d.{c}")
+    ).otherwise(F.col(f"t.{c}"))
+    return j.select(
+        key,
+        pick("last_ts").alias("last_ts"),
+        pick("last_event").alias("last_event"),
+        pick("last_val").alias("last_val"),
+        (
+            F.coalesce(F.col("t.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+    )
+
+
+def streaming_foreachbatch_upsert(
+    spark: SparkSession,
+    split_dir: str,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Drain the multi-file replay through a foreachBatch MERGE and
+    return the final keyed table. Asserts the stream really delivered
+    more than one micro-batch (maxFilesPerTrigger=1 over a 3-file
+    split), so cross-batch merge associativity is exercised."""
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    batch_df = spark.read.parquet(split_dir)
+    ts_fix = ts_fix_expr(dict(batch_df.dtypes).get(ts_col), ts_col)
+    reader = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", "part-*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+        .withColumn(ts_col, ts_fix)
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"wetsa_upsert_{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(root, exist_ok=True)
+    state = {"path": None, "batches": 0}
+
+    def apply_batch(bdf: DataFrame, bid: int) -> None:
+        delta = _latest_per_key(bdf, key, ts_col)
+        if state["path"] is None:
+            merged = delta
+        else:
+            cur = spark.read.parquet(state["path"])
+            merged = _merge(cur, delta, key)
+        new_path = os.path.join(root, f"gen_{bid}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        state["batches"] += 1
+
+    ckpt = drain_checkpoint_dir()
+    try:
+        with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+            query = (
+                reader.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        assert state["batches"] > 1, (
+            f"multi-batch upsert expected >1 micro-batch, got "
+            f"{state['batches']}"
+        )
+        result = spark.read.parquet(state["path"])
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
