@@ -1148,6 +1148,124 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q118 — last-observation-carried-forward imputation
+# --------------------------------------------------------------------------
+
+
+def q118_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap handling by LAST-OBSERVATION-CARRIED-FORWARD — the imputation
+    family's other member next to q96's linear interpolation (which
+    needs BOTH brackets; LOCF is the causal/streaming-safe variant that
+    never looks ahead). Sensor readings during 'error' events are
+    treated as missing and filled with the user's most recent good
+    value via ``last(..., ignorenulls=True)`` over an unbounded-
+    preceding frame.
+
+    Scale shape: one shuffle on user_id, per-user sort, a single
+    running-last accumulator per row — the same cost envelope as any
+    cumulative window. Output aggregates per event_type so the driver
+    row stays small while every per-row fill participates.
+    """
+    ev = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "event_type",
+        good.alias("good_value"),
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("good_value").isNull().cast("long")).alias("n_missing"),
+        F.sum(F.col("filled_value").isNull().cast("long")).alias(
+            "n_unfillable"
+        ),
+        round6(F.avg("filled_value")).alias("avg_filled"),
+    )
+
+
+Q118_ORACLE = f"""
+WITH filled AS (
+  SELECT event_type,
+         CASE WHEN event_type <> 'error' THEN value END AS good_value,
+         last_value(CASE WHEN event_type <> 'error' THEN value END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS filled_value
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN good_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(sum(CASE WHEN filled_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfillable,
+       {round6_sql('avg(filled_value)')} AS avg_filled
+FROM filled
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q119 — ranking function family (rank / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+
+def q119_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation league table by order revenue with the tie-aware ranking
+    family: rank (gaps on ties), percent_rank ((rank-1)/(n-1)) and
+    cume_dist (peers-inclusive fraction) — the SQL-standard trio the
+    window inventory had not yet declared (dense_rank lives in q43,
+    NTILE in q107). All three share ONE window sort.
+
+    Scale shape: ranking runs over the nation-level AGGREGATE (25 rows),
+    not the fact table — the fact shuffle is the revenue rollup with
+    map-side combine; the single-partition window sorts only the
+    dimension-sized result, the same bounded pattern as q108's CDF.
+    """
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    return rev.select(
+        "nation",
+        "revenue",
+        F.rank().over(w).cast("long").alias("rnk"),
+        round6(F.percent_rank().over(w)).alias("pct_rank"),
+        round6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+Q119_ORACLE = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         {exact_sum_sql('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       rank() OVER (ORDER BY revenue DESC) AS rnk,
+       {round6_sql('percent_rank() OVER (ORDER BY revenue DESC)')}
+         AS pct_rank,
+       {round6_sql('cume_dist() OVER (ORDER BY revenue DESC)')} AS cume
+FROM rev
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1186,5 +1304,9 @@ SPECS = make_specs(
          "Arrow-vectorized pandas_udf scoring"),
         ("q117_json_source_scan", q117_json_source_scan, Q117_ORACLE, (),
          "JSON-lines scan with declared schema"),
+        ("q118_locf_imputation", q118_locf_imputation, Q118_ORACLE, (),
+         "LOCF gap imputation (causal fill)"),
+        ("q119_rank_functions", q119_rank_functions, Q119_ORACLE, (),
+         "rank / percent_rank / cume_dist"),
     ]
 )
