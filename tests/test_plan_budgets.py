@@ -61,6 +61,17 @@ BUDGETS = [
     # Anti/semi joins stay broadcast at dimension scale.
     ("q19_anti_join", 1, ["Broadcast"], ["CartesianProduct"]),
     ("q20_semi_join", 1, ["Broadcast"], ["CartesianProduct"]),
+    # Round-5 additions.
+    # Regex scrub: pure scan-stage expressions + one rollup shuffle.
+    ("q102_pii_scrub", 1, [], ["Join", "Python"]),
+    # Both bounded frames share ONE exchange (two local sorts).
+    ("q111_rolling_frames", 1, ["Window"], ["Join"]),
+    # GROUPING SETS: one Expand, one shuffle — replication = n_sets.
+    ("q112_grouping_sets", 1, ["Expand"], ["Join"]),
+    # LOCF: window shuffle + rollup shuffle, nothing else.
+    ("q118_locf_imputation", 2, ["Window"], ["Join"]),
+    # Repetition filter: explode is pipeline-local; 3 keyed agg shuffles.
+    ("q103_repetition_score", 3, [], ["Join"]),
 ]
 
 
@@ -83,6 +94,8 @@ _SCALE_GATED = [
     ("q66_nation_trade_volume", 2),     # nation x2
     ("q74_large_volume_customers", 0),
     ("q76_market_share", 3),            # nation x2, region-nation semi
+    ("q105_small_qty_revenue", 0),      # part is SF-scaling: size-gated
+    ("q106_large_orders", 0),           # HAVING keys + customer: gated
 ]
 
 
