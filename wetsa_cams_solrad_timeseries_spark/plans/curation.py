@@ -1266,6 +1266,92 @@ FROM rev
 """
 
 
+# --------------------------------------------------------------------------
+# q120 — Z-order (Morton) clustering key
+# --------------------------------------------------------------------------
+
+_Q120_BITS = 8
+
+
+def _zvalue(a, b):
+    """Interleave the low 8 bits of two int columns into a 16-bit Morton
+    key — pure shift/mask arithmetic (whole-stage codegen; identical
+    integer semantics in DuckDB)."""
+    z = F.lit(0)
+    for i in range(_Q120_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def q120_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering key: the Morton/Z-order interleave of
+    (user bucket, value bucket) — the layout technique behind Delta/
+    Iceberg ``ZORDER BY``: sort-write by z and BOTH dimensions become
+    range-prunable from the same file order, because a contiguous z
+    range bounds a small rectangle in (a, b) space. The query computes
+    the key and the per-z-bucket min/max envelopes of both dimensions —
+    exactly the footer stats a reader would prune against; narrow
+    envelopes per bucket ARE the locality property (the oracle checks
+    the full manifest bit-for-bit, integer arithmetic end to end).
+
+    Scale shape: the z key is scan-stage integer arithmetic; the
+    manifest rollup is one shuffle on the 256-bucket key. The write path
+    (not part of the declared result) is ``repartitionByRange(z).
+    sortWithinPartitions(z)`` — a normal distributed sort, no new
+    machinery.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = (F.col("user_id") % 256).cast("int")
+    b = F.least(
+        F.lit(255), F.greatest(F.lit(0), F.floor(F.col("value") * 2.55))
+    ).cast("int")
+    z = _zvalue(a, b)
+    rows = ev.select(a.alias("a"), b.alias("b"), z.alias("z"))
+    return (
+        rows.groupBy(F.shiftright(F.col("z"), 8).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )
+
+
+def _zvalue_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Q120_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+Q120_ORACLE = f"""
+WITH rows_ AS (
+  SELECT CAST(user_id % 256 AS INTEGER) AS a,
+         CAST(least(255, greatest(0, floor(value * 2.55))) AS INTEGER) AS b
+  FROM events
+),
+keyed AS (
+  SELECT a, b, {_zvalue_sql('a', 'b')} AS z FROM rows_
+)
+SELECT CAST(z >> 8 AS INTEGER) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(a) AS min_a, max(a) AS max_a,
+       min(b) AS min_b, max(b) AS max_b,
+       CAST(min(z) AS INTEGER) AS min_z, CAST(max(z) AS INTEGER) AS max_z
+FROM keyed
+GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1308,5 +1394,7 @@ SPECS = make_specs(
          "LOCF gap imputation (causal fill)"),
         ("q119_rank_functions", q119_rank_functions, Q119_ORACLE, (),
          "rank / percent_rank / cume_dist"),
+        ("q120_zorder_clustering", q120_zorder_clustering, Q120_ORACLE, (),
+         "Morton/Z-order clustering manifest"),
     ]
 )
