@@ -688,7 +688,12 @@ def q110_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst compiles intersect/subtract to left-semi/left-anti joins on
     those deduplicated sides, hash-partitioned on the same key so the
     exchanges line up. Counts come off 1-row aggregates combined by a
-    width-1 crossJoin (broadcast, scale-free).
+    width-1 crossJoin (broadcast, scale-free). When ONLY the counts are
+    wanted (as here), the two-shuffle rewrite — per-user boolean flags
+    (has_buy, has_click) then one global conditional aggregate — computes
+    all five numbers in a single pass; the declared plan keeps the
+    actual set OPERATORS because producing the member sets is the
+    general contract.
     """
     ev = table(spark, sf_dir, "events")
 
@@ -1267,6 +1272,73 @@ FROM rev
 
 
 # --------------------------------------------------------------------------
+# q121 — probability-proportional-to-size (PPS) systematic sample
+# --------------------------------------------------------------------------
+
+_Q121_TARGET = 200  # target sample size
+
+
+def q121_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling, probability proportional to document SIZE —
+    systematic PPS: walk the corpus in doc_id order accumulating byte
+    weights and take one document at every ``total/target`` bytes (a doc
+    is selected iff a step boundary falls inside its weight interval;
+    big docs can span several boundaries but are emitted once). The
+    token-budget-fair way to subsample a corpus: selection probability ∝
+    n_chars, deterministic, no RNG, no transcendental math — unlike
+    Efraimidis-Spirakis keys (u^(1/w)), whose log/pow make cross-engine
+    bit-parity a libm lottery.
+
+    Scale shape: the running weight total is the distributed prefix sum
+    (operators/rank.py — range repartition + offsets, no one-task
+    window); boundary selection is scan-stage arithmetic; the per-source
+    audit rollup is the only further shuffle.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cum = global_prefix_sum(docs, ["doc_id"], "n_chars", out_col="cum_w")
+    tot = cum.agg(F.max("cum_w").alias("total"))
+    j = cum.crossJoin(F.broadcast(tot))  # 1-row total
+    step = F.col("total") / F.lit(_Q121_TARGET)
+    picked = F.floor(F.col("cum_w") / step) > F.floor(
+        (F.col("cum_w") - F.col("n_chars")) / step
+    )
+    return (
+        j.filter(picked)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+Q121_ORACLE = f"""
+WITH cum AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM documents
+),
+tot AS (SELECT max(cum_w) AS total FROM cum)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_bytes,
+       min(doc_id) AS first_doc
+FROM cum, tot
+WHERE floor(cum_w / (total / {_Q121_TARGET}.0))
+      > floor((cum_w - n_chars) / (total / {_Q121_TARGET}.0))
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # q120 — Z-order (Morton) clustering key
 # --------------------------------------------------------------------------
 
@@ -1396,5 +1468,7 @@ SPECS = make_specs(
          "rank / percent_rank / cume_dist"),
         ("q120_zorder_clustering", q120_zorder_clustering, Q120_ORACLE, (),
          "Morton/Z-order clustering manifest"),
+        ("q121_pps_sample", q121_pps_sample, Q121_ORACLE, (),
+         "systematic PPS weighted sample"),
     ]
 )
