@@ -293,6 +293,40 @@ def test_streaming_distinct_dedups_across_batches(spark, sf_dir, tmp_path):
     assert got.count() == len(got_set)
 
 
+def test_dedup_within_watermark_matches_exact_distinct(
+    spark, sf_dir, tmp_path
+):
+    """The bounded-state production variant
+    (``dropDuplicatesWithinWatermark``) with a retention delay covering
+    the replay's full time span must still equal exact DISTINCT — every
+    recurrence falls inside the retention window, so nothing is
+    re-emitted. This pins the variant's semantics so the 100 TB claim in
+    the module docstring is tested, not just documented."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.dedup_stream import (
+        streaming_distinct,
+    )
+
+    out_dir = str(tmp_path / "wm_dedup_events")
+    (tmp_path / "wm_dedup_events").mkdir()
+    ev = _split_events_two_files(spark, sf_dir, out_dir)
+
+    got = streaming_distinct(
+        spark,
+        f"{out_dir}/*.parquet",
+        ["user_id", "event_type"],
+        max_files_per_trigger=1,
+        require_multi_batch=True,
+        within_watermark="90 days",  # > the corpus's whole span
+    )
+    got_set = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    exp_set = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got_set == exp_set
+    assert got.count() == len(got_set)
+
+
 def test_streaming_distinct_single_batch_raises(spark, sf_dir, tmp_path):
     """require_multi_batch is a loud-failure contract: a drain that
     collapsed into one micro-batch must raise, not silently pass."""

@@ -1424,6 +1424,89 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q122 — incremental aggregate (materialized-view) maintenance
+# --------------------------------------------------------------------------
+
+
+def q122_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(event_type, day)
+    aggregate table is kept current by MERGING a late delta batch into
+    the previously materialized base — never recomputing over history.
+    Works because the maintained statistics are ALGEBRAIC (count and sum
+    combine additively; avg re-derives from them at read time) — the
+    same decomposition streaming partial aggregation uses, here applied
+    to batch view maintenance.
+
+    The base/delta split reuses the 3-file replay layout (2 files =
+    history, 1 file = the late batch). Merge = full-outer coalesce +
+    add. The oracle aggregates the WHOLE table in one pass: additive
+    maintenance must land on exactly the answer a full recompute gives,
+    regardless of which rows fell in the delta — that invariance IS the
+    correctness property of incremental view maintenance.
+
+    Scale shape: the delta is delta-sized in every step (scan, partial
+    agg, merge join on the view key); the base view is only re-written
+    where keys changed (here: full-outer join sized by view keys, not
+    by history rows). At 100 TB this is the difference between touching
+    yesterday's partition and replaying three years.
+    """
+    import glob as _glob
+
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _split_events
+
+    split_dir = _split_events(spark, sf_dir)
+    files = sorted(_glob.glob(os.path.join(split_dir, "part-*.parquet")))
+    assert len(files) >= 3, files
+    ts_col = F.col("ts")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("day", F.date_trunc("day", ts_col))
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import normalize_ts
+
+    base = rollup(normalize_ts(spark.read.parquet(*files[:-1])))
+    delta = rollup(normalize_ts(spark.read.parquet(files[-1])))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.sum_value"), F.lit(0.0))
+            + F.coalesce(F.col("d.sum_value"), F.lit(0.0))
+        ).alias("sum_value"),
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        round6(F.col("sum_value")).alias("sum_value"),
+        round6(F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+Q122_ORACLE = f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {round6_sql('sum(value)')} AS sum_value,
+       {round6_sql('sum(value) / count(*)')} AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1470,5 +1553,7 @@ SPECS = make_specs(
          "Morton/Z-order clustering manifest"),
         ("q121_pps_sample", q121_pps_sample, Q121_ORACLE, (),
          "systematic PPS weighted sample"),
+        ("q122_incremental_agg", q122_incremental_agg, Q122_ORACLE, (),
+         "incremental materialized-view merge"),
     ]
 )

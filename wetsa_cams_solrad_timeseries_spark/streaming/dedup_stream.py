@@ -41,6 +41,7 @@ def streaming_distinct(
     keys: Sequence[str],
     max_files_per_trigger: int | None = None,
     require_multi_batch: bool = False,
+    within_watermark: str | None = None,
 ) -> DataFrame:
     """Drain the distinct ``keys`` tuples of a parquet file set replayed
     as a stream; returns the drained (append-mode) result.
@@ -50,7 +51,16 @@ def streaming_distinct(
     ``require_multi_batch`` the drain RAISES unless >1 micro-batch saw
     input rows — a single-batch fold cannot silently pass as a
     cross-batch test (same loud-failure contract as q77's update
-    counter)."""
+    counter).
+
+    ``within_watermark`` switches to the bounded-state production form:
+    ``withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)`` —
+    state for a key is GC'd once the event-time watermark passes its
+    last occurrence plus the delay, which is what makes an UNBOUNDED
+    stream's dedup state finite. With a delay covering the replayed
+    data's whole time span the result still equals exact DISTINCT
+    (every recurrence falls inside the retention window), which is how
+    the parity test pins the variant's semantics."""
     keys = list(keys)
     batch_df = spark.read.parquet(parquet_path)
     directory, filename = os.path.split(parquet_path.rstrip("/"))
@@ -60,12 +70,21 @@ def streaming_distinct(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     src = reader.parquet(directory)
-    if "ts" in keys:
+    if "ts" in keys or within_watermark:
         # A ts dedup key must stream the NORMALIZED timestamp, or the raw
         # physical values (bigint nanos / timestamp_ntz) would mismatch
         # any batch oracle built on normalize_ts'd reads.
         src = src.withColumn("ts", ts_fix_expr(dict(batch_df.dtypes).get("ts")))
-    deduped = src.select(*keys).dropDuplicates(keys)
+    if within_watermark:
+        cols = keys if "ts" in keys else [*keys, "ts"]
+        deduped = (
+            src.withWatermark("ts", within_watermark)
+            .select(*cols)
+            .dropDuplicatesWithinWatermark(keys)
+            .select(*keys)
+        )
+    else:
+        deduped = src.select(*keys).dropDuplicates(keys)
 
     name = f"dedup_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
