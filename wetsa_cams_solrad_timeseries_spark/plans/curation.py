@@ -1507,6 +1507,66 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q123 — blocked fuzzy matching (edit-distance entity resolution)
+# --------------------------------------------------------------------------
+
+_Q123_TITLE_LEN = 24
+_Q123_BLOCK_LEN = 8
+_Q123_MAX_DIST = 6
+
+
+def q123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: near-identical document titles
+    (first 24 chars) within Levenshtein ≤ 6 — the classic fuzzy-dedup
+    pass for titles/names that exact and shingle dedup both miss
+    (single-character typos shift every shingle).
+
+    Scale shape: the quadratic is tamed by BLOCKING, the same discipline
+    as every dedup operator here — candidates are pairs sharing an
+    8-char title prefix, so pair volume is Σ block² with data-bounded
+    blocks, never corpus². One shuffle on the block key; levenshtein is
+    a JVM expression on the candidate pairs. Production tightens recall
+    with multi-pass blocking (prefix, suffix, sorted-token key) unioned;
+    the plan per pass is identical.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring("text", 1, _Q123_TITLE_LEN).alias("title"),
+        F.substring("text", 1, _Q123_BLOCK_LEN).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.title", "b.title").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= _Q123_MAX_DIST)
+    )
+
+
+Q123_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, {_Q123_TITLE_LEN}) AS title,
+         substr(text, 1, {_Q123_BLOCK_LEN}) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t a
+JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= {_Q123_MAX_DIST}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1555,5 +1615,7 @@ SPECS = make_specs(
          "systematic PPS weighted sample"),
         ("q122_incremental_agg", q122_incremental_agg, Q122_ORACLE, (),
          "incremental materialized-view merge"),
+        ("q123_fuzzy_match", q123_fuzzy_match, Q123_ORACLE, (),
+         "blocked edit-distance entity resolution"),
     ]
 )
