@@ -1567,6 +1567,61 @@ WHERE levenshtein(a.title, b.title) <= {_Q123_MAX_DIST}
 """
 
 
+# --------------------------------------------------------------------------
+# q124 — schema-evolution union (unionByName allowMissingColumns)
+# --------------------------------------------------------------------------
+
+
+def q124_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-batch append: an old-schema extract (no event_type
+    column) unioned with a new-schema extract (event_type added, value
+    dropped) via ``unionByName(allowMissingColumns=True)`` — columns
+    align BY NAME and absent ones null-fill, the ingestion reality when
+    a feed's schema evolves mid-corpus. The audit aggregate counts the
+    per-column null exposure the evolution introduced. DuckDB's
+    ``UNION ALL BY NAME`` has identical semantics, which the oracle
+    exercises literally.
+
+    Scale shape: a by-name union is a zero-shuffle plan concatenation
+    (each side keeps its partitions; missing columns become null
+    literals in the projection); only the audit rollup exchanges.
+    """
+    ev = table(spark, sf_dir, "events")
+    old_batch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    new_batch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    combined = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return combined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias(
+            "null_event_type"
+        ),
+        round6(F.sum("value")).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q124_ORACLE = f"""
+WITH combined AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_value,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_event_type,
+       {round6_sql('sum(value)')} AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM combined
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1617,5 +1672,7 @@ SPECS = make_specs(
          "incremental materialized-view merge"),
         ("q123_fuzzy_match", q123_fuzzy_match, Q123_ORACLE, (),
          "blocked edit-distance entity resolution"),
+        ("q124_schema_evolution_union", q124_schema_evolution_union,
+         Q124_ORACLE, (), "unionByName with schema evolution"),
     ]
 )

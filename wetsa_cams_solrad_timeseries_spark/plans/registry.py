@@ -70,9 +70,12 @@ _PIN_FIRST = (
     "q78_profit_by_nation",
     "q79_supplier_part_counts",
     "q80_excess_shippers",
-    "q84_waiting_suppliers",
-    "q91_partition_pruned_scan",
-    "q81_bucketed_colocated_join",
+    # NOT pinned despite round-5 touches (driver budget math: 21 pins +
+    # 29 never-checked new queries ≈ the ~50-row budget): q84 (same
+    # maybe_broadcast class as the seven pinned queries above — class
+    # coverage), q81/q91 (artifact-path/lifecycle changes only; their
+    # pruning/zero-Exchange properties self-assert inline on EVERY
+    # execution and are pytest-locked).
     "q77_streaming_multibatch",
     "q82_streaming_dedup",
     "q53_streaming_stateful",
