@@ -1622,6 +1622,55 @@ FROM combined
 """
 
 
+# --------------------------------------------------------------------------
+# q125 — rolling 7-day distinct users (sliding-window WAU)
+# --------------------------------------------------------------------------
+
+
+def q125_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-users, daily cadence: EXACT distinct user count per
+    7-day window sliding 1 day, per event type — the dashboard metric
+    rolling sums cannot produce (distinct does not decompose across
+    days). Spark's sliding ``window()`` replicates each event into its
+    7 covering windows, then one distinct-aggregate per (window, type).
+
+    Scale shape: the ×7 replication happens in the scan stage
+    (pipeline-local Expand, no extra shuffle); the cost center is the
+    countDistinct shuffle carrying (window, type, user) triples. At
+    100 TB the exact form is this plan; the cheap form keeps one KMV/HLL
+    sketch PER DAY and merges 7 per window (q92's mergeability makes
+    that a tiny rollup) — exactness traded for a union-able fixed-size
+    state, the standard WAU/MAU production trade.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "7 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "wau",
+            "n_events",
+        )
+    )
+
+
+Q125_ORACLE = """
+SELECT CAST(date_trunc('day', e.ts) - (t.i * INTERVAL 1 DAY) AS TIMESTAMP)
+         AS win_start,
+       e.event_type,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e, range(7) t(i)
+GROUP BY 1, 2
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1674,5 +1723,7 @@ SPECS = make_specs(
          "blocked edit-distance entity resolution"),
         ("q124_schema_evolution_union", q124_schema_evolution_union,
          Q124_ORACLE, (), "unionByName with schema evolution"),
+        ("q125_rolling_wau", q125_rolling_wau, Q125_ORACLE, (),
+         "sliding-window exact distinct users"),
     ]
 )
