@@ -93,6 +93,62 @@ def test_global_prefix_sum_matches_window(spark, sf_dir):
     assert got == want
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    nparts=st.integers(2, 8),
+)
+@_SET
+def test_global_rank_property_matches_sorted_position(spark, vals, nparts):
+    """For ANY value multiset (ties included — id breaks them) and ANY
+    partition count, global_rank equals the row's position in the fully
+    sorted order."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, ["v", "id"], num_partitions=nparts).collect()
+    }
+    order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+    want = {i: pos + 1 for pos, i in enumerate(order)}
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=1, max_size=60),
+    nparts=st.integers(2, 8),
+)
+@_SET
+def test_global_prefix_sum_property(spark, vals, nparts):
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, w long"
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in global_prefix_sum(
+            df, ["id"], "w", num_partitions=nparts
+        ).collect()
+    }
+    run = 0
+    for i, v in enumerate(vals):
+        run += v
+        assert got[i] == run
+
+
 def test_global_rank_no_single_partition_data_window(spark, sf_dir):
     """The physical plan must not sort the DATA in one task: every Window
     over the full input runs after a range repartition (the only
