@@ -1671,6 +1671,130 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q126 — per-entity feature assembly (feature-store shape)
+# --------------------------------------------------------------------------
+
+_Q126_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q126_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-feature materialization: one row per user with the
+    activity-count one-hot block (conditional aggregation — the pivot
+    every feature store compiles to), numeric stats, and the assembled
+    ``array<double>`` feature vector a trainer consumes. The assembly is
+    pure column arithmetic over ONE grouped aggregate — no joins, no
+    second pass; the array is built JVM-side with F.array.
+
+    Scale shape: a single keyed aggregation with map-side combine;
+    output width is fixed by the feature list, so the shuffle carries
+    one small row per user. This is the batch-materialization half of a
+    feature store; the streaming half is q53's stateful aggregate over
+    the same keys.
+    """
+    ev = table(spark, sf_dir, "events")
+    cnt = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in _Q126_TYPES
+    ]
+    agg = ev.groupBy("user_id").agg(
+        *cnt,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("value").alias("sum_value"),
+    )
+    feat = [
+        F.col(f"n_{t}").cast("double") / F.col("n_total")
+        for t in _Q126_TYPES
+    ] + [F.col("sum_value") / F.col("n_total")]
+    return agg.select(
+        "user_id",
+        *[F.col(f"n_{t}") for t in _Q126_TYPES],
+        F.transform(
+            F.array(*feat), lambda x: F.round(x + F.lit(1e-9), 6)
+        ).alias("features"),
+    )
+
+
+def _q126_feat_sql() -> str:
+    shares = ", ".join(
+        f"round(n_{t} * 1.0 / n_total + 1e-9, 6)" for t in _Q126_TYPES
+    )
+    return f"[{shares}, round(sum_value / n_total + 1e-9, 6)]"
+
+
+Q126_ORACLE = f"""
+WITH agg AS (
+  SELECT user_id,
+         {', '.join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _Q126_TYPES)},
+         count(*) AS n_total,
+         sum(value) AS sum_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, {', '.join(f'n_{t}' for t in _Q126_TYPES)},
+       {_q126_feat_sql()} AS features
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# q127 — percentile winsorization (outlier clipping)
+# --------------------------------------------------------------------------
+
+
+def q127_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier handling by winsorization: clip each value into its event
+    type's [p01, p99] band — the data-cleaning step run before training
+    on heavy-tailed measurements. The per-group percentile boundaries
+    are a dimension-sized aggregate joined back by broadcast; clipping
+    is scan-stage arithmetic; the audit reports how much mass moved.
+
+    Scale shape: two passes over the fact (boundary aggregate + clip),
+    the exact-percentile cost. At 100 TB the boundary pass switches to
+    ``percentile_approx`` (t-digest, one mergeable pass) with identical
+    downstream plumbing — the exact form is kept here because the gate
+    demands cross-engine equality and sketches are engine-specific.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") < F.col("p01")).cast("long")).alias(
+            "n_clipped_low"
+        ),
+        F.sum((F.col("value") > F.col("p99")).cast("long")).alias(
+            "n_clipped_high"
+        ),
+        round6(F.avg("value")).alias("avg_raw"),
+        round6(F.avg(clipped)).alias("avg_winsorized"),
+    )
+
+
+Q127_ORACLE = f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       {round6_sql('avg(e.value)')} AS avg_raw,
+       {round6_sql('avg(least(greatest(e.value, b.p01), b.p99))')}
+         AS avg_winsorized
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1725,5 +1849,9 @@ SPECS = make_specs(
          Q124_ORACLE, (), "unionByName with schema evolution"),
         ("q125_rolling_wau", q125_rolling_wau, Q125_ORACLE, (),
          "sliding-window exact distinct users"),
+        ("q126_feature_assembly", q126_feature_assembly, Q126_ORACLE, (),
+         "per-entity feature vector assembly"),
+        ("q127_winsorize", q127_winsorize, Q127_ORACLE, (),
+         "percentile winsorization audit"),
     ]
 )
