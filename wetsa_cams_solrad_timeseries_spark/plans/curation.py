@@ -1795,6 +1795,205 @@ GROUP BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q128 — first-touch attribution (self-stream as-of via carried-forward)
+# --------------------------------------------------------------------------
+
+_Q128_WINDOW_S = 3600
+
+
+def q128_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: each purchase is credited to the same
+    user's most recent PRECEDING click within 1 hour. The as-of lookup
+    runs INSIDE one stream (not across two tables like q17): the last
+    click timestamp is carried forward with a conditional
+    ``last(..., ignorenulls=True)`` cumulative window — the q118 LOCF
+    mechanism applied to event timestamps — then the attribution window
+    is a plain filter. One shuffle on user_id; no join at all.
+
+    Output: per-day attributed purchase counts, conversion share, and
+    mean click→purchase latency.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    with_click = ev.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    purchases = with_click.filter(F.col("event_type") == "purchase")
+    lag_s = F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+    attributed = (F.col("last_click_ts").isNotNull()) & (
+        lag_s <= _Q128_WINDOW_S
+    )
+    return (
+        purchases.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+            round6(F.avg(attributed.cast("double"))).alias(
+                "attributed_share"
+            ),
+            round6(
+                F.avg(F.when(attributed, lag_s.cast("double")))
+            ).alias("avg_lag_s"),
+        )
+    )
+
+
+Q128_ORACLE = f"""
+WITH with_click AS (
+  SELECT event_type, ts, event_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+),
+p AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CASE WHEN last_click_ts IS NOT NULL
+                   AND CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(last_click_ts)) AS BIGINT)
+                       <= {_Q128_WINDOW_S}
+              THEN 1 ELSE 0 END AS attributed,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS lag_s
+  FROM with_click WHERE event_type = 'purchase'
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(attributed) AS BIGINT) AS n_attributed,
+       {round6_sql('avg(attributed * 1.0)')} AS attributed_share,
+       {round6_sql('avg(CASE WHEN attributed = 1 THEN lag_s * 1.0 END)')}
+         AS avg_lag_s
+FROM p
+GROUP BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# q129 — condition-based streaks (islands by flag, not by time gap)
+# --------------------------------------------------------------------------
+
+
+def q129_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-free streaks per user: consecutive non-error runs, built
+    with the gaps-and-islands trick keyed on a CONDITION instead of a
+    time gap (q15 sessionizes on gaps): island id = running count of
+    errors seen so far, so every error starts a new island. Reports the
+    streak-length distribution — the "how long do users go between
+    failures" reliability metric.
+
+    Scale shape: two windows over the same (user_id, ts) sort — Catalyst
+    plans one Exchange + one Sort for both — then a two-level rollup of
+    island sizes. Everything after the sort is per-partition streaming
+    aggregation.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_err = (F.col("event_type") == "error").cast("long")
+    marked = ev.withColumn("island", F.sum(is_err).over(w))
+    streaks = (
+        marked.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return streaks.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q129_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM events
+),
+streaks AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+  FROM marked WHERE event_type <> 'error'
+  GROUP BY user_id, island
+)
+SELECT streak_len,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM streaks
+GROUP BY streak_len
+"""
+
+
+# --------------------------------------------------------------------------
+# q130 — contingency table + chi-square statistic
+# --------------------------------------------------------------------------
+
+
+def q130_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between event type and day-of-week: the full
+    contingency rollup (observed vs expected under independence) reduced
+    to the chi-square statistic per event type — the categorical
+    counterpart of q70's Pearson correlation in the statistics family.
+
+    Scale shape: one (type, dow) grouped count; marginals derive from it
+    via two tiny re-aggregations joined back by broadcast (the
+    contingency table is category-sized, not data-sized); the statistic
+    is pure arithmetic over that table.
+    """
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_m = obs.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    col_m = obs.groupBy("dow").agg(F.sum("n").alias("col_n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    j = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("total")
+    chi = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return j.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        round6(F.sum(chi)).alias("chi2"),
+    )
+
+
+Q130_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, sum(n) AS row_n FROM obs GROUP BY event_type),
+col_m AS (SELECT dow, sum(n) AS col_n FROM obs GROUP BY dow),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT o.event_type,
+       CAST(sum(o.n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       {round6_sql('sum((o.n - r.row_n * c.col_n * 1.0 / t.total)'
+                   ' * (o.n - r.row_n * c.col_n * 1.0 / t.total)'
+                   ' / (r.row_n * c.col_n * 1.0 / t.total))')} AS chi2
+FROM obs o
+JOIN row_m r ON o.event_type = r.event_type
+JOIN col_m c ON o.dow = c.dow, tot t
+GROUP BY o.event_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1853,5 +2052,11 @@ SPECS = make_specs(
          "per-entity feature vector assembly"),
         ("q127_winsorize", q127_winsorize, Q127_ORACLE, (),
          "percentile winsorization audit"),
+        ("q128_attribution", q128_attribution, Q128_ORACLE, (),
+         "first-touch attribution via LOCF"),
+        ("q129_error_streaks", q129_error_streaks, Q129_ORACLE, (),
+         "condition-keyed gaps-and-islands"),
+        ("q130_chi_square", q130_chi_square, Q130_ORACLE, (),
+         "contingency table + chi-square"),
     ]
 )
