@@ -1994,6 +1994,158 @@ GROUP BY o.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q131 — cross-language vocabulary overlap matrix
+# --------------------------------------------------------------------------
+
+
+def q131_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language buckets — the corpus
+    diagnostic for language-ID leakage / shared boilerplate across
+    splits. Kept LONG-FORM the whole way: distinct (lang, token) rows,
+    |A∩B| from a token self-join, |A∪B| = |A|+|B|−|A∩B| — never a
+    collect_set of a vocabulary into one row (a 100 TB vocab doesn't
+    fit a row; the long form shuffles only distinct tokens).
+
+    Scale shape: one distinct on (lang, token); the intersection join is
+    keyed on token and produces lang-pair rows (pairs are
+    #langs²-bounded, tokens are data-bounded); sizes join back by
+    broadcast (langs-sized frame).
+    """
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("vsize"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("vsize").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("vsize").alias("size_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            round6(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+Q131_ORACLE = f"""
+WITH vocab AS (
+  SELECT DISTINCT lang,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vsize FROM vocab GROUP BY lang
+),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b, i.n_common,
+       sa.vsize AS size_a, sb.vsize AS size_b,
+       {round6_sql('i.n_common * 1.0 / (sa.vsize + sb.vsize - i.n_common)')}
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.lang_a = sa.lang
+JOIN sizes sb ON i.lang_b = sb.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# q132 — robust statistics: median absolute deviation
+# --------------------------------------------------------------------------
+
+
+def q132_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: median and MAD
+    (median(|x − median|)) with the robust outlier count at the
+    standard 3×1.4826×MAD cutoff — the heavy-tail-safe counterpart of
+    mean/stddev profiling (q61) and the principled threshold source for
+    q127's clipping.
+
+    Scale shape: inherently two passes (the second percentile depends on
+    the first — no single-pass exact form exists): group medians join
+    back by broadcast (group-count-sized), then one more grouped
+    percentile over |x − median|. At 100 TB both passes swap
+    ``percentile`` for ``percentile_approx`` unchanged elsewhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    dev = F.abs(F.col("value") - F.col("med"))
+    mad = j.groupBy("event_type").agg(
+        F.first("med").alias("med_v"),
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    cutoff = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    j2 = ev.join(F.broadcast(mad), "event_type")
+    return j2.groupBy("event_type").agg(
+        F.first(F.round(F.col("med_v") + F.lit(1e-9), 6)).alias("median"),
+        F.first(F.round(F.col("mad") + F.lit(1e-9), 6)).alias("mad"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med_v")) > cutoff).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q132_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_v
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         any_value(m.med_v) AS med_v,
+         quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       {round6_sql('any_value(a.med_v)')} AS median,
+       {round6_sql('any_value(a.mad_v)')} AS mad,
+       CAST(sum(CASE WHEN abs(e.value - a.med_v)
+                          > 3.0 * 1.4826 * a.mad_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN mad a ON e.event_type = a.event_type
+GROUP BY e.event_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2058,5 +2210,9 @@ SPECS = make_specs(
          "condition-keyed gaps-and-islands"),
         ("q130_chi_square", q130_chi_square, Q130_ORACLE, (),
          "contingency table + chi-square"),
+        ("q131_vocab_overlap", q131_vocab_overlap, Q131_ORACLE, (),
+         "cross-language vocabulary Jaccard"),
+        ("q132_mad_robust_stats", q132_mad_robust_stats, Q132_ORACLE, (),
+         "median absolute deviation profiling"),
     ]
 )
