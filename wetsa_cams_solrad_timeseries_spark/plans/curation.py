@@ -2146,6 +2146,118 @@ GROUP BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q133 — vocabulary novelty over document order (first-seen tokens)
+# --------------------------------------------------------------------------
+
+_Q133_BATCH = 100  # doc_id-range batches stand in for ingestion days
+
+
+def q133_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve: bucket documents into ingestion batches
+    (doc_id ranges stand in for arrival days) and count, per batch, how
+    many of its tokens are NOVEL — first seen in that batch. The
+    diminishing-novelty curve is the classic "is more crawl still adding
+    vocabulary?" curation signal (Heaps' law in practice).
+
+    Scale shape: first-seen batch per token is one min-aggregate over
+    distinct (token, batch) pairs; batch totals and novelty counts come
+    from the same grain re-aggregated — shuffle keys are tokens, state
+    per token is one integer. No window, no collect.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") / _Q133_BATCH).cast("long").alias("batch"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).distinct()
+    first_seen = toks.groupBy("tok").agg(F.min("batch").alias("first_batch"))
+    j = toks.join(first_seen, "tok")
+    return j.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum((F.col("first_batch") == F.col("batch")).cast("long")).alias(
+            "n_novel"
+        ),
+        round6(
+            F.avg((F.col("first_batch") == F.col("batch")).cast("double"))
+        ).alias("novelty_rate"),
+    )
+
+
+Q133_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT CAST(floor(doc_id * 1.0 / {_Q133_BATCH}) AS BIGINT)
+           AS batch,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+first_seen AS (
+  SELECT tok, min(batch) AS first_batch FROM toks GROUP BY tok
+)
+SELECT t.batch,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(CASE WHEN f.first_batch = t.batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       {round6_sql('avg(CASE WHEN f.first_batch = t.batch '
+                   'THEN 1.0 ELSE 0.0 END)')} AS novelty_rate
+FROM toks t JOIN first_seen f ON t.tok = f.tok
+GROUP BY t.batch
+"""
+
+
+# --------------------------------------------------------------------------
+# q134 — period-over-period growth on an aggregated series
+# --------------------------------------------------------------------------
+
+
+def q134_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — lag() applied AFTER
+    aggregation (q43 windows the raw facts; BI series math windows the
+    aggregate): weekly rollup, then previous-week comparison and
+    null-safe growth rate on the weeks-sized series.
+
+    Scale shape: the fact shuffle is the weekly rollup with map-side
+    combine; the lag window runs over the (type × weeks) aggregate — a
+    frame bounded by the calendar, not the data.
+    """
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        "sum_value",
+        prev.alias("prev_events"),
+        round6(
+            (F.col("n_events") - prev)
+            / F.nullif(prev, F.lit(0)).cast("double")
+        ).alias("wow_growth"),
+    )
+
+
+Q134_ORACLE = f"""
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CAST(count(*) AS BIGINT) AS n_events,
+         {round6_sql('sum(value)')} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n_events, sum_value,
+       lag(n_events) OVER w AS prev_events,
+       {round6_sql('(n_events - lag(n_events) OVER w) * 1.0 '
+                   '/ nullif(lag(n_events) OVER w, 0)')} AS wow_growth
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2214,5 +2326,9 @@ SPECS = make_specs(
          "cross-language vocabulary Jaccard"),
         ("q132_mad_robust_stats", q132_mad_robust_stats, Q132_ORACLE, (),
          "median absolute deviation profiling"),
+        ("q133_token_novelty", q133_token_novelty, Q133_ORACLE, (),
+         "vocabulary novelty / growth curve"),
+        ("q134_wow_growth", q134_wow_growth, Q134_ORACLE, (),
+         "period-over-period growth on aggregate"),
     ]
 )
