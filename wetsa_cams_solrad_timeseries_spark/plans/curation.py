@@ -2258,6 +2258,143 @@ WINDOW w AS (PARTITION BY event_type ORDER BY week)
 """
 
 
+# --------------------------------------------------------------------------
+# q135 — leave-one-out target encoding
+# --------------------------------------------------------------------------
+
+
+def q135_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's category feature is the
+    category's mean target EXCLUDING the row itself — (Σ−x)/(n−1) — the
+    encoding that avoids the self-leakage plain mean-encoding suffers in
+    training features. Group sums are one aggregate broadcast back; the
+    per-row exclusion is scan-stage arithmetic. The audit reports the
+    per-category spread the exclusion introduces.
+
+    Scale shape: one grouped aggregate (category-sized) + broadcast
+    join + one audit rollup; no window, no per-row state.
+    """
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.sum("value").alias("g_sum"), F.count(F.lit(1)).alias("g_n")
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    loo = (F.col("g_sum") - F.col("value")) / (F.col("g_n") - 1)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.avg(loo)).alias("avg_loo"),
+        round6(F.min(loo)).alias("min_loo"),
+        round6(F.max(loo)).alias("max_loo"),
+        round6(F.avg("value")).alias("plain_mean"),
+    )
+
+
+Q135_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, sum(value) AS g_sum, count(*) AS g_n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {round6_sql('avg((g.g_sum - e.value) / (g.g_n - 1))')} AS avg_loo,
+       {round6_sql('min((g.g_sum - e.value) / (g.g_n - 1))')} AS min_loo,
+       {round6_sql('max((g.g_sum - e.value) / (g.g_n - 1))')} AS max_loo,
+       {round6_sql('avg(e.value)')} AS plain_mean
+FROM events e JOIN g ON e.event_type = g.event_type
+GROUP BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q136 — score-decile lift table (model calibration)
+# --------------------------------------------------------------------------
+
+# Same deterministic weight family as q116, JVM-side here (zip_with +
+# aggregate) — this query is about the EVALUATION table, not the UDF path.
+_Q136_W = [((i * 29) % 17 - 8) / 10.0 for i in range(64)]
+
+
+def q136_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval lift table: score every embedding with a linear head
+    (pure JVM zip_with/aggregate dot product), split the population into
+    score deciles with the DISTRIBUTED exact NTILE (operators/rank.py —
+    decile 1 = highest scores), and report each decile's positive rate
+    and lift over the base rate — the calibration/gain chart every
+    ranking-model evaluation starts from. "Positive" is the odd-label
+    class of the embeddings table.
+
+    Scale shape: scoring is scan-stage expression work; the decile
+    assignment is the range-partition rank (no one-task window); the
+    lift rollup is 10 rows joined to a 1-row base rate by broadcast.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import global_ntile
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    w = F.array(*[F.lit(float(x)) for x in _Q136_W])
+    score = F.aggregate(
+        F.zip_with(v, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.select(
+        "vec_id",
+        score.alias("score"),
+        (F.col("label") % 2 == 1).cast("long").alias("positive"),
+    )
+    tiled = global_ntile(
+        scored, [F.col("score").desc(), F.col("vec_id").asc()], 10,
+        tile_col="decile",
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("positive").alias("n_positive"),
+        F.avg("positive").alias("rate_raw"),
+    )
+    base = per.agg(
+        (F.sum("n_positive") / F.sum("n")).alias("base_rate")
+    )
+    return per.crossJoin(F.broadcast(base)).select(
+        "decile",
+        "n",
+        "n_positive",
+        round6(F.col("rate_raw")).alias("positive_rate"),
+        round6(F.col("rate_raw") / F.col("base_rate")).alias("lift"),
+    )
+
+
+def _q136_w_sql() -> str:
+    return "[" + ", ".join(repr(w) for w in _Q136_W) + "]"
+
+
+Q136_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), {_q136_w_sql()})
+           AS score,
+         CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS positive
+  FROM embeddings
+),
+tiled AS (
+  SELECT positive,
+         ntile(10) OVER (ORDER BY score DESC, vec_id ASC) AS decile
+  FROM scored
+),
+per AS (
+  SELECT CAST(decile AS INTEGER) AS decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(positive) AS BIGINT) AS n_positive,
+         avg(positive * 1.0) AS rate_raw
+  FROM tiled GROUP BY decile
+),
+base AS (SELECT sum(n_positive) * 1.0 / sum(n) AS base_rate FROM per)
+SELECT decile, n, n_positive,
+       {round6_sql('rate_raw')} AS positive_rate,
+       {round6_sql('rate_raw / base_rate')} AS lift
+FROM per, base
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2330,5 +2467,9 @@ SPECS = make_specs(
          "vocabulary novelty / growth curve"),
         ("q134_wow_growth", q134_wow_growth, Q134_ORACLE, (),
          "period-over-period growth on aggregate"),
+        ("q135_target_encoding", q135_target_encoding, Q135_ORACLE, (),
+         "leave-one-out target encoding"),
+        ("q136_decile_lift", q136_decile_lift, Q136_ORACLE, (),
+         "score-decile lift / calibration table"),
     ]
 )
