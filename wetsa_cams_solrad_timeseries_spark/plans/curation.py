@@ -2395,6 +2395,152 @@ FROM per, base
 """
 
 
+# --------------------------------------------------------------------------
+# q137 — null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+
+def q137_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a NULLABLE key with null-safe equality: rows whose derived
+    segment is NULL (users never purchasing) must still pair —
+    ``eqNullSafe`` (SQL ``IS NOT DISTINCT FROM``) treats NULL as a
+    joinable value where ``=`` silently drops it, the classic
+    missing-rows bug in dimension lookups keyed on optional attributes.
+    The query joins user activity to a segment-attribute frame on the
+    nullable segment key BOTH ways and reports the row-count gap the
+    null semantics make — the audit that catches the bug.
+
+    Scale shape: null-safe equality is still hash-joinable in Spark
+    (null hashes to a bucket like any value — no fallback to NLJ, which
+    the plan check in tests asserts for the budget family); one shuffle
+    pair on the segment key, counts from 1-row aggregates.
+    """
+    ev = table(spark, sf_dir, "events")
+    user_seg = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit("buyer"))
+        ).alias("segment")
+    )
+    seg_attrs = spark.createDataFrame(
+        [("buyer", 1.0), (None, 0.2)], "segment string, weight double"
+    )
+    strict = user_seg.join(
+        F.broadcast(seg_attrs), user_seg.segment == seg_attrs.segment
+    )
+    nullsafe = user_seg.join(
+        F.broadcast(seg_attrs),
+        user_seg.segment.eqNullSafe(seg_attrs.segment),
+    )
+    a = strict.agg(
+        F.count(F.lit(1)).alias("n_strict"),
+        round6(F.sum("weight")).alias("w_strict"),
+    )
+    b = nullsafe.agg(
+        F.count(F.lit(1)).alias("n_nullsafe"),
+        round6(F.sum("weight")).alias("w_nullsafe"),
+    )
+    tot = user_seg.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_users",
+            "n_strict",
+            "n_nullsafe",
+            (F.col("n_nullsafe") - F.col("n_strict")).alias("n_rescued"),
+            "w_strict",
+            "w_nullsafe",
+        )
+    )
+
+
+Q137_ORACLE = f"""
+WITH user_seg AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 'buyer' END) AS segment
+  FROM events GROUP BY user_id
+),
+seg_attrs AS (
+  SELECT 'buyer' AS segment, 1.0 AS weight
+  UNION ALL SELECT NULL, 0.2
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strict,
+         {round6_sql('sum(s.weight)')} AS w_strict
+  FROM user_seg u JOIN seg_attrs s ON u.segment = s.segment
+),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nullsafe,
+         {round6_sql('sum(s.weight)')} AS w_nullsafe
+  FROM user_seg u
+  JOIN seg_attrs s ON u.segment IS NOT DISTINCT FROM s.segment
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM user_seg)
+SELECT t.n_users, a.n_strict, b.n_nullsafe,
+       b.n_nullsafe - a.n_strict AS n_rescued,
+       a.w_strict, b.w_nullsafe
+FROM a, b, t
+"""
+
+
+# --------------------------------------------------------------------------
+# q138 — event-transition (Markov) matrix
+# --------------------------------------------------------------------------
+
+
+def q138_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the first-order transition matrix of
+    event types per user — counts and row-normalized probabilities of
+    "X then Y" — the input to Markov attribution/journey models and the
+    sequence statistic n-gram counters (q88) don't capture (order WITHIN
+    a keyed stream, not text).
+
+    Scale shape: one window shuffle on user_id gives every row its
+    successor via lead(); the matrix rollup is a types²-sized aggregate;
+    row normalization joins the types-sized marginal by broadcast.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            round6(F.col("n") / F.col("row_n")).alias("p"),
+        )
+    )
+
+
+Q138_ORACLE = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+marg AS (SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       {round6_sql('c.n * 1.0 / m.row_n')} AS p
+FROM cnt c JOIN marg m ON c.from_type = m.from_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2471,5 +2617,9 @@ SPECS = make_specs(
          "leave-one-out target encoding"),
         ("q136_decile_lift", q136_decile_lift, Q136_ORACLE, (),
          "score-decile lift / calibration table"),
+        ("q137_null_safe_join", q137_null_safe_join, Q137_ORACLE, (),
+         "null-safe equality join audit"),
+        ("q138_transition_matrix", q138_transition_matrix, Q138_ORACLE, (),
+         "event-transition Markov matrix"),
     ]
 )
