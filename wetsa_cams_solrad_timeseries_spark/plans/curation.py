@@ -2541,6 +2541,178 @@ FROM cnt c JOIN marg m ON c.from_type = m.from_type
 """
 
 
+# --------------------------------------------------------------------------
+# q139 — percent-of-parent contribution at two hierarchy levels
+# --------------------------------------------------------------------------
+
+
+def q139_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: each nation's revenue as a
+    share of its REGION and of the WORLD, plus the region's share of
+    world — the percent-of-parent arithmetic every drill-down BI view
+    computes. All shares come from ONE nation-level aggregate re-rolled
+    through two windowed totals over the dimension-sized result (25
+    rows) — the fact table is scanned and shuffled exactly once.
+    """
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    nat = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(exact_sum("o_totalprice").alias("revenue"))
+    )
+    w_reg = Window.partitionBy("region")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        round6(F.col("revenue") / F.sum("revenue").over(w_reg)).alias(
+            "share_of_region"
+        ),
+        round6(F.col("revenue") / F.sum("revenue").over(w_all)).alias(
+            "share_of_world"
+        ),
+        round6(
+            F.sum("revenue").over(w_reg) / F.sum("revenue").over(w_all)
+        ).alias("region_share_of_world"),
+    )
+
+
+Q139_ORACLE = f"""
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {exact_sum_sql('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, revenue,
+       {round6_sql('revenue / sum(revenue) OVER (PARTITION BY region)')}
+         AS share_of_region,
+       {round6_sql('revenue / sum(revenue) OVER ()')} AS share_of_world,
+       {round6_sql('sum(revenue) OVER (PARTITION BY region) '
+                   '/ sum(revenue) OVER ()')} AS region_share_of_world
+FROM nat
+"""
+
+
+# --------------------------------------------------------------------------
+# q140 — peak concurrency via distributed sweep line
+# --------------------------------------------------------------------------
+
+_Q140_GAP_S = 1800  # 30-minute session gap
+
+
+def q140_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning metric —
+    by the classic sweep line: sessionize per user (30-min gap islands),
+    explode each session into a (+1 at start, −1 at end) endpoint pair,
+    and take the running sum over the GLOBAL time ordering; the maximum
+    of that running sum within a day is the day's peak concurrency.
+
+    The global running sum is the scale crux: it is computed with
+    :func:`operators.rank.global_prefix_sum` (range repartition + local
+    cumsum + per-partition offsets), NOT a one-task window — the
+    sweep line stays a distributed sort. Endpoint ordering puts −1
+    before +1 at the same instant (end-exclusive sessions), with
+    (user, island) as the unique tie-break, so the result is
+    deterministic and partitioning-invariant (integer deltas).
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.rank import (
+        global_prefix_sum,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = (gap.isNull() | (gap > _Q140_GAP_S)).cast("long")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("island", F.sum(new_sess).over(wc))
+        .groupBy("user_id", "island")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    endpoints = sess.select(
+        F.col("s_start").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "island",
+    ).unionByName(
+        sess.select(
+            F.col("s_end").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "island",
+        )
+    )
+    cum = global_prefix_sum(
+        endpoints, ["t", "delta", "user_id", "island"], "delta",
+        out_col="concurrent",
+    )
+    return (
+        cum.withColumn("day", F.date_trunc("day", F.col("t")))
+        .groupBy("day")
+        .agg(
+            F.max("concurrent").cast("long").alias("peak_concurrency"),
+            F.sum((F.col("delta") == 1).cast("long")).alias(
+                "n_sessions_started"
+            ),
+        )
+    )
+
+
+Q140_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                      > {_Q140_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, island, min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+  )
+  GROUP BY user_id, island
+),
+endpoints AS (
+  SELECT s_start AS t, 1 AS delta, user_id, island FROM sess
+  UNION ALL
+  SELECT s_end AS t, -1 AS delta, user_id, island FROM sess
+),
+swept AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta, user_id, island
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+  FROM endpoints
+)
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+       CAST(max(concurrent) AS BIGINT) AS peak_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started
+FROM swept
+GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2621,5 +2793,9 @@ SPECS = make_specs(
          "null-safe equality join audit"),
         ("q138_transition_matrix", q138_transition_matrix, Q138_ORACLE, (),
          "event-transition Markov matrix"),
+        ("q139_contribution_shares", q139_contribution_shares, Q139_ORACLE,
+         (), "percent-of-parent hierarchy shares"),
+        ("q140_peak_concurrency", q140_peak_concurrency, Q140_ORACLE, (),
+         "sweep-line peak concurrency"),
     ]
 )
