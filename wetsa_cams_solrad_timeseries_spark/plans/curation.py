@@ -2713,6 +2713,172 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q141 — cumulative adoption curve (running distinct users)
+# --------------------------------------------------------------------------
+
+
+def q141_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day — the adoption/growth curve. A
+    running DISTINCT count does not decompose like a running sum, so the
+    scalable form is: first-seen day per user (one min-aggregate on
+    user_id), daily new-user counts, then a running sum over the
+    DAYS-sized series (calendar-bounded window, like q134). The fact
+    table is never windowed.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+Q141_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# q142 — two-sample comparison (Welch t statistic)
+# --------------------------------------------------------------------------
+
+
+def q142_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-style two-sample comparison: Welch's t statistic (and its
+    degrees of freedom) between every event type's values and the
+    'view' control group — the experimentation readout the statistics
+    family (corr q70, chi² q130, regression q09) still lacked. Built
+    entirely from per-group moments (n, mean, variance): one grouped
+    aggregate, then arithmetic against the broadcast control row.
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    ctrl = (
+        stats.filter(F.col("event_type") == "view")
+        .select(
+            F.col("n").alias("n0"),
+            F.col("mean").alias("mean0"),
+            F.col("var").alias("var0"),
+        )
+    )
+    j = stats.filter(F.col("event_type") != "view").crossJoin(
+        F.broadcast(ctrl)
+    )
+    se2 = F.col("var") / F.col("n") + F.col("var0") / F.col("n0")
+    t = (F.col("mean") - F.col("mean0")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("var") / F.col("n")) * (F.col("var") / F.col("n"))
+        / (F.col("n") - 1)
+        + (F.col("var0") / F.col("n0")) * (F.col("var0") / F.col("n0"))
+        / (F.col("n0") - 1)
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_treat"),
+        round6(F.col("mean") - F.col("mean0")).alias("mean_diff"),
+        round6(t).alias("t_stat"),
+        round6(dof).alias("welch_dof"),
+    )
+
+
+Q142_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         avg(value) AS mean,
+         var_samp(value) AS var
+  FROM events GROUP BY event_type
+),
+ctrl AS (
+  SELECT n AS n0, mean AS mean0, var AS var0
+  FROM stats WHERE event_type = 'view'
+)
+SELECT s.event_type,
+       CAST(s.n AS BIGINT) AS n_treat,
+       {round6_sql('s.mean - c.mean0')} AS mean_diff,
+       {round6_sql('(s.mean - c.mean0) '
+                   '/ sqrt(s.var / s.n + c.var0 / c.n0)')} AS t_stat,
+       {round6_sql('(s.var / s.n + c.var0 / c.n0) '
+                   '* (s.var / s.n + c.var0 / c.n0) '
+                   '/ ((s.var / s.n) * (s.var / s.n) / (s.n - 1) '
+                   '   + (c.var0 / c.n0) * (c.var0 / c.n0) / (c.n0 - 1))')}
+         AS welch_dof
+FROM stats s, ctrl c
+WHERE s.event_type <> 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# q143 — categorical entropy of the daily event mix
+# --------------------------------------------------------------------------
+
+
+def q143_entropy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day — the
+    distribution-drift monitor: entropy collapsing toward 0 means one
+    event type is taking over (incident!), entropy near log₂(k) means a
+    balanced mix. Two category-sized aggregates and pure arithmetic —
+    −Σ p·log₂(p) over the (day × type) counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    day_tot = cnt.groupBy("day").agg(F.sum("n").alias("day_n"))
+    j = cnt.join(F.broadcast(day_tot), "day")
+    p = F.col("n") / F.col("day_n")
+    plogp = p * F.log2(p)
+    return j.groupBy("day").agg(
+        F.first("day_n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        round6(-F.sum(plogp)).alias("entropy_bits"),
+    )
+
+
+Q143_ORACLE = f"""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+day_tot AS (SELECT day, sum(n) AS day_n FROM cnt GROUP BY day)
+SELECT c.day,
+       CAST(any_value(t.day_n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       {round6_sql('-sum((c.n * 1.0 / t.day_n) '
+                   '* log2(c.n * 1.0 / t.day_n))')} AS entropy_bits
+FROM cnt c JOIN day_tot t ON c.day = t.day
+GROUP BY c.day
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2797,5 +2963,11 @@ SPECS = make_specs(
          (), "percent-of-parent hierarchy shares"),
         ("q140_peak_concurrency", q140_peak_concurrency, Q140_ORACLE, (),
          "sweep-line peak concurrency"),
+        ("q141_adoption_curve", q141_adoption_curve, Q141_ORACLE, (),
+         "cumulative distinct-user growth"),
+        ("q142_ab_test", q142_ab_test, Q142_ORACLE, (),
+         "Welch two-sample t statistic"),
+        ("q143_entropy_mix", q143_entropy_mix, Q143_ORACLE, (),
+         "daily event-mix Shannon entropy"),
     ]
 )
