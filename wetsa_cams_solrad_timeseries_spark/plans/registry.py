@@ -32,6 +32,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     vector,
     pipeline_ops,
     curation,
+    analytics,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -119,6 +120,7 @@ def _collect() -> dict[str, QuerySpec]:
         vector,
         pipeline_ops,
         curation,
+        analytics,
     ):
         merged.update(mod.SPECS)
     covered = _previously_covered()
