@@ -1281,6 +1281,153 @@ GROUP BY c.day
 
 
 
+# --------------------------------------------------------------------------
+# q144 — order-fulfillment latency distribution
+# --------------------------------------------------------------------------
+
+
+def q144_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→first-shipment latency: days from order date to the
+    earliest lineitem ship date, summarized per order priority — the
+    operational-SLA readout, and the inventory's date-arithmetic
+    exercise (datediff on DATE columns, not timestamps).
+
+    Scale shape: the first-ship rollup partial-aggregates min(shipdate)
+    map-side on l_orderkey; the orders join is key-to-key on the same
+    hash partitioning; the priority rollup is priority-sized.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = o.join(first_ship, o.o_orderkey == F.col("l_orderkey"))
+    lat = F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(lat).alias("min_days"),
+        F.max(lat).alias("max_days"),
+        round6(F.avg(lat)).alias("avg_days"),
+        F.sum((lat <= 7).cast("long")).alias("n_within_week"),
+    )
+
+
+Q144_ORACLE = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(datediff('day', o.o_orderdate, f.first_ship)) AS INTEGER)
+         AS min_days,
+       CAST(max(datediff('day', o.o_orderdate, f.first_ship)) AS INTEGER)
+         AS max_days,
+       {round6_sql("avg(datediff('day', o.o_orderdate, f.first_ship))")}
+         AS avg_days,
+       CAST(sum(CASE WHEN datediff('day', o.o_orderdate, f.first_ship) <= 7
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_week
+FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q145 — market-basket co-occurrence with lift
+# --------------------------------------------------------------------------
+
+
+def q145_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: which part-type CATEGORIES ship together
+    in one order more often than chance — pairwise co-occurrence counts
+    and lift = P(A,B)/(P(A)·P(B)). The pair explosion is bounded by
+    BASKET SIZE (an order has ≤7 lineitems), the same discipline as
+    every blocked quadratic here: the self-join key is the order, never
+    the catalog.
+
+    Scale shape: distinct (order, category) pairs first (dedups repeat
+    categories within an order), one self-join on l_orderkey
+    (basket-bounded), then category²-sized rollups; marginals join back
+    by broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cat = F.split(F.col("p_type"), " ").getItem(0).alias("category")
+    baskets = (
+        li.join(maybe_broadcast(pa), li.l_partkey == pa.p_partkey)
+        .select("l_orderkey", cat)
+        .distinct()
+    )
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )  # 1-row, stays lazy — no driver-side count in plan construction
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.category") < F.col("b.category")),
+        )
+        .groupBy(
+            F.col("a.category").alias("cat_a"),
+            F.col("b.category").alias("cat_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = baskets.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_cat")
+    )
+    ma = marg.select(
+        F.col("category").alias("cat_a"), F.col("n_cat").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("category").alias("cat_b"), F.col("n_cat").alias("n_b")
+    )
+    lift = (F.col("n_both") / F.col("n_orders")) / (
+        (F.col("n_a") / F.col("n_orders"))
+        * (F.col("n_b") / F.col("n_orders"))
+    )
+    return (
+        pairs.join(F.broadcast(ma), "cat_a")
+        .join(F.broadcast(mb), "cat_b")
+        .crossJoin(F.broadcast(tot))
+        .select("cat_a", "cat_b", "n_both", "n_a", "n_b",
+                round6(lift).alias("lift"))
+    )
+
+
+Q145_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey,
+         string_split(p.p_type, ' ')[1] AS category
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+t AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a.category AS cat_a, b.category AS cat_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM baskets a
+  JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                AND a.category < b.category
+  GROUP BY a.category, b.category
+),
+marg AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n_cat
+  FROM baskets GROUP BY category
+)
+SELECT p.cat_a, p.cat_b, p.n_both,
+       ma.n_cat AS n_a, mb.n_cat AS n_b,
+       {round6_sql('(p.n_both * 1.0 / t.n_orders) '
+                   '/ ((ma.n_cat * 1.0 / t.n_orders) '
+                   '   * (mb.n_cat * 1.0 / t.n_orders))')} AS lift
+FROM pairs p
+JOIN marg ma ON p.cat_a = ma.category
+JOIN marg mb ON p.cat_b = mb.category, t
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1323,5 +1470,9 @@ SPECS = make_specs(
          "Welch two-sample t statistic"),
         ("q143_entropy_mix", q143_entropy_mix, Q143_ORACLE, (),
          "daily event-mix Shannon entropy"),
+        ("q144_fulfillment_latency", q144_fulfillment_latency, Q144_ORACLE,
+         (), "order→first-ship latency SLA"),
+        ("q145_basket_lift", q145_basket_lift, Q145_ORACLE, (),
+         "market-basket co-occurrence lift"),
     ]
 )
