@@ -36,6 +36,41 @@ _PARTIAL = {
 _FINAL = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+def salted_join(
+    fact,
+    dim,
+    key: str,
+    dim_key: str,
+    n_salts: int = 8,
+):
+    """Skew-mitigated equi-join: the hot-key fix for the JOIN side (the
+    aggregation side is :func:`salted_aggregate`). The fact's join key is
+    salted with a deterministic hash-derived salt in [0, n_salts); the
+    dim side is replicated n_salts× (explode over a salt sequence) so
+    every (key, salt) bucket finds its dim row. A key that would land
+    1B rows in one join task now spreads across n_salts tasks; the dim
+    replication cost is n_salts×|dim| — cheap when dim is the small
+    side, which is exactly the skewed-fact-join case.
+
+    Deterministic (salt = crc32(fact key) % n_salts, no RNG) and
+    result-identical to the plain join, which the oracle-checked query
+    (q146) and the plan test assert. AQE's skew-join split solves the
+    same problem at runtime when enabled; this is the explicit form
+    that works on any session and composes with bucketing.
+    """
+    salt = (F.crc32(F.col(key).cast("string")) % n_salts).cast("int")
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = fact_s.join(
+        dim_s,
+        (fact_s[key] == dim_s[dim_key])
+        & (fact_s["__salt"] == dim_s["__salt"]),
+    )
+    return out.drop("__salt")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

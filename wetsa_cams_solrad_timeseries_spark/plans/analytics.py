@@ -1428,6 +1428,49 @@ JOIN marg mb ON p.cat_b = mb.category, t
 """
 
 
+# --------------------------------------------------------------------------
+# q146 — salted skew JOIN (hot-key mitigation on the join side)
+# --------------------------------------------------------------------------
+
+
+def q146_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-side twin of q83's salted aggregation: the fact's join
+    key is salted (deterministic crc32-derived, no RNG) and the dim side
+    replicated salt-ways (operators/skew.py::salted_join), so a hot key
+    spreads across n_salts tasks instead of melting one. The result is
+    IDENTICAL to the plain join — which the oracle checks — and the
+    mitigation matters precisely when the dim is too big to broadcast
+    but the fact is skewed; AQE's runtime skew split is the automatic
+    alternative, this is the explicit portable form.
+
+    The declared result joins events to customer market segments and
+    rolls up per segment — dimension-bounded output over a salted
+    exchange.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(ev, cu, "user_id", "c_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        round6(F.sum("value")).alias("sum_value"),
+    )
+
+
+Q146_ORACLE = f"""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       {round6_sql('sum(e.value)')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1474,5 +1517,7 @@ SPECS = make_specs(
          (), "order→first-ship latency SLA"),
         ("q145_basket_lift", q145_basket_lift, Q145_ORACLE, (),
          "market-basket co-occurrence lift"),
+        ("q146_salted_skew_join", q146_salted_skew_join, Q146_ORACLE, (),
+         "salted hot-key join mitigation"),
     ]
 )
