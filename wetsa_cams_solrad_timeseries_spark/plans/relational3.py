@@ -590,7 +590,7 @@ def q85_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big_orders = o.filter(F.col("o_totalprice") > _Q85_BIG_ORDER).select("o_custkey")
     return (
-        cu.join(F.broadcast(avg_bal))
+        cu.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(big_orders, cu.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
