@@ -64,30 +64,32 @@ _PIN_FIRST = (
     "q65_returned_items",
     "q57_event_enrichment",
     "q74_large_volume_customers",
-    "q03_star_join_revenue",
-    "q59_brand_share",
-    "q67_cheapest_supplier",
-    "q75_disjunctive_revenue",
-    "q78_profit_by_nation",
-    "q79_supplier_part_counts",
-    "q80_excess_shippers",
-    # NOT pinned despite round-5 touches (driver budget math: 21 pins +
-    # 29 never-checked new queries ≈ the ~50-row budget): q84 (same
-    # maybe_broadcast class as the seven pinned queries above — class
-    # coverage), q81/q91 (artifact-path/lifecycle changes only; their
-    # pruning/zero-Exchange properties self-assert inline on EVERY
-    # execution and are pytest-locked).
     "q77_streaming_multibatch",
-    "q82_streaming_dedup",
     "q53_streaming_stateful",
+    # NOT pinned despite round-5 touches — driver budget math: 13 pins
+    # leave ~37 of the ~50 rows for the 52 never-checked new queries
+    # (q95–q146; the remainder rotates to the front next round). The
+    # unpinned-but-touched queries are covered at CLASS level by a
+    # pinned twin plus a plan/pytest lock: q03/q59/q67/q75/q78/q79/q80/
+    # q84 share the identical maybe_broadcast mechanic with pinned
+    # q21/q22/q57/q65/q66/q74/q76 (and test_plan_budgets asserts the
+    # gate); q82's drain-partition sizing is shared with pinned q53/q77;
+    # q81/q91 changed only artifact lifecycle and self-assert their
+    # pruning/zero-Exchange properties inline on every execution; q85's
+    # scalar join respelling (join→crossJoin) is plan-type-only and
+    # re-gated locally.
 )
 
 
-def _previously_covered() -> frozenset[str]:
-    """Query names with a row in the latest CORRECTNESS_r*.json, if any.
+def _coverage_sets() -> tuple[frozenset[str], frozenset[str]]:
+    """(ever_covered, latest_covered) from the CORRECTNESS_r*.json
+    reports in the repo root (two levels above this package).
 
-    The reports live in the repo root (two levels above this package).
-    Missing/unparsable reports mean no rotation — plain registry order."""
+    ``ever_covered`` = union across ALL rounds — its complement is the
+    never-driver-checked set, which outranks everything but the pins (a
+    query with NO authoritative row is a bigger gap than a stale one).
+    ``latest_covered`` drives the staleness rotation among ever-checked
+    queries. Missing/unparsable reports → empty sets (plain order)."""
     import json
     import os
     import re
@@ -95,18 +97,25 @@ def _previously_covered() -> frozenset[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    ever: set[str] = set()
     best_round, best_path = -1, None
     try:
         for fname in os.listdir(root):
             m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
-            if m and int(m.group(1)) > best_round:
-                best_round, best_path = int(m.group(1)), os.path.join(root, fname)
+            if not m:
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as f:
+                ever.update(json.load(f).keys())
+            if int(m.group(1)) > best_round:
+                best_round, best_path = int(m.group(1)), path
         if best_path is None:
-            return frozenset()
+            return frozenset(), frozenset()
         with open(best_path) as f:
-            return frozenset(json.load(f).keys())
+            latest = frozenset(json.load(f).keys())
+        return frozenset(ever), latest
     except (OSError, ValueError):
-        return frozenset()
+        return frozenset(), frozenset()
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -123,9 +132,12 @@ def _collect() -> dict[str, QuerySpec]:
         analytics,
     ):
         merged.update(mod.SPECS)
-    covered = _previously_covered()
+    ever, latest = _coverage_sets()
     ordered = [name for name in _PIN_FIRST if name in merged]
-    ordered += [n for n in merged if n not in covered and n not in ordered]
+    # Tier 1: never driver-checked in ANY round.
+    ordered += [n for n in merged if n not in ever and n not in ordered]
+    # Tier 2: checked before, but rotated out of the latest round.
+    ordered += [n for n in merged if n not in latest and n not in ordered]
     ordered += [n for n in merged if n not in ordered]
     return {name: merged[name] for name in ordered}
 
