@@ -1,0 +1,142 @@
+"""Structural locks for the round-5 advanced surface (plans/advanced.py):
+band-join plan shape + equivalence, non-associative fold invariance, the
+SCD2 change-point-log counterexample, and the quality-audit report."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+    capped_running_balance,
+)
+from wetsa_cams_solrad_timeseries_spark.plans.advanced import (
+    _Q148_EPS,
+    q148_band_join,
+    q153_quality_audit,
+)
+from wetsa_cams_solrad_timeseries_spark.streaming.scd2_stream import scd2_versions
+
+
+def test_band_join_banded_plan_and_equivalence(spark, sf_dir):
+    df = q148_band_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.element_at("embedding", 1).cast("double").alias("x")
+    )
+    a, b = em.alias("a"), em.alias("b")
+    brute = (
+        a.crossJoin(b)
+        .where(
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.abs(F.col("a.x") - F.col("b.x")) <= _Q148_EPS)
+        )
+        .select(
+            F.col("a.vec_id").alias("vid_a"), F.col("b.vec_id").alias("vid_b")
+        )
+    )
+    got = {(r.vid_a, r.vid_b) for r in df.collect()}
+    want = {(r.vid_a, r.vid_b) for r in brute.collect()}
+    assert got == want
+    assert got  # nonempty at the smoke SF
+
+
+def _deltas(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(-F.col("value"))
+            .alias("delta"),
+        )
+    )
+
+
+def test_capped_balance_partitioning_invariant_and_exact(spark, sf_dir):
+    ev = _deltas(spark, sf_dir)
+    r1 = capped_running_balance(ev.repartition(1), cap=200.0).collect()
+    r13 = capped_running_balance(
+        ev.repartition(13, "event_id"), cap=200.0
+    ).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r13))
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    ref = {}
+    for uid, g in pdf.groupby("user_id"):
+        bal, lo, hi = 0.0, 0, 0
+        for d in g["delta"]:
+            bal += d
+            if bal < 0.0:
+                bal, lo = 0.0, lo + 1
+            elif bal > 200.0:
+                bal, hi = 200.0, hi + 1
+        ref[uid] = (bal, lo, hi, len(g))
+    got = {
+        r.user_id: (r.final_balance, r.n_clamp_low, r.n_clamp_high, r.n_steps)
+        for r in r1
+    }
+    assert got.keys() == ref.keys()
+    clamped = 0
+    for uid, (bal, lo, hi, n) in ref.items():
+        gb, glo, ghi, gn = got[uid]
+        assert gb == pytest.approx(bal, abs=2e-6)
+        assert (glo, ghi, gn) == (lo, hi, n)
+        clamped += lo + hi
+    assert clamped > 0  # the cap genuinely binds at the smoke SF
+
+
+def test_scd2_log_must_keep_consecutive_duplicates(spark):
+    """The A@1,A@3 + late-B@2 counterexample: a state that stores only
+    COLLAPSED versions (dropping the consecutive-duplicate A@3) cannot
+    recover the third version once the late B@2 lands between them —
+    which is why streaming/scd2_stream.py keeps the full change-point
+    log instead of merging into the collapsed timeline."""
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    full = spark.createDataFrame(
+        [(1, t(1), 10, "A"), (1, t(2), 20, "B"), (1, t(3), 30, "A")], schema
+    )
+    truth = scd2_versions(full, "user_id", "ts", "event_type").collect()
+    assert [r.status for r in sorted(truth, key=lambda r: r.version)] == [
+        "A", "B", "A",
+    ]
+
+    early = spark.createDataFrame(
+        [(1, t(1), 10, "A"), (1, t(3), 30, "A")], schema
+    )
+    collapsed = scd2_versions(early, "user_id", "ts", "event_type").select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.col("from_event").alias("event_id"),
+        F.col("status").alias("event_type"),
+    )
+    assert collapsed.count() == 1  # A@3 was collapsed away
+    late = spark.createDataFrame([(1, t(2), 20, "B")], schema)
+    wrong = scd2_versions(
+        collapsed.unionByName(late), "user_id", "ts", "event_type"
+    ).collect()
+    assert len(wrong) == 2  # the (t3, A) version is unrecoverable
+    assert len(truth) == 3
+
+
+def test_quality_audit_report_shape(spark, sf_dir):
+    rep = {
+        (r.table_name, r.check_name): r
+        for r in q153_quality_audit(spark, sf_dir).collect()
+    }
+    assert len(rep) == 8
+    n_orders = table(spark, sf_dir, "orders").count()
+    pk = rep[("orders", "orders_pk_unique")]
+    assert pk.n_rows == n_orders and pk.violations == 0 and pk.passed
+    fk = rep[("lineitem", "lineitem_fk_orders")]
+    assert fk.violations == 0 and fk.passed
+    for r in rep.values():
+        assert r.passed == (r.violations == 0)

@@ -1,0 +1,81 @@
+"""Per-key ORDERED, NON-ASSOCIATIVE folds — the operator class that
+window functions and grouped aggregates cannot express.
+
+A capped running balance ``bal := clamp(bal + delta, 0, cap)`` is the
+canonical example: the clamp makes the fold non-associative, so there is
+no partial-aggregate / merge decomposition and no window-frame rewrite —
+prefix sums, segment trees, and ``sum() OVER`` all compute the WRONG
+answer the moment one intermediate clamps. The only faithful plan is a
+per-key sequential scan.
+
+Spark shape: ``groupBy(key).applyInPandas`` — the shuffle partitions by
+key (the scale dimension: millions of independent keys → full cluster
+width), and each task folds its keys' rows in event order. The Python
+fold is a per-row loop over an Arrow-delivered batch; at 100 TB the same
+kernel body compiles under Numba/Cython without changing the plan. State
+per key is O(1) (balance + two counters), so arbitrarily long histories
+stream through without memory growth — only the sort within each group
+is O(n log n) local work.
+
+Reference parity: the reference's per-station sequential passes
+(reference/code/compile-solrad.py's per-file loops) are this shape with
+an associative body; this operator covers the non-associative remainder.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def capped_running_balance(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    delta_col: str = "delta",
+    cap: float = 200.0,
+) -> DataFrame:
+    """Fold each key's rows in ``order_cols`` order through
+    ``bal = min(max(bal + delta, 0), cap)`` starting at 0; return one
+    row per key: final balance, clamp counts, and step count.
+
+    Determinism: ``order_cols`` must be a per-key-unique ordering (the
+    caller includes a tiebreak column); the fold then visits rows in one
+    well-defined order regardless of input partitioning — locked by
+    tests/test_advanced_plans.py's partitioning-invariance case.
+    """
+    out_schema = (
+        f"{key} long, final_balance double, n_clamp_low long, "
+        "n_clamp_high long, n_steps long"
+    )
+    order = list(order_cols)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        bal, lo, hi = 0.0, 0, 0
+        for d in pdf[delta_col].to_numpy():
+            bal += d
+            if bal < 0.0:
+                bal, lo = 0.0, lo + 1
+            elif bal > cap:
+                bal, hi = cap, hi + 1
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "final_balance": [bal],
+                "n_clamp_low": [lo],
+                "n_clamp_high": [hi],
+                "n_steps": [len(pdf)],
+            }
+        )
+
+    cols = [key, delta_col, *order]
+    return (
+        df.select(*dict.fromkeys(cols))
+        .groupBy(key)
+        .applyInPandas(fold, schema=out_schema)
+        .withColumn("final_balance", F.round(F.col("final_balance") + F.lit(1e-9), 6))
+    )

@@ -1,0 +1,683 @@
+"""Advanced engine surface (round 5, q147+): streaming SCD2 maintenance,
+banded epsilon joins, map-typed columns, sequential funnels, CDC snapshot
+diffs, inverted-index builds, data-quality audits, and non-associative
+per-key folds.
+
+Conventions are plans/_spec's: every computed column aliased identically
+on both sides; multi-row float aggregates through round6/round6_sql;
+money sums through exact_sum; top-k orderings carry a unique tiebreak.
+Each docstring ends with the 100 TB scale shape of the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+    exact_sum,
+    exact_sum_sql,
+    round6,
+    round6_sql,
+)
+
+
+# --------------------------------------------------------------------------
+# q147 — streaming SCD2 merge with out-of-order close-out
+# --------------------------------------------------------------------------
+
+
+def q147_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a type-2 slowly-changing dimension from a stream: each
+    user's event_type is the tracked attribute; versions are the
+    consecutive-change timeline with [valid_from, valid_to) validity and
+    a per-user version ordinal. The 3-file replay (maxFilesPerTrigger=1)
+    delivers points OUT OF EVENT-TIME ORDER across micro-batches, so late
+    rows must split existing intervals, merge same-attribute neighbors,
+    and renumber versions — the foreachBatch merge reconciles whole keys
+    from an append-only change-point log (streaming/scd2_stream.py; the
+    kernel asserts >1 batch AND that a genuinely late point arrived).
+
+    Scale shape: per-batch cost is proportional to the TOUCHED keys'
+    history (log semi-join + per-key window), not the table; untouched
+    keys carry forward via anti-join. This is the Delta/Iceberg MERGE
+    cost model with the commit spelled as a generation swap."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _split_events
+    from wetsa_cams_solrad_timeseries_spark.streaming.scd2_stream import (
+        streaming_scd2_merge,
+    )
+
+    split_dir = _split_events(spark, sf_dir)
+    return streaming_scd2_merge(spark, split_dir)
+
+
+Q147_ORACLE = """
+WITH pts AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, ts AS valid_from, event_id AS from_event,
+         event_type AS status
+  FROM pts WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, from_event) AS valid_to,
+       from_event, status,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY valid_from, from_event) AS BIGINT)
+         AS version
+FROM ch
+"""
+
+
+# --------------------------------------------------------------------------
+# q148 — banded epsilon self-join (similarity band join)
+# --------------------------------------------------------------------------
+
+_Q148_EPS = 0.002
+
+
+def q148_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs whose first coordinate differs by <= eps —
+    the scalar epsilon-join that underlies similarity banding, sensor
+    alignment, and near-value matching. The naive plan is a quadratic
+    theta-join; the engine's plan BANDS the axis into floor(x/eps)
+    buckets and equi-joins each point against its own and two adjacent
+    buckets (one exploded side), so every qualifying pair is found
+    exactly once (|bucket_a - bucket_b| <= 1 is implied by |dx| <= eps,
+    and the equi-join matches a single exploded copy).
+
+    Scale shape: shuffle on bucket id — output-proportional work instead
+    of n^2; skew only if the axis itself is degenerate (then salt the
+    hot bucket). tests/test_advanced_plans.py asserts no CartesianProduct
+    in the physical plan."""
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+    )
+    eps = F.lit(_Q148_EPS)
+    bkt = F.floor(F.col("x") / eps).cast("long")
+    left = em.select(
+        F.col("vec_id").alias("vid_a"),
+        F.col("x").alias("xa"),
+        bkt.alias("bkt"),
+    )
+    right = em.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("x").alias("xb"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
+    )
+    return (
+        left.join(right, "bkt")
+        .where(
+            (F.col("vid_a") < F.col("vid_b"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= eps)
+        )
+        .select(
+            "vid_a",
+            "vid_b",
+            round6(F.abs(F.col("xa") - F.col("xb"))).alias("dx"),
+        )
+    )
+
+
+Q148_ORACLE = f"""
+SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+       {round6_sql('abs(CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))')}
+         AS dx
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND abs(CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+       <= {_Q148_EPS}
+"""
+
+
+# --------------------------------------------------------------------------
+# q149 — map-typed column construction + higher-order map functions
+# --------------------------------------------------------------------------
+
+_Q149_FREQ = 15
+
+
+def q149_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram as a first-class MapType column —
+    built with map_from_entries over a grouped collect, then consumed
+    with the higher-order map functions (element_at lookups, map_filter
+    for the frequent subset, aggregate over map_values for the total).
+    Exercises the engine's map plumbing end-to-end; every output is a
+    map-order-independent scalar, so the nondeterministic collect_list
+    order cannot leak into results.
+
+    Scale shape: one shuffle to (user, type), one to user; map payload
+    per key is bounded by the type vocabulary (5 here), so the map column
+    is O(1) per row — the safe shape for map columns at 100 TB (maps keyed
+    by an unbounded id would be the row-explosion anti-pattern)."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return m.select(
+        "user_id",
+        F.size(F.map_keys("m")).alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), zero).alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("view")), zero).alias("views"),
+        F.coalesce(F.element_at("m", F.lit("error")), zero).alias("errors"),
+        F.size(
+            F.map_filter("m", lambda k, v: v >= F.lit(_Q149_FREQ))
+        ).alias("n_frequent"),
+        F.aggregate(F.map_values("m"), zero, lambda acc, x: acc + x).alias(
+            "total_events"
+        ),
+    )
+
+
+Q149_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS clicks,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN n END), 0)
+            AS BIGINT) AS views,
+       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN n END), 0)
+            AS BIGINT) AS errors,
+       CAST(sum(CASE WHEN n >= {_Q149_FREQ} THEN 1 ELSE 0 END) AS INT)
+         AS n_frequent,
+       CAST(sum(n) AS BIGINT) AS total_events
+FROM c GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q150 — ordered funnel (sequential conditional conversion)
+# --------------------------------------------------------------------------
+
+
+def q150_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first view, then the earliest
+    click AFTER that view, then the earliest purchase AFTER that click —
+    per user, reported as per-stage user counts and mean stage-to-stage
+    lag. Unlike a per-type min (which would count out-of-order journeys),
+    each stage's search window is anchored on the previous stage's
+    timestamp, so the dependency is genuinely sequential: three grouped
+    min-aggregations, each joined back on user_id.
+
+    Scale shape: three shuffles on the SAME key (user_id) — AQE/exchange
+    reuse co-locates them; each stage's input is pre-filtered to one
+    event type before the shuffle. No windows, no per-user sort."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"), F.min("ts1").alias("ts1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"), F.min("ts2").alias("ts2"))
+    )
+    null_lag = F.lit(None).cast("double")
+    s1 = v.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("1_view").alias("stage"), "n_users", null_lag.alias("avg_lag_s")
+    )
+    s2 = c.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        round6(
+            F.avg(F.col("ts2").cast("double") - F.col("ts1").cast("double"))
+        ).alias("avg_lag_s"),
+    ).select(F.lit("2_click").alias("stage"), "n_users", "avg_lag_s")
+    s3 = p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        round6(
+            F.avg(F.col("ts3").cast("double") - F.col("ts2").cast("double"))
+        ).alias("avg_lag_s"),
+    ).select(F.lit("3_purchase").alias("stage"), "n_users", "avg_lag_s")
+    return s1.unionByName(s2).unionByName(s3)
+
+
+Q150_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS ts2, min(v.ts1) AS ts1
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.ts1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS ts3, min(c.ts2) AS ts2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ts2 GROUP BY 1
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS avg_lag_s FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT),
+       {round6_sql('avg(epoch(ts2) - epoch(ts1))')} FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT),
+       {round6_sql('avg(epoch(ts3) - epoch(ts2))')} FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# q151 — CDC snapshot diff (insert / update / delete / unchanged)
+# --------------------------------------------------------------------------
+
+
+def q151_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture derivation by snapshot diff: two keyed
+    snapshots of the orders table (deterministic modulus slices standing
+    in for 'yesterday' and 'today'; the 'today' slice re-prices every
+    3rd key by x1.1) are full-outer joined on the key and every row is
+    classified insert/delete/update/unchanged, with the net money delta
+    per class. This is how CDC is bootstrapped when the source emits no
+    change log — and the audit query run against real CDC to validate it.
+
+    Scale shape: one full-outer shuffle join on the primary key (both
+    sides pre-projected to key+payload), then a 4-group aggregate; money
+    deltas through exact decimal sums so the class totals are
+    partitioning-invariant."""
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = o.where(key % 10 != 3).select(
+        key.alias("k"), F.col("o_totalprice").alias("old_price")
+    )
+    new = o.where(key % 7 != 2).select(
+        key.alias("k"),
+        F.when(key % 3 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, "k", "full_outer")
+    change_type = (
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(F.col("old_price") != F.col("new_price"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change_type.alias("change_type"),
+            (
+                F.coalesce(F.col("new_price"), F.lit(0.0))
+                - F.coalesce(F.col("old_price"), F.lit(0.0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("delta").alias("net_delta"),
+        )
+    )
+
+
+Q151_ORACLE = f"""
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 10 <> 3
+), new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 7 <> 2
+), j AS (
+  SELECT old.old_price, new.new_price
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT CASE WHEN old_price IS NULL THEN 'insert'
+            WHEN new_price IS NULL THEN 'delete'
+            WHEN old_price <> new_price THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {exact_sum_sql('coalesce(new_price, 0) - coalesce(old_price, 0)')}
+         AS net_delta
+FROM j GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q152 — inverted-index build (token postings)
+# --------------------------------------------------------------------------
+
+_Q152_TOPK = 50
+
+
+def q152_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token posting-list statistics over the document corpus: tokenize,
+    per-(token, doc) term frequency, then per-token document frequency,
+    corpus frequency, and the top document (highest tf, doc_id tiebreak)
+    — the build step of an inverted index / BM25 statistics table. Top-50
+    tokens by (df desc, token) with a unique tiebreak.
+
+    Scale shape: posexplode-free tokenize (split+explode stays in
+    codegen), two partial-aggregated shuffles (token,doc) then (token);
+    the top document per token rides the same aggregate as a struct-max
+    (no window); the final top-k is TakeOrderedAndProject (no global
+    sort materialization)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    st = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max(F.struct("tf", "doc_id")).alias("top"),
+    )
+    return (
+        st.select(
+            "token",
+            "df",
+            "total_tf",
+            F.col("top.doc_id").alias("top_doc"),
+            F.col("top.tf").alias("top_tf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(_Q152_TOPK)
+    )
+
+
+Q152_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, doc_id, count(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), st AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY 1
+), r AS (
+  SELECT token, doc_id AS top_doc, CAST(tf AS BIGINT) AS top_tf,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY tf DESC, doc_id DESC) AS rn
+  FROM tf
+)
+SELECT st.token, st.df, st.total_tf, r.top_doc, r.top_tf
+FROM st JOIN r USING (token) WHERE r.rn = 1
+ORDER BY st.df DESC, st.token ASC LIMIT {_Q152_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q153 — data-quality expectations audit
+# --------------------------------------------------------------------------
+
+
+def q153_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (deequ/dbt-test shape): primary-key
+    uniqueness, referential integrity, domain and range expectations,
+    null/empty guards — evaluated across five tables, one fused aggregate
+    pass per table, reported as (table, check, n_rows, violations,
+    passed). One check (events value <= 400) fails by construction, so
+    the report's failure path is exercised, not vacuous.
+
+    Scale shape: checks against the same table FUSE into a single scan +
+    1-row aggregate (stack() fans the scalar results back out to rows);
+    the referential check is a shuffle anti-join re-aggregated to one
+    row. No collects; the report is itself a DataFrame."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cu = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+    docs = table(spark, sf_dir, "documents")
+
+    def _report(agg_df, table_name: str, pairs: list[tuple[str, str]]):
+        stack_args = ", ".join(f"'{name}', {expr}" for name, expr in pairs)
+        return agg_df.select(
+            F.lit(table_name).alias("table_name"),
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (check_name, violations)"
+            ),
+            F.col("n_rows"),
+        ).select(
+            "table_name",
+            "check_name",
+            "n_rows",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    oa = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orders_rows = _report(
+        oa,
+        "orders",
+        [("orders_pk_unique", "n_rows - nd"), ("orders_status_domain", "bad_status")],
+    )
+
+    la = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("bad_qty"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+    lineitem_rows = _report(
+        la.crossJoin(orphans),
+        "lineitem",
+        [("lineitem_qty_range", "bad_qty"), ("lineitem_fk_orders", "orphans")],
+    )
+
+    ca = cu.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000), 1
+            ).otherwise(0)
+        ).alias("bad_bal"),
+    )
+    customer_rows = _report(ca, "customer", [("customer_acctbal_range", "bad_bal")])
+
+    ea = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_ts"),
+        F.sum(F.when(F.col("value") > 400, 1).otherwise(0)).alias("big_value"),
+    )
+    events_rows = _report(
+        ea,
+        "events",
+        [("events_ts_bounds", "bad_ts"), ("events_value_max_le_400", "big_value")],
+    )
+
+    da = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1)
+            .otherwise(0)
+        ).alias("empty_text"),
+    )
+    docs_rows = _report(da, "documents", [("documents_text_nonempty", "empty_text")])
+
+    return (
+        orders_rows.unionByName(lineitem_rows)
+        .unionByName(customer_rows)
+        .unionByName(events_rows)
+        .unionByName(docs_rows)
+    )
+
+
+Q153_ORACLE = """
+SELECT 'orders' AS table_name, 'orders_pk_unique' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+       count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders', 'orders_status_domain', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS BIGINT),
+       sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'lineitem_fk_orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer', 'customer_acctbal_range', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                THEN 1 ELSE 0 END) = 0
+FROM customer
+UNION ALL
+SELECT 'events', 'events_ts_bounds', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                       OR ts >= TIMESTAMP '2025-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                  OR ts >= TIMESTAMP '2025-01-01'
+                THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'events', 'events_value_max_le_400', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'documents', 'documents_text_nonempty', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) = 0
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q154 — capped running balance (non-associative per-key fold)
+# --------------------------------------------------------------------------
+
+_Q154_CAP = 200.0
+
+
+def q154_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user capped running balance: purchases credit ``value``,
+    errors debit it, and the balance is clamped to [0, 200] after every
+    step. The clamp makes the fold NON-associative — no window-function
+    or partial-aggregate rewrite computes it — so the plan is the
+    operator class Spark lacks natively: a per-key ordered fold via
+    ``groupBy().applyInPandas`` (operators/sequential.py). The DuckDB
+    oracle is a recursive CTE walking the identical order, so the
+    equivalence is checked step-for-step, not just in aggregate.
+
+    Scale shape: shuffle partitions by user (millions of keys → full
+    cluster width); O(1) state per key; the per-row Python loop is the
+    honest cost, swappable for a Numba kernel without plan changes."""
+    from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+        capped_running_balance,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(-F.col("value"))
+            .alias("delta"),
+        )
+    )
+    return capped_running_balance(ev, cap=_Q154_CAP)
+
+
+Q154_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN value ELSE -value END
+           AS delta,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events WHERE event_type IN ('purchase', 'error')
+), walk AS (
+  SELECT user_id, rn,
+         least(greatest(CAST(0 AS DOUBLE) + delta, 0), {_Q154_CAP}) AS bal,
+         CASE WHEN 0 + delta < 0 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN 0 + delta > {_Q154_CAP} THEN 1 ELSE 0 END AS hi
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         least(greatest(w.bal + s.delta, 0), {_Q154_CAP}),
+         w.lo + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END,
+         w.hi + CASE WHEN w.bal + s.delta > {_Q154_CAP} THEN 1 ELSE 0 END
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, {round6_sql('bal')} AS final_balance,
+       CAST(lo AS BIGINT) AS n_clamp_low,
+       CAST(hi AS BIGINT) AS n_clamp_high,
+       CAST(rn AS BIGINT) AS n_steps
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+"""
+
+
+from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
+
+SPECS = make_specs(
+    [
+        ("q147_streaming_scd2", q147_streaming_scd2, Q147_ORACLE, (),
+         "streaming SCD2 merge, out-of-order close-out"),
+        ("q148_band_join", q148_band_join, Q148_ORACLE, (),
+         "banded epsilon self-join"),
+        ("q149_map_column_ops", q149_map_column_ops, Q149_ORACLE, (),
+         "MapType column + higher-order map functions"),
+        ("q150_ordered_funnel", q150_ordered_funnel, Q150_ORACLE, (),
+         "strictly-ordered conversion funnel"),
+        ("q151_snapshot_diff", q151_snapshot_diff, Q151_ORACLE, (),
+         "CDC snapshot diff classification"),
+        ("q152_inverted_index", q152_inverted_index, Q152_ORACLE, (),
+         "inverted-index posting statistics"),
+        ("q153_quality_audit", q153_quality_audit, Q153_ORACLE, (),
+         "data-quality expectations audit"),
+        ("q154_capped_balance", q154_capped_balance, Q154_ORACLE, (),
+         "non-associative capped running balance"),
+    ]
+)

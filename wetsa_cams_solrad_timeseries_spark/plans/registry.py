@@ -33,6 +33,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     pipeline_ops,
     curation,
     analytics,
+    advanced,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -130,6 +131,7 @@ def _collect() -> dict[str, QuerySpec]:
         pipeline_ops,
         curation,
         analytics,
+        advanced,
     ):
         merged.update(mod.SPECS)
     ever, latest = _coverage_sets()
