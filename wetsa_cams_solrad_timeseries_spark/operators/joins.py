@@ -207,3 +207,107 @@ def asof_join(
     if how == "inner":
         out = out.na.drop(subset=[right_cols[0]])
     return out
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    tolerance_seconds: float,
+) -> DataFrame:
+    """Nearest-neighbor temporal join: for each left row, attach the right
+    row whose timestamp is CLOSEST in either direction (pandas
+    ``merge_asof(direction='nearest')``), within ``tolerance_seconds``;
+    ties prefer the backward (at-or-before) match.
+
+    Same union–sort–carry plan as :func:`asof_join`, run in BOTH
+    directions over one shuffle: a backward pass carries the latest prior
+    right row forward, a forward pass (mirror frame) carries the earliest
+    later right row backward, then a per-row comparison picks the nearer
+    candidate. Cost is identical to a single as-of join — one shuffle of
+    |L|+|R| keyed by ``by`` plus one sort serving both window frames; no
+    row explosion, no range-bucketing.
+
+    Output adds ``direction`` ('backward'/'forward', null when nothing is
+    within tolerance) and ``gap_s`` (seconds to the match).
+    """
+    by = list(by)
+    lcols = [c for c in left.columns if c not in by and c != left_ts]
+    l_tagged = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Right rows sort before left rows at equal ts, so an exact-timestamp
+    # match lands in the backward frame with gap 0 (and wins every tie).
+    order = [F.col("__ts"), F.col("__tag")]
+    w_back = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_right_ts = F.when(F.col("__tag") == 0, F.col("__ts"))
+    carried = unioned.select(
+        *by,
+        "__ts",
+        "__tag",
+        *lcols,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w_back)
+            .alias(f"__b_{c}")
+            for c in right_cols
+        ],
+        F.last(is_right_ts, ignorenulls=True).over(w_back).alias("__b_ts"),
+        *[
+            F.first(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"__f_{c}")
+            for c in right_cols
+        ],
+        F.first(is_right_ts, ignorenulls=True).over(w_fwd).alias("__f_ts"),
+    ).filter(F.col("__tag") == 1)
+    ts_d = F.col("__ts").cast("double")
+    gap_b = ts_d - F.col("__b_ts").cast("double")
+    gap_f = F.col("__f_ts").cast("double") - ts_d
+    b_ok = F.col("__b_ts").isNotNull() & (gap_b <= tolerance_seconds)
+    f_ok = F.col("__f_ts").isNotNull() & (gap_f <= tolerance_seconds)
+    choose_b = b_ok & (~f_ok | (gap_b <= gap_f))
+    choose_f = f_ok & ~choose_b
+    out = carried.select(
+        *by,
+        F.col("__ts").alias(left_ts),
+        *lcols,
+        *[
+            F.when(choose_b, F.col(f"__b_{c}"))
+            .when(choose_f, F.col(f"__f_{c}"))
+            .alias(c)
+            for c in right_cols
+        ],
+        F.when(choose_b, F.lit("backward"))
+        .when(choose_f, F.lit("forward"))
+        .alias("direction"),
+        F.when(choose_b, gap_b).when(choose_f, gap_f).alias("gap_s"),
+    )
+    return out

@@ -863,6 +863,226 @@ FROM c WHERE cum >= tot / 2 GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q158 — nearest-neighbor as-of join (bidirectional with tolerance)
+# --------------------------------------------------------------------------
+
+_Q158_TOL_S = 5 * 86400  # 5 days
+
+
+def q158_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event picks the customer's NEAREST order in time — backward
+    or forward, whichever is closer within a 5-day tolerance, ties to
+    backward (pandas ``merge_asof(direction='nearest')``). Extends the
+    q17/q60 as-of family with the bidirectional variant sensors-vs-
+    reference alignment needs (reference: the exact-grid comparison join,
+    get-cams-solrad-ts.py's aligned series — this is its tolerant form).
+
+    Scale shape: operators/joins.py::nearest_join — ONE shuffle of
+    |L|+|R| keyed by customer and one sort serving both window frames
+    (backward carry + mirror forward carry); strictly no row explosion,
+    vs the oracle's candidate-join which multiplies events by orders
+    within tolerance."""
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import nearest_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("nearest_orderkey"))
+        .select(
+            "user_id",
+            F.col("o_orderdate").cast("timestamp").alias("od_ts"),
+            "nearest_orderkey",
+            F.col("o_orderdate").alias("nearest_orderdate"),
+        )
+    )
+    out = nearest_join(
+        ev,
+        orders,
+        left_ts="ts",
+        right_ts="od_ts",
+        by=["user_id"],
+        right_cols=["nearest_orderkey", "nearest_orderdate"],
+        tolerance_seconds=_Q158_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "nearest_orderkey",
+        "nearest_orderdate",
+        "direction",
+        "gap_s",
+    )
+
+
+Q158_ORACLE = f"""
+WITH ord AS (
+  SELECT o_custkey AS user_id, o_orderdate AS d,
+         max(o_orderkey) AS k
+  FROM orders GROUP BY 1, 2
+), cand AS (
+  SELECT e.event_id, o.k, o.d,
+         abs(epoch(e.ts) - epoch(CAST(o.d AS TIMESTAMP))) AS gap,
+         CASE WHEN CAST(o.d AS TIMESTAMP) <= e.ts THEN 0 ELSE 1 END AS fwd
+  FROM events e JOIN ord o USING (user_id)
+  WHERE abs(epoch(e.ts) - epoch(CAST(o.d AS TIMESTAMP))) <= {_Q158_TOL_S}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id
+                               ORDER BY gap, fwd, d, k) AS rn
+  FROM cand
+)
+SELECT e.event_id, e.user_id, e.ts,
+       b.k AS nearest_orderkey, b.d AS nearest_orderdate,
+       CASE WHEN b.fwd = 0 THEN 'backward'
+            WHEN b.fwd = 1 THEN 'forward' END AS direction,
+       b.gap AS gap_s
+FROM events e LEFT JOIN best b ON b.event_id = e.event_id AND b.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q159 — survivorship merge (golden-record field selection)
+# --------------------------------------------------------------------------
+
+
+def q159_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data survivorship: assemble one golden record per user,
+    each FIELD taken independently from its own source-priority ladder —
+    ``value`` from purchase > click > view (then latest), the JSON ``k``
+    attribute from signup > error (then latest). The Spark plan is ONE
+    grouped aggregate: each field's winner rides a struct-max whose
+    leading keys are (priority, ts, event_id), so no per-field window,
+    no self-joins, and adding a field adds one aggregate expression —
+    while the SQL spelling (the oracle) needs a ranked CTE per field
+    plus joins.
+
+    Scale shape: single shuffle on user_id with map-side partial
+    struct-max; state per key is O(#fields)."""
+    ev = table(spark, sf_dir, "events")
+    vp = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+    )
+    kp = (
+        F.when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "error", 1)
+    )
+    k_val = F.get_json_object("props", "$.k").cast("int")
+    v_struct = F.when(
+        vp.isNotNull(),
+        F.struct(
+            vp.alias("p"),
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+            F.col("event_type").alias("src"),
+        ),
+    )
+    k_struct = F.when(
+        kp.isNotNull(),
+        F.struct(
+            kp.alias("p"),
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            k_val.alias("k"),
+            F.col("event_type").alias("src"),
+        ),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.max(v_struct).alias("vw"),
+        F.max(k_struct).alias("kw"),
+        F.countDistinct("event_type").alias("n_sources"),
+    )
+    return g.select(
+        "user_id",
+        F.col("vw.v").alias("best_value"),
+        F.col("vw.src").alias("value_source"),
+        F.col("vw.ts").alias("value_ts"),
+        F.col("kw.k").alias("best_k"),
+        F.col("kw.src").alias("k_source"),
+        "n_sources",
+    )
+
+
+Q159_ORACLE = """
+WITH v AS (
+  SELECT user_id, value AS best_value, event_type AS value_source,
+         ts AS value_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+           CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+                ELSE 1 END DESC, ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+), k AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS best_k,
+         event_type AS k_source,
+         row_number() OVER (PARTITION BY user_id ORDER BY
+           CASE event_type WHEN 'signup' THEN 2 ELSE 1 END DESC,
+           ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('signup', 'error')
+), c AS (
+  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_sources
+  FROM events GROUP BY 1
+)
+SELECT c.user_id, v.best_value, v.value_source, v.value_ts,
+       k.best_k, k.k_source, c.n_sources
+FROM c
+LEFT JOIN (SELECT * FROM v WHERE rn = 1) v USING (user_id)
+LEFT JOIN (SELECT * FROM k WHERE rn = 1) k USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# q160 — event-path mining (first-k sequence distribution)
+# --------------------------------------------------------------------------
+
+
+def q160_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's FIRST-3-event path ('signup>view>
+    click'): the entry-journey mining behind onboarding funnels. The
+    per-user prefix is taken with a bounded window (row_number <= 3
+    filter BEFORE the collect), so per-key state in the aggregate is 3
+    rows regardless of history length — never collect-then-slice of an
+    unbounded event list.
+
+    Scale shape: one user_id window shuffle (early-filtering to rank<=3),
+    one 3-element collect per user, one path-sized (<= |types|^3 rows)
+    rollup. At 100 TB the rank filter is the lever: the expensive
+    aggregate sees 3 rows/user."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    seq = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return seq.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+Q160_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(array_agg(event_type ORDER BY ts, event_id), 1, 3),
+           '>') AS path
+  FROM events GROUP BY 1
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM seq GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -889,5 +1109,11 @@ SPECS = make_specs(
          "two-phase distributed Pareto skyline"),
         ("q157_weighted_median", q157_weighted_median, Q157_ORACLE, (),
          "exact weighted median per group"),
+        ("q158_nearest_join", q158_nearest_join, Q158_ORACLE, (),
+         "nearest-neighbor as-of join with tolerance"),
+        ("q159_golden_record", q159_golden_record, Q159_ORACLE, (),
+         "survivorship merge (golden record)"),
+        ("q160_event_paths", q160_event_paths, Q160_ORACLE, (),
+         "first-k event-path distribution"),
     ]
 )
