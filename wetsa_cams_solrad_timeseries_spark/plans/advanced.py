@@ -665,6 +665,33 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
 # --------------------------------------------------------------------------
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected part co-purchase edges (u < v): group each
+    order's parts into a sorted array and emit i<j pairs JVM-side
+    (higher-order transform/slice) — one shuffle on l_orderkey instead
+    of a self-join that shuffles the table twice and probes 600k x 600k
+    (measured 3-7x faster at sf0.1). Per-order arrays are bounded by
+    order width, so no skew risk. localCheckpointed: every consumer
+    (q155's census, q161's iterations) reuses it several times."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
+    return (
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def q155_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (parts are adjacent
     when some order contains both): the standard distributed triangle
@@ -684,28 +711,7 @@ def q155_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream ops reuse it — without it Catalyst re-derives the
     lineitem self-join per consumer.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Edge build: group each order's parts into a sorted array and emit
-    # i<j pairs JVM-side (higher-order transform/slice) — one shuffle on
-    # l_orderkey instead of a self-join that shuffles the table twice and
-    # probes 600k x 600k (measured 3-7x faster at sf0.1). Per-order
-    # arrays are bounded by order width, so no skew risk.
-    ps = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
-    )
-    e = (
-        ps.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -1083,6 +1089,170 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM seq GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q161 — PageRank (fixed-iteration distributed power method)
+# --------------------------------------------------------------------------
+
+_Q161_D = 0.85
+# Spelled as a literal, NOT 1 - _Q161_D: Python computes 1.0 - 0.85 =
+# 0.15000000000000002 (one ULP off double(0.15)), while the oracle's
+# CAST(0.15 AS DOUBLE) is exactly double(0.15) — the pair must be the
+# same constant or every iteration diverges by an ULP before round6.
+_Q161_BASE = 0.15
+_Q161_ITERS = 3
+_Q161_TOPK = 20
+
+
+def q161_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-method iterations of PageRank (damping 0.85) over the
+    undirected part co-purchase graph; top-20 parts by rank. The
+    ITERATIVE operator class beyond q72's connected components: each
+    round is one contribution join + one per-node aggregate, the loop
+    lives in the driver, the data never does.
+
+    Cross-engine determinism for an iterated float computation: every
+    iteration's contribution sum AND new rank pass through round6 on
+    BOTH engines, so the engines re-synchronize each round instead of
+    compounding summation-order ULP drift across iterations.
+
+    Scale shape: edges localCheckpointed once (per-iteration reuse);
+    per-iteration cost is one edge-sized shuffle + one node-sized
+    aggregate, the plan GraphX/Pregel would run. Rank state is a
+    node-sized frame, never driver-side. A fixed iteration count keeps
+    the oracle expressible; convergence looping adds a driver-side
+    delta check on a 1-row aggregate, nothing else changes."""
+    e = _copurchase_edges(spark, sf_dir)
+    b = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = (
+        b.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    bd = b.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(_Q161_ITERS):
+        contrib = (
+            bd.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(round6(F.sum(F.col("r") / F.col("outdeg"))).alias("s"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                round6(
+                    F.lit(_Q161_BASE / n)
+                    + F.lit(_Q161_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.col("r").alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(_Q161_TOPK)
+    )
+
+
+def _q161_iteration_sql() -> str:
+    # Explicit DOUBLE casts: DuckDB numeric literals are DECIMAL, and
+    # decimal arithmetic would diverge from Spark's double math.
+    base = f"(CAST({_Q161_BASE} AS DOUBLE) / (SELECT c FROM n))"
+    prev = "r0"
+    sql = ""
+    for i in range(1, _Q161_ITERS + 1):
+        contrib = round6_sql(f"sum({prev}.r / deg.outdeg)")
+        newr = round6_sql(
+            f"{base} + CAST({_Q161_D} AS DOUBLE) * coalesce(c{i}.s, 0)"
+        )
+        sql += f""", c{i} AS (
+  SELECT b.dst, {contrib} AS s
+  FROM b JOIN {prev} ON b.src = {prev}.node
+         JOIN deg ON b.src = deg.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT deg.src AS node, {newr} AS r
+  FROM deg LEFT JOIN c{i} ON deg.src = c{i}.dst
+)"""
+        prev = f"r{i}"
+    return sql
+
+
+Q161_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), b AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL SELECT v AS src, u AS dst FROM e
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM b GROUP BY 1
+), n AS (
+  SELECT count(*) AS c FROM deg
+), r0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r FROM deg
+){_q161_iteration_sql()}
+SELECT node, r AS pr FROM r{_Q161_ITERS}
+ORDER BY pr DESC, node ASC LIMIT {_Q161_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# q162 — stream-stream LEFT OUTER interval join (watermark-proved nulls)
+# --------------------------------------------------------------------------
+
+
+def q162_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode LEFT OUTER stream-stream join: each purchase joined to
+    the same user's errors in the following 10 minutes; purchases with no
+    match emit a null row only once the watermark PROVES no on-time match
+    can arrive. The outer case q99's inner join avoids: it needs a
+    chronological replay (watermark must genuinely advance) and its
+    finite-prefix answer differs from the batch left join by exactly the
+    final watermark's blind spot — unmatched purchases whose join window
+    ends after min(max_purchase_ts, max_error_ts) - delay stay buffered,
+    and the oracle reproduces that cut (streaming/outer_join_stream.py).
+
+    Scale shape: state = both sides' last (interval + delay) of rows per
+    user key, watermark-evicted; the chronological split is the harness
+    stand-in for an ordered source (Kafka per-partition order)."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.outer_join_stream import (
+        chrono_split,
+        streaming_left_outer_interval_join,
+    )
+
+    split_dir = chrono_split(spark, sf_dir)
+    return streaming_left_outer_interval_join(spark, split_dir)
+
+
+Q162_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'error'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM e))
+           - INTERVAL 1 MINUTE AS w
+), j AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         p.value AS purchase_value, e.event_id AS error_id,
+         e.ts AS error_ts, e.value AS error_value
+  FROM p LEFT JOIN e
+    ON e.user_id = p.user_id AND e.ts > p.ts
+   AND e.ts <= p.ts + INTERVAL 10 MINUTE
+)
+SELECT * FROM j
+WHERE error_id IS NOT NULL
+   OR purchase_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1115,5 +1285,9 @@ SPECS = make_specs(
          "survivorship merge (golden record)"),
         ("q160_event_paths", q160_event_paths, Q160_ORACLE, (),
          "first-k event-path distribution"),
+        ("q161_pagerank", q161_pagerank, Q161_ORACLE, (),
+         "fixed-iteration PageRank power method"),
+        ("q162_stream_outer_join", q162_stream_outer_join, Q162_ORACLE, (),
+         "stream-stream LEFT OUTER interval join"),
     ]
 )
