@@ -140,3 +140,63 @@ def test_quality_audit_report_shape(spark, sf_dir):
     assert fk.violations == 0 and fk.passed
     for r in rep.values():
         assert r.passed == (r.violations == 0)
+
+
+def test_nearest_join_boundary_semantics(spark):
+    """Locks the tie and boundary rules end-to-end on a synthetic frame:
+    exact-timestamp match -> backward with gap 0; equidistant ->
+    backward; beyond tolerance -> null."""
+    import datetime
+
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import nearest_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, 100, s(0)),    # exact match at s(0)
+            (1, 101, s(50)),   # equidistant: right at s(0) and s(100)
+            (1, 102, s(70)),   # nearer forward (s100, gap 30 vs 70)
+            (2, 103, s(0)),    # only right at s(500) -> out of tolerance
+        ],
+        "k long, lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 900, s(0)), (1, 901, s(100)), (2, 902, s(500))],
+        "k long, rid long, rts timestamp",
+    )
+    out = {
+        r.lid: (r.rid, r.direction, r.gap_s)
+        for r in nearest_join(
+            left, right, "lts", "rts", ["k"], ["rid"], tolerance_seconds=200
+        ).collect()
+    }
+    assert out[100] == (900, "backward", 0.0)
+    assert out[101] == (900, "backward", 50.0)   # tie -> backward
+    assert out[102] == (901, "forward", 30.0)
+    assert out[103] == (None, None, None)
+
+
+def test_chrono_split_is_time_ordered(spark, sf_dir):
+    """The outer-join replay depends on part-0000i files covering
+    ascending, non-overlapping time ranges."""
+    import glob
+    import os
+
+    from wetsa_cams_solrad_timeseries_spark.streaming.outer_join_stream import (
+        chrono_split,
+    )
+
+    split = chrono_split(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(split, "part-*.parquet")))
+    assert len(files) == 3
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        assert len(pdf) > 0
+        if prev_max is not None:
+            assert pdf["ts"].min() >= prev_max
+        prev_max = pdf["ts"].max()
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
