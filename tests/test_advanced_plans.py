@@ -200,3 +200,63 @@ def test_chrono_split_is_time_ordered(spark, sf_dir):
             assert pdf["ts"].min() >= prev_max
         prev_max = pdf["ts"].max()
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_events_replay_source_offsets_and_restart(spark, sf_dir):
+    """The custom streaming source replays deterministic slices: a fresh
+    query over the same path+options sees identical batches, and the
+    slice assignment is content-stable (event_id % slices), so committed
+    offsets mean the same rows on every run."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+    )
+
+    register_events_replay_source(spark)
+
+    def run(tag):
+        src = (
+            spark.readStream.format("events_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("slices", "3")
+            .load()
+        )
+        ckpt = drain_checkpoint_dir()
+        with drain_partitions(spark, 4):
+            q = (
+                src.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(f"rps_{tag}")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                per_batch = [
+                    json.loads(p.json).get("numInputRows", 0)
+                    for p in q.recentProgress
+                ]
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+        rows = {
+            r.event_type: r.n for r in spark.table(f"rps_{tag}").collect()
+        }
+        return [n for n in per_batch if n > 0], rows
+
+    b1, r1 = run("a")
+    b2, r2 = run("b")
+    assert len(b1) == 3 and b1 == b2  # deterministic batch sizes
+    assert r1 == r2
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(b1) == total

@@ -494,3 +494,33 @@ def test_netcdf_export_dense_grid(spark, tmp_path):
         assert len(ghi) == len(exp) == 60
         for got, want in zip(ghi, exp):
             assert (math.isnan(got) and math.isnan(want)) or got == want
+
+
+def test_python_datasource_expert_csv(spark, tmp_path):
+    """The Python DataSource (Spark 4 extension point) yields the same
+    frame as the native-scan production reader, file-parallel (one
+    InputPartition per matched file)."""
+    from wetsa_cams_solrad_timeseries_spark.sources.pyds import (
+        register_expert_csv_source,
+    )
+
+    p1 = make_raw_expert_csv(tmp_path / "raw_1min_StA_observed_cloud.csv")
+    make_raw_expert_csv(tmp_path / "raw_1min_StB_observed_cloud.csv", seed=1)
+    glob_path = str(tmp_path / "raw_1min_*_observed_cloud.csv")
+
+    register_expert_csv_source(spark)
+    via_ds = (
+        spark.read.format("expert_csv").option("path", glob_path).load()
+    )
+    via_native = read_expert_csv(spark, glob_path)
+    assert via_ds.schema == via_native.schema
+    assert via_ds.rdd.getNumPartitions() == 2  # one per file
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, via_native.collect()))
+    assert a == b
+
+    # single file, no glob
+    one = (
+        spark.read.format("expert_csv").option("path", str(p1)).load()
+    )
+    assert one.count() == read_expert_csv(spark, str(p1)).count()

@@ -1253,6 +1253,87 @@ WHERE error_id IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q163 — custom offset-tracked streaming source (Python DataSource V2)
+# --------------------------------------------------------------------------
+
+
+def q163_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals streamed through the engine's OWN
+    streaming connector (sources/replay_stream.py): a Python
+    DataSourceStreamReader that owns its offsets ({'slice': k}), advances
+    one content-stable slice (event_id % 3) per micro-batch, and serves
+    partitions executor-side — the Kafka/CDC connector contract
+    demonstrated end-to-end, instead of leaning on file-source
+    maxFilesPerTrigger. Asserts every slice arrived in its own
+    micro-batch; final complete-mode state equals the batch aggregation
+    (the oracle).
+
+    Scale shape: driver holds one offset counter; per batch the source
+    plans `readers` partitions; aggregation state lives in the state
+    store exactly as with built-in sources."""
+    import json
+    import shutil
+    import uuid as _uuid
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    register_events_replay_source(spark)
+    n_slices = 3
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("slices", str(n_slices))
+        .load()
+    )
+    agg = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("sum_value"),
+    )
+    name = f"rp_{_uuid.uuid4().hex[:12]}"
+    ckpt = drain_checkpoint_dir()
+    n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    with drain_partitions(spark, size_partitions(spark, n_rows)):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed = sum(
+                1
+                for p in query.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if fed < n_slices:
+        raise RuntimeError(
+            f"custom source replay fed {fed} micro-batches, expected "
+            f"{n_slices} (one per offset advance)"
+        )
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+Q163_ORACLE = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       {round6_sql('sum(value)')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1289,5 +1370,7 @@ SPECS = make_specs(
          "fixed-iteration PageRank power method"),
         ("q162_stream_outer_join", q162_stream_outer_join, Q162_ORACLE, (),
          "stream-stream LEFT OUTER interval join"),
+        ("q163_custom_stream_source", q163_custom_stream_source, Q163_ORACLE,
+         (), "offset-tracked Python streaming DataSource"),
     ]
 )

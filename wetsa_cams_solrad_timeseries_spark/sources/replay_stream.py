@@ -1,0 +1,132 @@
+"""Offset-tracked streaming Python DataSource: ``events_replay``.
+
+The drain harness elsewhere replays finite tables by SPLITTING them into
+files and leaning on ``maxFilesPerTrigger`` — workable, but the offsets
+belong to the file source, not the data. This module is the proper
+connector shape: a ``DataSourceStreamReader`` that owns its offsets
+(``{"slice": k}``), advances them one slice per micro-batch, and serves
+each slice as executor-side partition reads — exactly the contract a
+Kafka/CDC connector implements, demonstrated on the corpus parquet.
+
+Determinism: rows are assigned to slices by ``event_id % n_slices``
+(content-stable, independent of file layout), so every run replays
+identical micro-batches and a crash/restart resumes from the committed
+offset with the same remaining slices — offset log + deterministic
+assignment is WHY streaming queries over this source are replayable.
+
+Scale shape: driver holds only the offset counter; each micro-batch
+plans ``readers`` InputPartitions whose executors scan the parquet and
+apply the slice/shard predicate reader-side (Arrow has no modulo
+dataset kernel). A production connector gains scan pruning from
+RANGE-based offsets over a sorted key — the offset/commit contract
+demonstrated here is what makes that swap local to this module.
+
+Timestamps: the corpus ships TIMESTAMP(NANOS); values are truncated to
+microseconds on read — the same convention as catalog.normalize_ts, so
+streaming and batch reads agree on instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _SlicePart(InputPartition):
+    def __init__(self, path: str, n_slices: int, lo: int, hi: int, shard: int,
+                 n_shards: int):
+        self.path = path
+        self.n_slices = n_slices
+        self.lo = lo
+        self.hi = hi
+        self.shard = shard
+        self.n_shards = n_shards
+
+
+class EventsReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("events_replay: 'path' option is required")
+        self._n_slices = int(options.get("slices", "3"))
+        self._n_shards = int(options.get("readers", "4"))
+
+    def initialOffset(self) -> dict:
+        return {"slice": 0}
+
+    def latestOffset(self) -> dict:
+        # Advance ONE slice per micro-batch so a finite replay exercises
+        # n_slices genuine batches instead of collapsing into one.
+        cur = getattr(self, "_served", 0)
+        self._served = min(cur + 1, self._n_slices)
+        return {"slice": self._served}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _SlicePart(
+                self._path,
+                self._n_slices,
+                start["slice"],
+                end["slice"],
+                shard,
+                self._n_shards,
+            )
+            for shard in range(self._n_shards)
+        ]
+
+    def read(self, partition: _SlicePart):
+        # Arrow dataset expressions have no modulo kernel, so the
+        # slice/shard predicate is applied reader-side over a
+        # column-complete scan (numpy mask). A production connector gets
+        # scan pruning from RANGE-based offsets instead (per-partition
+        # watermarks over a sorted key) — the offset contract here is the
+        # demonstration, the pushdown story belongs to the offset design.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        eid = tbl.column("event_id").to_numpy()
+        sl = eid % partition.n_slices
+        mask = (
+            (sl >= partition.lo)
+            & (sl < partition.hi)
+            & (eid % partition.n_shards == partition.shard)
+        )
+        tbl = tbl.filter(pa.array(mask))
+        # Serve Arrow RecordBatches, not per-row tuples — Spark ingests
+        # them zero-copy (the Iterator[RecordBatch] contract), which is
+        # the difference between a connector and a row loop. ts nanos
+        # truncate to micros (safe=False), matching catalog.normalize_ts.
+        ts_i = tbl.column_names.index("ts")
+        ts_us = pc.cast(
+            tbl.column("ts"), pa.timestamp("us"), safe=False
+        )
+        tbl = tbl.set_column(ts_i, "ts", ts_us)
+        yield from tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventsReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return EventsReplayStreamReader(self.options)
+
+
+def register_events_replay_source(spark) -> None:
+    """Per-session registration; idempotent."""
+    spark.dataSource.register(EventsReplayDataSource)
