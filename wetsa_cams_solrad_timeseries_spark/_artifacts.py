@@ -11,12 +11,13 @@ grow /tmp and the warehouse without bound.
 Lifecycle rule implemented here, at the moment a generation is created:
 
 1. **sweep**: remove every PRIOR generation matching the artifact's name
-   pattern that does not carry the current process token (safe — tokens
-   are process-unique, so another LIVE process never matches a foreign
-   sweep pattern's base name with our token either; a concurrent
-   process's artifacts are only removed by that process's own exit hook
-   or a later sweep after it exited, which is the documented
-   single-harness assumption of the /tmp layouts).
+   pattern that does not carry the current process token AND is older
+   than ``_SWEEP_AGE_S``. The age gate is what makes CONCURRENT
+   harnesses safe: a live sibling process's fresh generation is never
+   clobbered mid-use (observed: a parallel oracle-gate run sweeping the
+   pytest process's bucketed tables failed q81), while orphans from
+   crashed runs still get collected one age-window later. Disk stays
+   bounded at ~one generation per SF tag per age window.
 2. **atexit**: best-effort removal of our own generation at interpreter
    exit (pure ``shutil`` — no Spark needed, so it works after the
    session/JVM is gone).
@@ -30,8 +31,14 @@ import atexit
 import glob
 import os
 import shutil
+import time
 
 _REGISTERED: set[str] = set()
+
+# Foreign generations younger than this are presumed to belong to a LIVE
+# concurrent process and are left alone; their own atexit hook removes
+# them, or a later sweep does once they age out.
+_SWEEP_AGE_S = 3600.0
 
 
 def _cleanup_registered() -> None:  # pragma: no cover - exit hook
@@ -48,7 +55,13 @@ def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
     generations matching ``pattern`` that lack ``token``, and register
     ``path`` for atexit removal. Returns ``path`` for chaining."""
     for stale in glob.glob(pattern):
-        if token not in os.path.basename(stale):
-            shutil.rmtree(stale, ignore_errors=True)
+        if token in os.path.basename(stale):
+            continue
+        try:
+            if time.time() - os.path.getmtime(stale) < _SWEEP_AGE_S:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(stale, ignore_errors=True)
     _REGISTERED.add(path)
     return path

@@ -1334,6 +1334,178 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q164 — VARIANT semi-structured column (Spark 4 parse_json)
+# --------------------------------------------------------------------------
+
+
+def q164_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type: ``props`` JSON
+    parsed ONCE into a binary variant column (parse_json), fields then
+    extracted with typed variant_get paths — the Spark-4-native
+    replacement for repeated get_json_object string re-parsing (the
+    engine's older JSON path, timeseries.py F-family). Per event type:
+    count, null-k count, mean/max of the extracted int.
+
+    Scale shape: parse once, extract many — variant decode happens in
+    the scan stage projection; extraction is JVM-side on the binary
+    encoding (no Python, no per-extract JSON re-parse). At 100 TB the
+    parse cost amortizes over every downstream field access, and
+    shredded-variant storage (Parquet variant shredding) removes the
+    parse entirely — a storage change, not a plan change."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("vp"),
+    ).select(
+        "event_type",
+        F.try_variant_get("vp", "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+        round6(F.avg("k")).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+Q164_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       {round6_sql("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))")}
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q165 — Python UDTF document chunking (LLM-context windows)
+# --------------------------------------------------------------------------
+
+_Q165_SIZE = 50
+_Q165_STRIDE = 25
+
+
+def q165_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 25) —
+    the context-window preparation step of an LLM training/RAG pipeline —
+    implemented as a Python UDTF in a LATERAL join: one input row fans
+    out to a variable number of chunk rows, the generator shape that
+    scalar UDFs cannot express and explode() can only fake by
+    materializing the full chunk list per row first.
+
+    Scale shape: the UDTF streams chunks row-by-row (no per-doc chunk
+    array materialized), parallel over document partitions; chunk count
+    per doc is len/stride, so output scales with corpus token count.
+    Python execution is the extension-point cost — the same lateral
+    shape holds for an Arrow-optimized or JVM UDTF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "chunk_id int, n_tokens int, chunk_text string"
+    ))
+    class ChunkDocs:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            start = 0
+            cid = 0
+            while start < len(toks):
+                window = toks[start : start + _Q165_SIZE]
+                yield cid, len(window), " ".join(window)
+                cid += 1
+                start += _Q165_STRIDE
+
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__q165_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        FROM __q165_docs d, LATERAL chunk_docs(d.text) c
+        """
+    )
+
+
+Q165_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT t.doc_id, CAST(r.i AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(t.toks, r.i * {_Q165_STRIDE} + 1,
+                           r.i * {_Q165_STRIDE} + {_Q165_SIZE})) AS INTEGER)
+         AS n_tokens,
+       array_to_string(list_slice(t.toks, r.i * {_Q165_STRIDE} + 1,
+                                  r.i * {_Q165_STRIDE} + {_Q165_SIZE}), ' ')
+         AS chunk_text
+FROM t, range(0, 100000) r(i)
+WHERE r.i * {_Q165_STRIDE} < len(t.toks)
+"""
+
+
+# --------------------------------------------------------------------------
+# q166 — extended grouped statistics (geometric/harmonic mean, mode)
+# --------------------------------------------------------------------------
+
+
+def q166_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type geometric mean (log-domain, overflow-immune), harmonic
+    mean, and modal value bucket (most frequent floor(value), ties to
+    the smallest bucket) — the multiplicative/rate statistics a plain
+    avg misses. Mode rides a (type, bucket) count + struct-max with a
+    NEGATED bucket as tiebreak, so no window and no second shuffle over
+    the fact table.
+
+    Scale shape: two aggregates — one value-level (moment sums commute),
+    one bucket-level for the mode — joined on the 5-row type dimension
+    (broadcast). Log-domain products are THE 100 TB form: a direct
+    product over-/underflows doubles after a few thousand rows."""
+    ev = table(spark, sf_dir, "events")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        round6(F.exp(F.avg(F.log("value")))).alias("geo_mean"),
+        round6(
+            F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("value"))
+        ).alias("harmonic_mean"),
+    )
+    buckets = (
+        ev.select("event_type", F.floor("value").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("bucket")).alias("nb"))).alias("m"))
+        .select(
+            "event_type",
+            (-F.col("m.nb")).alias("mode_bucket"),
+            F.col("m.cnt").alias("mode_n"),
+        )
+    )
+    return moments.join(buckets, "event_type")
+
+
+Q166_ORACLE = f"""
+WITH moments AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         {round6_sql('exp(avg(ln(value)))')} AS geo_mean,
+         {round6_sql('count(*) / sum(1.0 / value)')} AS harmonic_mean
+  FROM events GROUP BY 1
+), b AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, bucket AS mode_bucket, CAST(cnt AS BIGINT) AS mode_n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, bucket ASC) AS rn
+  FROM b
+)
+SELECT moments.event_type, moments.n, moments.geo_mean,
+       moments.harmonic_mean, m.mode_bucket, m.mode_n
+FROM moments JOIN m ON moments.event_type = m.event_type AND m.rn = 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1372,5 +1544,11 @@ SPECS = make_specs(
          "stream-stream LEFT OUTER interval join"),
         ("q163_custom_stream_source", q163_custom_stream_source, Q163_ORACLE,
          (), "offset-tracked Python streaming DataSource"),
+        ("q164_variant_ops", q164_variant_ops, Q164_ORACLE, (),
+         "VARIANT semi-structured column ops"),
+        ("q165_udtf_chunking", q165_udtf_chunking, Q165_ORACLE, (),
+         "Python UDTF sliding-window chunking"),
+        ("q166_extended_stats", q166_extended_stats, Q166_ORACLE, (),
+         "geometric/harmonic mean + mode"),
     ]
 )
