@@ -387,3 +387,47 @@ def test_ttl_eviction_boundaries(spark, sf_dir):
     got = {(r["user_id"], r["n_events"]) for r in all_but_last.collect()}
     want = {(r["user_id"], r["n_events"]) for r in expected.collect()}
     assert got == want and len(got) > 0
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The production state-store backend (RocksDB provider, the 100 TB
+    choice for large keyed state: spillable, incremental-checkpoint)
+    runs the same stateful operator to the same result as the default
+    HDFS-backed store. Session conf is restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            r.user_id: (r.n_events, round(r.sum_value, 6))
+            for r in streaming_running_totals(
+                spark, f"{sf_dir}/events.parquet"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want

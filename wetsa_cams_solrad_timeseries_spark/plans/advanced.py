@@ -1506,6 +1506,57 @@ FROM moments JOIN m ON moments.event_type = m.event_type AND m.rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# q167 — recursive CTE hierarchy rollup (Spark 4 WITH RECURSIVE)
+# --------------------------------------------------------------------------
+
+
+def q167_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-closure rollup via Spark 4's native ``WITH RECURSIVE``:
+    every part climbs the synthetic decimal hierarchy (parent = key DIV
+    10) to its single-digit root; per root, member count, max depth, and
+    a key checksum. This is the SQL-recursion operator class (bill of
+    materials, org charts, folder trees) expressed in the engine's own
+    SQL surface — the driver-side-loop alternatives (q72 connected
+    components, q161 PageRank) cover iteration where the step is a
+    JOIN; WITH RECURSIVE covers it where the step is a self-referencing
+    CTE the optimizer unrolls (UnionLoop).
+
+    Scale shape: per recursion level one distributed projection+filter
+    over the previous level's frame; depth is log10(keyspace) (~5-7 at
+    any corpus size), so the unrolled plan stays shallow. The closure
+    (n x depth rows) exists only as the union feeding the aggregate —
+    never driver-side."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("__q167_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+          FROM __q167_part
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM anc WHERE cur >= 10
+        )
+        SELECT cur AS root, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(max(depth) AS INT) AS max_depth,
+               CAST(sum(node) AS BIGINT) AS sum_nodes
+        FROM anc WHERE cur < 10 GROUP BY cur
+        """
+    )
+
+
+Q167_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM anc WHERE cur >= 10
+)
+SELECT cur AS root, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(depth) AS INT) AS max_depth,
+       CAST(sum(node) AS BIGINT) AS sum_nodes
+FROM anc WHERE cur < 10 GROUP BY cur
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1550,5 +1601,7 @@ SPECS = make_specs(
          "Python UDTF sliding-window chunking"),
         ("q166_extended_stats", q166_extended_stats, Q166_ORACLE, (),
          "geometric/harmonic mean + mode"),
+        ("q167_recursive_hierarchy", q167_recursive_hierarchy, Q167_ORACLE,
+         (), "WITH RECURSIVE hierarchy rollup"),
     ]
 )
