@@ -103,19 +103,26 @@ def streaming_scd2_merge(
     )
 
     root = os.path.join(tempfile.gettempdir(), f"wetsa_scd2_{uuid.uuid4().hex[:12]}")
-    os.makedirs(root, exist_ok=True)
-    state = {"log": None, "versions": None, "batches": 0, "late_seen": False}
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    state = {"has_log": False, "versions": None, "batches": 0, "late_seen": False}
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         delta = bdf.select(key, ts_col, "event_id", attr)
         touched = delta.select(key).distinct()
-        if state["log"] is None:
-            log = delta
+        if not state["has_log"]:
+            log = None
         else:
-            prev_log = spark.read.parquet(state["log"])
+            # The change-point log is APPEND-ONLY: each batch adds only
+            # its own delta file, so per-batch log I/O is O(delta), not
+            # O(table) — the cost model the docstring claims. Reads
+            # semi-join to the touched keys before anything else, so the
+            # scan prunes to the keys being reconciled.
+            log = spark.read.parquet(log_dir)
+            touched_log = log.join(touched, key, "left_semi")
             # Out-of-order detection: a delta point below a key's prior
             # high-water mark will split/renumber existing intervals.
-            hwm = prev_log.groupBy(key).agg(F.max(ts_col).alias("__hwm"))
+            hwm = touched_log.groupBy(key).agg(F.max(ts_col).alias("__hwm"))
             n_late = (
                 delta.join(hwm, key)
                 .where(F.col(ts_col) < F.col("__hwm"))
@@ -124,20 +131,22 @@ def streaming_scd2_merge(
             )
             if n_late > 0:
                 state["late_seen"] = True
-            log = prev_log.unionByName(delta)
-        new_versions = scd2_versions(
-            log.join(touched, key, "left_semi"), key, ts_col, attr
+        rebuild_points = (
+            delta
+            if log is None
+            else log.join(touched, key, "left_semi").unionByName(delta)
         )
+        new_versions = scd2_versions(rebuild_points, key, ts_col, attr)
         if state["versions"] is not None:
             carried = spark.read.parquet(state["versions"]).join(
                 touched, key, "left_anti"
             )
             new_versions = carried.unionByName(new_versions)
-        log_path = os.path.join(root, f"log_{bid}")
         ver_path = os.path.join(root, f"ver_{bid}")
-        log.write.mode("overwrite").parquet(log_path)
         new_versions.write.mode("overwrite").parquet(ver_path)
-        state["log"], state["versions"] = log_path, ver_path
+        delta.write.mode("append").parquet(log_dir)
+        state["has_log"] = True
+        state["versions"] = ver_path
         state["batches"] += 1
 
     ckpt = drain_checkpoint_dir()
