@@ -260,3 +260,84 @@ def test_events_replay_source_offsets_and_restart(spark, sf_dir):
     assert r1 == r2
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert sum(b1) == total
+
+
+def test_events_replay_source_checkpoint_restart(spark, sf_dir):
+    """Stop the custom-source query after its first micro-batch, restart
+    from the SAME checkpoint: the resumed query must process only the
+    remaining slices (offsets resume from the commit log, never
+    re-announcing consumed slices) and finish with the full-replay
+    state."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+    )
+
+    register_events_replay_source(spark)
+
+    def start(tag, ckpt):
+        src = (
+            spark.readStream.format("events_replay")
+            .option("path", f"{sf_dir}/events.parquet")
+            .option("slices", "3")
+            .load()
+        )
+        return (
+            src.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"rpr_{tag}")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    ckpt = drain_checkpoint_dir()
+    try:
+        with drain_partitions(spark, 4):
+            q1 = start("a", ckpt)
+            try:
+                # Wait for at least one committed batch, then kill.
+                import time
+
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    if any(
+                        json.loads(p.json).get("numInputRows", 0) > 0
+                        for p in q1.recentProgress
+                    ):
+                        break
+                    time.sleep(0.2)
+            finally:
+                q1.stop()
+            q2 = start("b", ckpt)
+            try:
+                q2.processAllAvailable()
+                resumed_rows = sum(
+                    json.loads(p.json).get("numInputRows", 0)
+                    for p in q2.recentProgress
+                )
+            finally:
+                q2.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    final = {r.event_type: r.n for r in spark.table("rpr_b").collect()}
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want          # resumed state completes the replay
+    assert resumed_rows < total   # and did NOT reprocess everything

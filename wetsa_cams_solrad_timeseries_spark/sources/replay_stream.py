@@ -64,7 +64,22 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         self._served = min(cur + 1, self._n_slices)
         return {"slice": self._served}
 
+    def commit(self, end: dict) -> None:
+        # Restart contract: after a checkpoint resume the engine replays
+        # commit() for the last batch (or calls latestOffset on a fresh
+        # reader instance); the served counter must never fall behind a
+        # committed offset or the source would re-announce consumed
+        # slices as new data.
+        self._served = max(getattr(self, "_served", 0), int(end["slice"]))
+
     def partitions(self, start: dict, end: dict):
+        # Restart path: a resumed query re-plans its last uncommitted
+        # batch with the offsets restored from the checkpoint BEFORE the
+        # fresh reader instance has served anything — sync the counter
+        # here (and in commit) or the next latestOffset() would regress
+        # below the restored position and re-announce consumed slices
+        # (observed: a killed-and-resumed query double-counted a slice).
+        self._served = max(getattr(self, "_served", 0), int(end["slice"]))
         return [
             _SlicePart(
                 self._path,
@@ -107,9 +122,6 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         )
         tbl = tbl.set_column(ts_i, "ts", ts_us)
         yield from tbl.to_batches()
-
-    def commit(self, end: dict) -> None:
-        pass
 
 
 class EventsReplayDataSource(DataSource):
