@@ -431,3 +431,42 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (typed ValueState + RocksDB)
+    computes the same per-user totals as the batch aggregation. Skips
+    where the worker-side protobuf dependency of the transformWithState
+    protocol is unavailable (this container)."""
+    import pytest as _pytest
+
+    from wetsa_cams_solrad_timeseries_spark.streaming.tws import (
+        tws_available,
+        tws_running_totals,
+    )
+
+    if not tws_available():
+        _pytest.skip("google.protobuf unavailable: transformWithState "
+                     "worker protocol cannot start")
+
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _split_events
+
+    split_dir = _split_events(spark, sf_dir)
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in tws_running_totals(spark, split_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value + 1e-9, 6))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
