@@ -524,3 +524,29 @@ def test_python_datasource_expert_csv(spark, tmp_path):
         spark.read.format("expert_csv").option("path", str(p1)).load()
     )
     assert one.count() == read_expert_csv(spark, str(p1)).count()
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink/source round-trip with partition pruning: the archive
+    path (K3) is format-agnostic — the same partitioned write works for
+    parquet (primary) and ORC (interchange), and a partition-key filter
+    prunes the ORC scan exactly like parquet."""
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_orc")
+    ev.write.partitionBy("day").mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    one_day = back.select("day").distinct().limit(1).collect()[0][0]
+    pruned = back.where(F.col("day") == F.lit(one_day))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "isnotnull(day" in plan
+    assert (
+        pruned.count()
+        == ev.where(F.col("day") == F.lit(one_day)).count()
+    )
