@@ -194,3 +194,99 @@ def test_clean_key_idempotent_and_canonical(spark, s):
     a, b = once.first()["k"], twice.first()["k"]
     assert a == b  # normalization is idempotent (safe to apply on both join sides)
     assert not re.search(r"[A-Z]|^\s|\s$|\s{2,}", a or "")
+
+
+@st.composite
+def nearest_inputs(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(1, 10))
+    t0 = pd.Timestamp("2024-01-01")
+    lts = draw(st.lists(st.integers(0, 500), min_size=n_left, max_size=n_left,
+                        unique=True))
+    rts = draw(st.lists(st.integers(0, 500), min_size=n_right,
+                        max_size=n_right, unique=True))
+    groups = draw(st.lists(st.sampled_from(["a", "b"]), min_size=n_left,
+                           max_size=n_left))
+    rgroups = draw(st.lists(st.sampled_from(["a", "b"]), min_size=n_right,
+                            max_size=n_right))
+    tol_min = draw(st.integers(1, 200))
+    left = pd.DataFrame(
+        {"g": groups, "ts": [t0 + pd.Timedelta(minutes=m) for m in lts],
+         "lid": range(n_left)}
+    )
+    right = pd.DataFrame(
+        {"g": rgroups, "rts": [t0 + pd.Timedelta(minutes=m) for m in rts],
+         "rv": [m * 10 for m in range(n_right)]}
+    )
+    return left, right, tol_min
+
+
+@given(nearest_inputs())
+@SET
+def test_nearest_join_matches_pandas_merge_asof_nearest(spark, inputs):
+    """operators/joins.py::nearest_join ≡ pandas merge_asof
+    direction='nearest' (which also prefers the backward row on
+    equidistant ties), for any grouping, spacing, and tolerance."""
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import nearest_join
+
+    left, right, tol_min = inputs
+    got = {
+        r["lid"]: r["rv"]
+        for r in nearest_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_ts="ts", right_ts="rts", by=["g"], right_cols=["rv"],
+            tolerance_seconds=tol_min * 60,
+        ).collect()
+    }
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.rename(columns={"rts": "ts"}).sort_values("ts"),
+        on="ts", by="g", direction="nearest",
+        tolerance=pd.Timedelta(minutes=tol_min),
+    ).set_index("lid")["rv"]
+    for lid in left["lid"]:
+        e = exp.loc[lid]
+        if pd.isna(e):
+            assert got[lid] is None
+        else:
+            assert got[lid] == e
+
+
+@st.composite
+def skyline_inputs(draw):
+    n = draw(st.integers(1, 40))
+    prices = draw(st.lists(st.integers(0, 15), min_size=n, max_size=n))
+    sizes = draw(st.lists(st.integers(0, 15), min_size=n, max_size=n))
+    return pd.DataFrame(
+        {"pid": range(n), "price": [float(p) for p in prices],
+         "size": sizes}
+    )
+
+
+@given(skyline_inputs())
+@SET
+def test_skyline_matches_quadratic_reference(spark, pdf):
+    """operators/skyline.py two-phase prune ≡ the O(n^2) dominance
+    definition, including duplicate points (mutually non-dominating) and
+    any partitioning."""
+    from wetsa_cams_solrad_timeseries_spark.operators.skyline import skyline_2d
+
+    got = {
+        r.pid
+        for r in skyline_2d(
+            spark.createDataFrame(pdf).repartition(3),
+            min_col="price", max_col="size",
+        ).collect()
+    }
+    want = set()
+    rows = list(pdf.itertuples(index=False))
+    for p in rows:
+        dominated = any(
+            q.price <= p.price and q.size >= p.size
+            and (q.price < p.price or q.size > p.size)
+            for q in rows
+        )
+        if not dominated:
+            want.add(p.pid)
+    assert got == want
