@@ -68,17 +68,20 @@ _PIN_FIRST = (
     "q77_streaming_multibatch",
     "q53_streaming_stateful",
     # NOT pinned despite round-5 touches — driver budget math: 13 pins
-    # leave ~37 of the ~50 rows for the 52 never-checked new queries
-    # (q95–q146; the remainder rotates to the front next round). The
+    # leave ~37 of the ~50 rows for the 73 never-checked new queries
+    # (q95–q167; the remainder rotates to the front over the next two
+    # rounds — tier 1 below outranks staleness rotation). The
     # unpinned-but-touched queries are covered at CLASS level by a
     # pinned twin plus a plan/pytest lock: q03/q59/q67/q75/q78/q79/q80/
     # q84 share the identical maybe_broadcast mechanic with pinned
     # q21/q22/q57/q65/q66/q74/q76 (and test_plan_budgets asserts the
     # gate); q82's drain-partition sizing is shared with pinned q53/q77;
-    # q81/q91 changed only artifact lifecycle and self-assert their
-    # pruning/zero-Exchange properties inline on every execution; q85's
-    # scalar join respelling (join→crossJoin) is plan-type-only and
-    # re-gated locally.
+    # q81/q91 changed only artifact lifecycle (now age-gated sweep) and
+    # self-assert their pruning/zero-Exchange properties inline on every
+    # execution; q85's scalar join respelling (join→crossJoin) is
+    # plan-type-only and re-gated locally. The whole 159-query inventory
+    # is additionally green at sf0.01 AND sf0.001 via tools/
+    # check_oracle.py on every round-5 session (see STATUS.md).
 )
 
 
