@@ -1462,7 +1462,11 @@ def q166_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket-level for the mode — joined on the 5-row type dimension
     (broadcast). Log-domain products are THE 100 TB form: a direct
     product over-/underflows doubles after a few thousand rows."""
-    ev = table(spark, sf_dir, "events")
+    # Positive support only: geometric/harmonic means are undefined at
+    # zero (sf0.1 contains value=0.0 rows — DuckDB errors on ln(0) while
+    # Spark's non-ANSI log returns null, so the filter is also what
+    # keeps the two engines in the same algebra).
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
     moments = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         round6(F.exp(F.avg(F.log("value")))).alias("geo_mean"),
@@ -1486,14 +1490,16 @@ def q166_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q166_ORACLE = f"""
-WITH moments AS (
+WITH ev AS (
+  SELECT * FROM events WHERE value > 0
+), moments AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          {round6_sql('exp(avg(ln(value)))')} AS geo_mean,
          {round6_sql('count(*) / sum(1.0 / value)')} AS harmonic_mean
-  FROM events GROUP BY 1
+  FROM ev GROUP BY 1
 ), b AS (
   SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM ev GROUP BY 1, 2
 ), m AS (
   SELECT event_type, bucket AS mode_bucket, CAST(cnt AS BIGINT) AS mode_n,
          row_number() OVER (PARTITION BY event_type
