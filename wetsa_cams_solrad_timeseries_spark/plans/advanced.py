@@ -1563,6 +1563,206 @@ FROM anc WHERE cur < 10 GROUP BY cur
 """
 
 
+# --------------------------------------------------------------------------
+# q168 — interval-overlap self-join (banded, no per-key cross join)
+# --------------------------------------------------------------------------
+
+_Q168_LEN_DAYS = 30
+
+
+def q168_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of a customer's order-validity intervals ([orderdate,
+    orderdate+30d)) that OVERLAP — the interval-interval join (q51 is
+    the point-in-interval case). Naively a per-customer theta join; the
+    engine's plan grids time into 30-day cells, explodes each interval
+    onto the <=2 cells it touches (sequence(), JVM-side), equi-joins on
+    (customer, cell), exact-filters the overlap predicate, and
+    DISTINCTs pairs discovered in both shared cells. Reported per
+    customer: overlapping-pair count and mean overlap days.
+
+    Scale shape: shuffle on (customer, cell); per-pair work is
+    output-proportional since a cell only holds intervals touching its
+    30 days. Cell width = interval length is the optimum: <=2 cells per
+    interval, <=2 duplicate discoveries per pair. Skewed customers salt
+    exactly like any hot equi-key."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("sd"),
+    ).withColumn("ed", F.col("sd") + _Q168_LEN_DAYS)
+    cells = o.select(
+        "c",
+        "k",
+        "sd",
+        "ed",
+        F.explode(
+            F.sequence(
+                (F.col("sd") / _Q168_LEN_DAYS).cast("long"),
+                ((F.col("ed") - 1) / _Q168_LEN_DAYS).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .where(
+            (F.col("a.sd") < F.col("b.ed")) & (F.col("b.sd") < F.col("a.ed"))
+        )
+        .select(
+            F.col("a.c").alias("c"),
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            (
+                F.least(F.col("a.ed"), F.col("b.ed"))
+                - F.greatest(F.col("a.sd"), F.col("b.sd"))
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.col("c").alias("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round6(F.avg("overlap_days")).alias("avg_overlap_days"),
+    )
+
+
+Q168_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey AS c, o_orderkey AS k,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS sd
+  FROM orders
+), iv AS (
+  SELECT c, k, sd, sd + {_Q168_LEN_DAYS} AS ed FROM o
+), pairs AS (
+  SELECT a.c, a.k AS k1, b.k AS k2,
+         least(a.ed, b.ed) - greatest(a.sd, b.sd) AS overlap_days
+  FROM iv a JOIN iv b
+    ON a.c = b.c AND a.k < b.k AND a.sd < b.ed AND b.sd < a.ed
+)
+SELECT c AS o_custkey, CAST(count(*) AS BIGINT) AS n_pairs,
+       {round6_sql('avg(overlap_days)')} AS avg_overlap_days
+FROM pairs GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q169 — business-day latency (weekend-aware calendar arithmetic)
+# --------------------------------------------------------------------------
+
+# f(d) = business days from the anchor Monday (1990-01-01) to d
+# (exclusive): whole weeks contribute 5, the partial week contributes
+# min(weekday, 5). Identical integer arithmetic on both engines.
+
+
+def _busday_expr(date_col: str) -> F.Column:
+    days = F.datediff(F.col(date_col), F.lit("1990-01-01").cast("date")).cast(
+        "long"
+    )
+    return (F.floor(days / 7) * 5 + F.least(days % 7, F.lit(5))).cast("long")
+
+
+def _busday_sql(expr: str) -> str:
+    days = f"date_diff('day', DATE '1990-01-01', CAST({expr} AS DATE))"
+    return f"(({days}) // 7) * 5 + least(({days}) % 7, 5)"
+
+
+def q169_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency in BUSINESS days (weekends excluded)
+    per order priority — q144's calendar-day SLA refined with the
+    closed-form business-day counter f(d) = 5*(weeks since an anchor
+    Monday) + min(weekday, 5), evaluated as pure integer arithmetic (no
+    per-day explode, no calendar table join). Holidays would be one
+    broadcast anti-count against a literal dimension.
+
+    Scale shape: one min-agg shuffle on l_orderkey, one join back to
+    orders on the same key (exchange reuse), one 5-row rollup. The
+    counter is O(1) per row in the scan stage."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+    lat = j.select(
+        "o_orderpriority",
+        (
+            _busday_expr("first_ship") - _busday_expr("o_orderdate")
+        ).alias("bus_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round6(F.avg("bus_days")).alias("avg_bus_days"),
+        F.max("bus_days").alias("max_bus_days"),
+    )
+
+
+Q169_ORACLE = f"""
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       {round6_sql(f'avg(({_busday_sql("fs.first_ship")}) - ({_busday_sql("o.o_orderdate")}))')}
+         AS avg_bus_days,
+       CAST(max(({_busday_sql("fs.first_ship")}) - ({_busday_sql("o.o_orderdate")}))
+            AS BIGINT) AS max_bus_days
+FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q170 — weighted sample without replacement (A-ExpJ, deterministic)
+# --------------------------------------------------------------------------
+
+_Q170_K = 50
+
+
+def q170_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each document draws key = ln(u)/w with u a content-stable
+    md5 uniform and w = n_chars; the top-k keys ARE a weighted sample
+    without replacement. Fully distributed (partial top-k per
+    partition, TakeOrderedAndProject) and REPRODUCIBLE — u derives from
+    the md5 bridge (functions/hashing.py), so Spark, DuckDB, and any
+    re-run select the identical sample; no RNG state, no seed plumbing.
+
+    Scale shape: one scan + top-k; no shuffle beyond the k-row
+    gather. The q121 PPS sampler covers the fixed-rate systematic
+    design; this is the bounded-k without-replacement design."""
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    docs = table(spark, sf_dir, "documents")
+    u = (hash32(F.col("doc_id").cast("string")) + 1) / F.lit(2.0**32 + 1)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("w"),
+            round6(key * 1e6).alias("key_ppm"),
+        )
+        .orderBy(F.desc("key_ppm"), "doc_id")
+        .limit(_Q170_K)
+    )
+
+
+Q170_ORACLE = f"""
+SELECT doc_id, n_chars AS w,
+       {round6_sql(
+           "(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+           "AS BIGINT) + 1) / (POW(2.0, 32) + 1)) / n_chars) * 1e6"
+       )} AS key_ppm
+FROM documents
+ORDER BY key_ppm DESC, doc_id ASC LIMIT {_Q170_K}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1609,5 +1809,11 @@ SPECS = make_specs(
          "geometric/harmonic mean + mode"),
         ("q167_recursive_hierarchy", q167_recursive_hierarchy, Q167_ORACLE,
          (), "WITH RECURSIVE hierarchy rollup"),
+        ("q168_interval_overlap", q168_interval_overlap, Q168_ORACLE, (),
+         "banded interval-overlap self-join"),
+        ("q169_business_day_latency", q169_business_day_latency, Q169_ORACLE,
+         (), "closed-form business-day latency"),
+        ("q170_weighted_sample", q170_weighted_sample, Q170_ORACLE, (),
+         "deterministic A-Res weighted sample"),
     ]
 )
