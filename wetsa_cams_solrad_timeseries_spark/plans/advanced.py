@@ -1763,6 +1763,220 @@ ORDER BY key_ppm DESC, doc_id ASC LIMIT {_Q170_K}
 """
 
 
+# --------------------------------------------------------------------------
+# q171 — revenue concentration (Gini coefficient per nation)
+# --------------------------------------------------------------------------
+
+
+def q171_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation customer-revenue inequality: the exact Gini
+    coefficient via the sorted-rank identity
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n. Rank ties (equal revenues) don't
+    disturb the statistic — Σ i·x_i is permutation-invariant among equal
+    x — so the custkey tiebreak only pins determinism, not the value.
+    Per-customer revenue through exact decimal sums first (money rule).
+
+    Scale shape: one per-customer rollup, one broadcast-dim join chain,
+    one rank window per nation, one 25-row rollup. A nation group too
+    big for one task decomposes by the operators/rank.py range-partition
+    rank — the formula only needs i, not a global sort materialized."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    na = F.broadcast(table(spark, sf_dir, "nation"))
+    rev = o.groupBy("o_custkey").agg(
+        exact_sum("o_totalprice").alias("rev")
+    )
+    j = (
+        rev.join(cu, rev.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .select("n_name", "o_custkey", "rev")
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    ranked = j.select("n_name", "rev", F.row_number().over(w).alias("i"))
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        round6(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("rev")))
+            / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + F.lit(1)) / F.count(F.lit(1))
+        ).alias("gini"),
+    )
+
+
+Q171_ORACLE = f"""
+WITH rev AS (
+  SELECT o_custkey, {exact_sum_sql('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT n.n_name, r.rev,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY r.rev, r.o_custkey) AS i
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       {round6_sql('(2.0 * sum(i * rev)) / (count(*) * sum(rev))'
+                   ' - (count(*) + 1) / count(*)')} AS gini
+FROM j GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q172 — position-based (U-shaped) attribution
+# --------------------------------------------------------------------------
+
+
+def q172_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution over each user's click journey:
+    first and last touch get 0.4 credit each, the middle splits the
+    remaining 0.2 evenly (n=1 → 1.0, n=2 → 0.5/0.5). Credit is then
+    rolled up per touch DAY — the marketing-mix view. Complements q128
+    (last-touch): position weights need the journey's rank AND length,
+    i.e. one row_number + one count window over the same user partition,
+    then pure scan-stage arithmetic.
+
+    Scale shape: one user_id window shuffle (two frames share the sort),
+    one calendar-sized rollup. Credit conservation (Σ per user = 1) is
+    enforced by construction."""
+    from pyspark.sql import Window
+
+    clicks = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    pos = clicks.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("i") == 1, F.lit(0.4))
+        .when(F.col("i") == F.col("n"), F.lit(0.4))
+        .when(F.col("n") == 2, F.lit(0.0))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    adj = F.when(
+        (F.col("n") == 2) & (F.col("i") == 1), F.lit(0.1)
+    ).otherwise(F.lit(0.0))
+    # n=2: the two endpoint touches split evenly (0.5 each) — spelled as
+    # 0.4 + 0.1 so every branch stays a literal both engines parse to
+    # the same double.
+    pos = pos.select(
+        "day",
+        (credit + adj + F.when(
+            (F.col("n") == 2) & (F.col("i") == F.col("n")), F.lit(0.1)
+        ).otherwise(F.lit(0.0))).alias("credit"),
+    )
+    return pos.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        round6(F.sum("credit")).alias("credit"),
+    )
+
+
+Q172_ORACLE = f"""
+WITH pos AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT day,
+         (CASE WHEN n = 1 THEN 1.0
+               WHEN i = 1 THEN 0.4
+               WHEN i = n THEN 0.4
+               WHEN n = 2 THEN 0.0
+               ELSE CAST(0.2 AS DOUBLE) / (n - 2) END
+          + CASE WHEN n = 2 AND i = 1 THEN 0.1 ELSE 0.0 END
+          + CASE WHEN n = 2 AND i = n THEN 0.1 ELSE 0.0 END) AS credit
+  FROM pos
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_touches,
+       {round6_sql('sum(credit)')} AS credit
+FROM c GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q173 — map merge with map_zip_with (weekday/weekend histograms)
+# --------------------------------------------------------------------------
+
+
+def q173_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two MapType histograms per user — weekday and weekend event-type
+    counts — merged with ``map_zip_with`` (null-safe elementwise sum
+    over the key union): the map-MERGE half of the map surface q149's
+    build/filter/lookup half doesn't touch. Outputs are map-order-
+    independent scalars as always.
+
+    Scale shape: same bounded-vocabulary contract as q149 — the merge
+    lambda runs JVM-side per row over <=|vocab| entries."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.weekday(F.col("ts"))  # 0=Mon .. 6=Sun
+    per = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.when(wk >= 5, F.lit("we")).otherwise(F.lit("wd")).alias("part"),
+        )
+        .groupBy("user_id", "part", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    maps = per.groupBy("user_id", "part").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    wide = maps.groupBy("user_id").pivot("part", ["wd", "we"]).agg(
+        F.first("m")
+    )
+    zero = F.lit(0).cast("long")
+    empty = F.expr("CAST(map() AS MAP<STRING, BIGINT>)")
+    merged = F.map_zip_with(
+        F.coalesce(F.col("wd"), empty),
+        F.coalesce(F.col("we"), empty),
+        lambda k, v1, v2: F.coalesce(v1, zero) + F.coalesce(v2, zero),
+    )
+    return wide.select(
+        "user_id",
+        F.size(F.coalesce(F.col("wd"), empty)).alias("n_types_wd"),
+        F.size(F.coalesce(F.col("we"), empty)).alias("n_types_we"),
+        F.size(merged).alias("n_types_total"),
+        F.coalesce(F.element_at(merged, F.lit("click")), zero).alias(
+            "clicks_total"
+        ),
+        F.aggregate(
+            F.map_values(merged), zero, lambda acc, x: acc + x
+        ).alias("events_total"),
+    )
+
+
+Q173_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type,
+         CASE WHEN isodow(ts) >= 6 THEN 'we' ELSE 'wd' END AS part,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT user_id,
+       CAST(count(DISTINCT CASE WHEN part = 'wd' THEN event_type END)
+            AS INT) AS n_types_wd,
+       CAST(count(DISTINCT CASE WHEN part = 'we' THEN event_type END)
+            AS INT) AS n_types_we,
+       CAST(count(DISTINCT event_type) AS INT) AS n_types_total,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS clicks_total,
+       CAST(sum(n) AS BIGINT) AS events_total
+FROM c GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1815,5 +2029,11 @@ SPECS = make_specs(
          (), "closed-form business-day latency"),
         ("q170_weighted_sample", q170_weighted_sample, Q170_ORACLE, (),
          "deterministic A-Res weighted sample"),
+        ("q171_gini_concentration", q171_gini_concentration, Q171_ORACLE, (),
+         "per-nation Gini revenue concentration"),
+        ("q172_position_attribution", q172_position_attribution, Q172_ORACLE,
+         (), "U-shaped multi-touch attribution"),
+        ("q173_map_merge", q173_map_merge, Q173_ORACLE, (),
+         "map_zip_with histogram merge"),
     ]
 )
