@@ -1977,6 +1977,93 @@ FROM c GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q174 — event co-occurrence PMI matrix
+# --------------------------------------------------------------------------
+
+
+def q174_pmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, hour) unit: PMI(a,b) = ln(n_ab·N / (n_a·n_b)) over
+    presence sets — the association statistic behind co-occurrence
+    embeddings and market-basket lift's information-theoretic cousin
+    (q145 computes lift; PMI is its log form over presence units).
+
+    Scale shape: presence dedup is one (unit, type) DISTINCT; the pair
+    build joins presence with itself ON THE UNIT KEY (pair volume
+    bounded by units x vocab^2, never corpus^2); marginals are
+    vocab-sized and broadcast; N rides a 1-row crossJoin."""
+    ev = table(spark, sf_dir, "events")
+    pres = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).distinct()
+    total = (
+        pres.select("user_id", "h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("N"))
+    )
+    pa = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("na"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    out = (
+        pairs.crossJoin(total)
+        .join(
+            F.broadcast(pa.select(F.col("event_type").alias("ta"),
+                                  F.col("na").alias("na_a"))), "ta"
+        )
+        .join(
+            F.broadcast(pa.select(F.col("event_type").alias("tb"),
+                                  F.col("na").alias("na_b"))), "tb"
+        )
+    )
+    return out.select(
+        "ta",
+        "tb",
+        F.col("nab").alias("n_units"),
+        round6(
+            F.log((F.col("nab") * F.col("N")) / (F.col("na_a") * F.col("na_b")))
+        ).alias("pmi"),
+    )
+
+
+Q174_ORACLE = f"""
+WITH pres AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+  FROM events
+), tot AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT user_id, h FROM pres)
+), pa AS (
+  SELECT event_type, count(*) AS na FROM pres GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS nab
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.h = b.h
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT pr.ta, pr.tb, CAST(pr.nab AS BIGINT) AS n_units,
+       {round6_sql('ln((pr.nab * (SELECT n FROM tot)) / (p1.na * p2.na))')}
+         AS pmi
+FROM pr
+JOIN pa p1 ON pr.ta = p1.event_type
+JOIN pa p2 ON pr.tb = p2.event_type
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2035,5 +2122,7 @@ SPECS = make_specs(
          (), "U-shaped multi-touch attribution"),
         ("q173_map_merge", q173_map_merge, Q173_ORACLE, (),
          "map_zip_with histogram merge"),
+        ("q174_pmi_matrix", q174_pmi_matrix, Q174_ORACLE, (),
+         "co-occurrence PMI matrix"),
     ]
 )
