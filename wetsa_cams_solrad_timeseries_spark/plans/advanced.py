@@ -2064,6 +2064,205 @@ JOIN pa p2 ON pr.tb = p2.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q175 — population stability index (distribution drift between periods)
+# --------------------------------------------------------------------------
+
+_Q175_NBINS = 10
+_Q175_SPLIT = "2024-01-16"
+
+
+def q175_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month, per event type: PSI = Σ (p_i − q_i)·ln(p_i/q_i) over 10
+    fixed-width value bins — the standard model-monitoring drift metric
+    (complements q143's entropy and q130's chi-square: PSI is the
+    directional, binned, industry-threshold one). Laplace-smoothed bin
+    shares keep ln() defined when a bin is empty on one side.
+
+    Scale shape: one (type, period, bin) rollup — three-level group key,
+    fully partial-aggregated — then a vocab x bins reshape; all
+    arithmetic in the final tiny frame."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(_Q175_SPLIT).cast("timestamp")
+    bin_id = F.least(
+        F.floor(F.col("value") / 50.0).cast("long"), F.lit(_Q175_NBINS - 1)
+    )
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < split, "a").otherwise("b").alias("period"),
+        bin_id.alias("bin"),
+    ).groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = binned.groupBy("event_type", "period").agg(
+        F.sum("n").alias("tot")
+    )
+    shares = binned.join(tot, ["event_type", "period"]).select(
+        "event_type",
+        "period",
+        "bin",
+        ((F.col("n") + F.lit(1.0)) / (F.col("tot") + F.lit(_Q175_NBINS)))
+        .alias("p"),
+    )
+    wide = (
+        shares.groupBy("event_type", "bin")
+        .pivot("period", ["a", "b"])
+        .agg(F.first("p"))
+    )
+    # A bin absent from a period entirely: smoothed floor 1/(tot+k).
+    ta = tot.where(F.col("period") == "a").select(
+        "event_type", F.col("tot").alias("tot_a")
+    )
+    tb = tot.where(F.col("period") == "b").select(
+        "event_type", F.col("tot").alias("tot_b")
+    )
+    filled = (
+        wide.join(ta, "event_type")
+        .join(tb, "event_type")
+        .select(
+            "event_type",
+            F.coalesce(
+                F.col("a"),
+                F.lit(1.0) / (F.col("tot_a") + F.lit(_Q175_NBINS)),
+            ).alias("p"),
+            F.coalesce(
+                F.col("b"),
+                F.lit(1.0) / (F.col("tot_b") + F.lit(_Q175_NBINS)),
+            ).alias("q"),
+        )
+    )
+    return filled.groupBy("event_type").agg(
+        round6(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+Q175_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_Q175_SPLIT}' THEN 'a' ELSE 'b' END
+           AS period,
+         least(CAST(floor(value / 50.0) AS BIGINT), {_Q175_NBINS - 1})
+           AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, period, sum(n) AS tot FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT b.event_type, b.bin FROM binned b
+), filled AS (
+  SELECT g.event_type, g.bin,
+         (coalesce(ba.n, 0) + CAST(1.0 AS DOUBLE)) / (ta.tot + {_Q175_NBINS}) AS p,
+         (coalesce(bb.n, 0) + CAST(1.0 AS DOUBLE)) / (tb.tot + {_Q175_NBINS}) AS q
+  FROM grid g
+  JOIN tot ta ON ta.event_type = g.event_type AND ta.period = 'a'
+  JOIN tot tb ON tb.event_type = g.event_type AND tb.period = 'b'
+  LEFT JOIN binned ba ON ba.event_type = g.event_type
+        AND ba.bin = g.bin AND ba.period = 'a'
+  LEFT JOIN binned bb ON bb.event_type = g.event_type
+        AND bb.bin = g.bin AND bb.period = 'b'
+)
+SELECT event_type,
+       {round6_sql('sum((p - q) * ln(p / q))')} AS psi,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM filled GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q176 — k-core peeling (iterative graph decomposition, unrolled oracle)
+# --------------------------------------------------------------------------
+
+_Q176_K = 90
+_Q176_ROUNDS = 3
+
+
+def q176_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds toward the k-core (k=90, between the p10 and median degree at every SF, so each round genuinely peels) of the part co-purchase
+    graph: each round drops every node with degree < k and the edges
+    touching it — the iterative graph-decomposition class (community
+    cores, spam-cluster trimming) distinct from q72's label propagation
+    and q161's value iteration because the GRAPH ITSELF shrinks each
+    round. A fixed round count keeps the oracle expressible as unrolled
+    CTEs; full k-core = loop until a 1-row 'any node dropped?' aggregate
+    says stop.
+
+    Scale shape: per round one degree aggregate + two semi-joins — all
+    edge-sized shuffles on node keys; the frontier never materializes
+    driver-side."""
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.localCheckpoint(eager=True)
+    rounds = []
+    for _ in range(_Q176_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _Q176_K).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        rounds.append((len(rounds) + 1, nodes, edges.count()))
+    return spark.createDataFrame(
+        rounds, "round int, n_nodes long, n_edges long"
+    )
+
+
+def _q176_round_sql() -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, so every later
+    # reference would recompute the lineitem self-join — at sf0.1 that
+    # spilled temp storage to disk exhaustion. Materializing pins each
+    # round to one evaluation (Spark's localCheckpoint twin).
+    sql = ""
+    prev = "e0"
+    for i in range(1, _Q176_ROUNDS + 1):
+        sql += f""", d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+  ) GROUP BY 1
+), k{i} AS (
+  SELECT n FROM d{i} WHERE d >= {_Q176_K}
+), e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i})
+)"""
+        prev = f"e{i}"
+    return sql
+
+
+Q176_ORACLE = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+){_q176_round_sql()}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS round, "
+      f"(SELECT CAST(count(DISTINCT n) AS BIGINT) FROM ("
+      f"SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i})) "
+      f"AS n_nodes, "
+      f"(SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges"
+      for i in range(1, _Q176_ROUNDS + 1)
+  )}
+)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2124,5 +2323,9 @@ SPECS = make_specs(
          "map_zip_with histogram merge"),
         ("q174_pmi_matrix", q174_pmi_matrix, Q174_ORACLE, (),
          "co-occurrence PMI matrix"),
+        ("q175_psi_drift", q175_psi_drift, Q175_ORACLE, (),
+         "population stability index drift"),
+        ("q176_kcore_peel", q176_kcore_peel, Q176_ORACLE, (),
+         "iterative k-core peeling rounds"),
     ]
 )
