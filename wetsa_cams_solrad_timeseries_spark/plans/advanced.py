@@ -2263,6 +2263,71 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q177 — quantile normalization across sources (batch-effect correction)
+# --------------------------------------------------------------------------
+
+
+def q177_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document lengths across sources: each doc's
+    within-source percent_rank is mapped onto the GLOBAL length
+    distribution via a 101-point exact-percentile grid — the
+    batch-effect correction that makes per-source features comparable
+    (microarray heritage, now feature-prep). Grid index =
+    floor(rank·100), floor not round: a .5 product would hit the
+    engines' different round-half rules. Reported per source: mean raw
+    vs mean normalized length (normalization visibly collapses the
+    spread).
+
+    Scale shape: one rank window per source; the global grid is a 1-row
+    aggregate crossJoined (101 doubles, broadcast-trivial); the mapping
+    is an element_at in the scan stage. Exact percentile swaps for
+    percentile_approx at 100 TB, plumbing unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    probs = [i / 100.0 for i in range(101)]
+    grid = docs.agg(
+        F.expr(
+            f"percentile(n_chars, array({', '.join(str(p) for p in probs)}))"
+        ).alias("grid")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    idx = F.floor(F.col("pr") * 100).cast("int")
+    mapped = ranked.crossJoin(grid).select(
+        "source",
+        "n_chars",
+        F.element_at(F.col("grid"), idx + 1).alias("norm"),
+    )
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg("n_chars")).alias("mean_raw"),
+        round6(F.avg("norm")).alias("mean_norm"),
+    )
+
+
+Q177_ORACLE = f"""
+WITH grid AS (
+  SELECT quantile_cont(n_chars,
+           [{', '.join(str(i / 100.0) for i in range(101))}]) AS g
+  FROM documents
+), ranked AS (
+  SELECT source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       {round6_sql('avg(n_chars)')} AS mean_raw,
+       {round6_sql('avg(g[CAST(floor(pr * 100) AS INT) + 1])')} AS mean_norm
+FROM ranked, grid
+GROUP BY source
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2327,5 +2392,7 @@ SPECS = make_specs(
          "population stability index drift"),
         ("q176_kcore_peel", q176_kcore_peel, Q176_ORACLE, (),
          "iterative k-core peeling rounds"),
+        ("q177_quantile_normalize", q177_quantile_normalize, Q177_ORACLE, (),
+         "cross-source quantile normalization"),
     ]
 )
