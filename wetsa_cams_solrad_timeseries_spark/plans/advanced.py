@@ -2328,6 +2328,83 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# q178 — quarantine / dead-letter routing for malformed records
+# --------------------------------------------------------------------------
+
+
+def q178_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter semantics for semi-structured ingestion: every 7th
+    record's JSON payload is deterministically corrupted (truncated —
+    trailing-garbage corruption would NOT work: Spark's Jackson parser
+    accepts it while DuckDB's json_valid rejects it, an engine-semantics
+    split this query deliberately stays out of), then the batch is routed ok/quarantine by parse outcome —
+    ``from_json`` in its default PERMISSIVE stance yields null for
+    malformed input instead of failing the task, which IS the
+    quarantine-pipeline contract (count, never crash; the reference's
+    per-task error isolation O2 applied to record-level parsing).
+    Reported per route: row count, payload-field sum, distinct users.
+
+    Scale shape: parse + route are scan-stage expressions; the report
+    is a 2-group aggregate. A real pipeline writes the quarantine route
+    to its own sink — one extra filter on the same scan."""
+    ev = table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    parsed = raw.withColumn("j", F.from_json("raw", "k INT"))
+    valid = F.col("j").isNotNull() & F.col("j.k").isNotNull()
+    return (
+        parsed.select(
+            F.when(valid, "ok").otherwise("quarantine").alias("route"),
+            F.when(valid, F.col("j.k")).alias("k"),
+            "user_id",
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q178_ORACLE = """
+WITH raw AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2)
+              ELSE props END AS raw
+  FROM events
+), safe AS (
+  -- json_extract_string RAISES on malformed input under some vectorized
+  -- plans even inside a json_valid()-guarded CASE branch (bit at sf0.1
+  -- only); sanitize the payload first so extraction is always legal.
+  SELECT user_id, json_valid(raw) AS ok_json,
+         CASE WHEN json_valid(raw) THEN raw ELSE '{}' END AS raw
+  FROM raw
+), cls AS (
+  SELECT CASE WHEN ok_json
+                AND json_extract_string(raw, '$.k') IS NOT NULL
+              THEN 'ok' ELSE 'quarantine' END AS route,
+         CASE WHEN ok_json
+              THEN TRY_CAST(json_extract_string(raw, '$.k') AS INT) END AS k,
+         user_id
+  FROM safe
+)
+SELECT route, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM cls GROUP BY 1
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2394,5 +2471,7 @@ SPECS = make_specs(
          "iterative k-core peeling rounds"),
         ("q177_quantile_normalize", q177_quantile_normalize, Q177_ORACLE, (),
          "cross-source quantile normalization"),
+        ("q178_quarantine_routing", q178_quarantine_routing, Q178_ORACLE, (),
+         "dead-letter routing for malformed records"),
     ]
 )
