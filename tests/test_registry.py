@@ -26,6 +26,16 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     cols = df.columns
     assert len(cols) == len(set(cols)), "duplicate column names"
+    # The driver's canonicalizer pandas-sorts result columns and cannot
+    # hash list/map/struct cells (q126 was red in round 5 for exactly
+    # this) — declared outputs must be flat scalars; flatten with
+    # posexplode per q93's convention.
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not nested, f"nested output column(s) {nested} break the driver hash"
     df.limit(5).collect()  # executes the plan
 
 

@@ -26,7 +26,14 @@ def canon(rows: list[tuple], columns: list[str]) -> list[tuple]:
                 return "NaN"
             return f"{v:.9g}"
         if hasattr(v, "isoformat"):
-            s = v.isoformat(sep=" ")
+            # datetime takes a sep; plain date does not.
+            import datetime as _dt
+
+            s = (
+                v.isoformat(sep=" ")
+                if isinstance(v, _dt.datetime)
+                else v.isoformat()
+            )
             return s.replace("+00:00", "")
         return repr(v)
 
@@ -116,13 +123,33 @@ def main() -> int:
             else:
                 oracles[name] = sql
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # The DRIVER's canonicalizer pandas-sorts result columns and
+            # dies on list/map/struct cells (unhashable) — the local gate
+            # must therefore REJECT nested output types, or a query can
+            # be green here and red there (exactly what happened to q126
+            # in round 5). Flatten with posexplode/inline instead.
+            nested = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                print(
+                    f"FAIL  {name}: nested output column(s) {nested} — "
+                    "the driver canonicalizer cannot hash list cells; "
+                    "flatten (posexplode) per q93's convention"
+                )
+                failures.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
@@ -168,7 +195,11 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked OK")
+    # Count only queries actually run (a name filter may skip most) —
+    # "170/170 OK" on a 15-query run would mislead the audits this
+    # gate exists to serve.
+    print(f"\n{checked - len(failures)}/{checked} checked OK"
+          + (f" (of {len(qs)} declared)" if checked != len(qs) else ""))
     return 1 if failures else 0
 
 

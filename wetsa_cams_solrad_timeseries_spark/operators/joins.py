@@ -153,6 +153,12 @@ def asof_join(
     pandas ``merge_asof(tolerance=...)`` semantics. Implemented by also
     carrying the matched right timestamp and gating every payload column
     on it, so it costs one extra carried column, no extra shuffle.
+
+    The carry is ONE struct holding (matched ts, all payload columns), so
+    every output column comes from the SAME right row — carrying columns
+    independently with ``last(ignorenulls=True)`` would silently fill a
+    NULL payload cell from an OLDER right row, mixing rows and diverging
+    from ``merge_asof`` (which returns the matched row's NULL as-is).
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
@@ -183,30 +189,40 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry_cols = list(right_cols)
+    # One struct per right row: the struct is non-null on every right row
+    # even when individual payload fields are NULL, so last(ignorenulls)
+    # skips LEFT rows only — ts and payload always travel together.
+    r_struct = F.when(
+        F.col("__tag") == 0,
+        F.struct(
+            F.col("__ts").alias("__mts"),
+            *[F.col(f"__r_{c}").alias(c) for c in carry_cols],
+        ),
+    )
     carried = unioned.select(
         *by,
         "__ts",
         "__tag",
         *lcols,
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in carry_cols
-        ],
-        F.last(
-            F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w).alias("__matched_ts"),
+        F.last(r_struct, ignorenulls=True).over(w).alias("__m"),
     )
     out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    matched = F.col("__m").isNotNull()
     if tolerance is not None:
-        within = F.col("__matched_ts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {tolerance}"
+        matched = matched & (
+            F.col("__m.__mts")
+            >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
         )
-        for c in carry_cols:
-            out = out.withColumn(c, F.when(within, F.col(c)))
-    out = out.drop("__matched_ts").withColumnRenamed("__ts", left_ts)
+    out = out.select(
+        *by,
+        "__ts",
+        *lcols,
+        *[F.when(matched, F.col(f"__m.{c}")).alias(c) for c in carry_cols],
+        matched.alias("__matched"),
+    ).withColumnRenamed("__ts", left_ts)
     if how == "inner":
-        out = out.na.drop(subset=[right_cols[0]])
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")
 
 
 def nearest_join(
@@ -233,9 +249,22 @@ def nearest_join(
 
     Output adds ``direction`` ('backward'/'forward', null when nothing is
     within tolerance) and ``gap_s`` (seconds to the match).
+
+    Each direction carries ONE struct of (right ts, all payload columns),
+    so every output column comes from the SAME right row — independent
+    per-column ``last/first(ignorenulls=True)`` carries would backfill a
+    NULL payload cell from a DIFFERENT (older/newer) right row, mixing
+    payloads across rows and diverging from ``merge_asof`` semantics.
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
+    collisions = set(right_cols) & set(lcols)
+    if collisions:
+        raise ValueError(
+            f"nearest_join: right_cols {sorted(collisions)} collide with "
+            "left columns; alias one side before joining (no implicit "
+            "suffixing)"
+        )
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
@@ -267,32 +296,29 @@ def nearest_join(
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    is_right_ts = F.when(F.col("__tag") == 0, F.col("__ts"))
+    # One struct per right row per direction: non-null on every right row
+    # even when payload fields are NULL, so the carry skips LEFT rows
+    # only and ts + payload always come from the same right row.
+    r_struct = F.when(
+        F.col("__tag") == 0,
+        F.struct(
+            F.col("__ts").alias("__rts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
+    )
     carried = unioned.select(
         *by,
         "__ts",
         "__tag",
         *lcols,
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True)
-            .over(w_back)
-            .alias(f"__b_{c}")
-            for c in right_cols
-        ],
-        F.last(is_right_ts, ignorenulls=True).over(w_back).alias("__b_ts"),
-        *[
-            F.first(F.col(f"__r_{c}"), ignorenulls=True)
-            .over(w_fwd)
-            .alias(f"__f_{c}")
-            for c in right_cols
-        ],
-        F.first(is_right_ts, ignorenulls=True).over(w_fwd).alias("__f_ts"),
+        F.last(r_struct, ignorenulls=True).over(w_back).alias("__b"),
+        F.first(r_struct, ignorenulls=True).over(w_fwd).alias("__f"),
     ).filter(F.col("__tag") == 1)
     ts_d = F.col("__ts").cast("double")
-    gap_b = ts_d - F.col("__b_ts").cast("double")
-    gap_f = F.col("__f_ts").cast("double") - ts_d
-    b_ok = F.col("__b_ts").isNotNull() & (gap_b <= tolerance_seconds)
-    f_ok = F.col("__f_ts").isNotNull() & (gap_f <= tolerance_seconds)
+    gap_b = ts_d - F.col("__b.__rts").cast("double")
+    gap_f = F.col("__f.__rts").cast("double") - ts_d
+    b_ok = F.col("__b").isNotNull() & (gap_b <= tolerance_seconds)
+    f_ok = F.col("__f").isNotNull() & (gap_f <= tolerance_seconds)
     choose_b = b_ok & (~f_ok | (gap_b <= gap_f))
     choose_f = f_ok & ~choose_b
     out = carried.select(
@@ -300,8 +326,8 @@ def nearest_join(
         F.col("__ts").alias(left_ts),
         *lcols,
         *[
-            F.when(choose_b, F.col(f"__b_{c}"))
-            .when(choose_f, F.col(f"__f_{c}"))
+            F.when(choose_b, F.col(f"__b.{c}"))
+            .when(choose_f, F.col(f"__f.{c}"))
             .alias(c)
             for c in right_cols
         ],

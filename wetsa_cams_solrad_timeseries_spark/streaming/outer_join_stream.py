@@ -46,11 +46,18 @@ from pyspark.sql import functions as F
 from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
 
 
-def chrono_split(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+def chrono_split(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
     """Materialize events as ``n_files`` parquet files covering
     CONTIGUOUS, ascending time ranges, named part-0000i so the streaming
     file source replays them in event-time order. Cached per process+SF
-    via the shared artifact lifecycle (sweep + atexit)."""
+    via the shared artifact lifecycle (sweep + atexit).
+
+    Two files is the minimum that exercises the outer join's essential
+    behavior — the watermark advances across a batch boundary, so
+    batch-1 left rows emit their outer nulls under batch-2's watermark —
+    and the blind-spot oracle depends only on the FINAL watermark, not
+    the file count. Each extra file costs a full micro-batch of join
+    state-store and checkpoint overhead without new semantics."""
     from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
     from wetsa_cams_solrad_timeseries_spark.plans.vector import _SPLIT_TOKEN
 

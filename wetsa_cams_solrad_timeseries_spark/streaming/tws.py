@@ -93,7 +93,7 @@ class _RunningTotals(StatefulProcessor):
 
 
 def tws_running_totals(spark: SparkSession, split_dir: str) -> DataFrame:
-    """Drain the 3-file replay through transformWithStateInPandas and
+    """Drain the multi-file replay through transformWithStateInPandas and
     return the final per-user totals. Asserts the multi-batch replay
     really updated some key across more than one micro-batch."""
     import shutil

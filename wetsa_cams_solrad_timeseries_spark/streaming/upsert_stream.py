@@ -91,7 +91,7 @@ def streaming_foreachbatch_upsert(
 ) -> DataFrame:
     """Drain the multi-file replay through a foreachBatch MERGE and
     return the final keyed table. Asserts the stream really delivered
-    more than one micro-batch (maxFilesPerTrigger=1 over a 3-file
+    more than one micro-batch (maxFilesPerTrigger=1 over a multi-file
     split), so cross-batch merge associativity is exercised."""
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_checkpoint_dir,
