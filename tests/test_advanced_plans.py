@@ -429,3 +429,37 @@ def test_range_offset_source_prunes_and_replays(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_greedy_pack_semantics_and_invariance(spark):
+    """No-span packing: exact bin assignment on a hand-checked sequence,
+    oversized items take a bin alone, and the result is invariant to
+    input partitioning (the fold sorts per key)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+        greedy_pack,
+    )
+
+    rows = [
+        # key a, budget 10: [4, 5] -> bin0 (9), [3] -> bin1, [12] -> bin2
+        # (oversized, alone), [2, 8] -> bin3 (10, exact fit boundary)
+        ("a", 1, 4), ("a", 2, 5), ("a", 3, 3), ("a", 4, 12),
+        ("a", 5, 2), ("a", 6, 8),
+        ("b", 1, 10),  # exact-budget single item -> bin0
+        ("b", 2, 1),   # does not fit after a full bin -> bin1
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    got = {
+        (r.lang, r.doc_id): r.bin_id
+        for r in greedy_pack(df, budget=10).collect()
+    }
+    want = {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2,
+        ("a", 5): 3, ("a", 6): 3,
+        ("b", 1): 0, ("b", 2): 1,
+    }
+    assert got == want, got
+    got_shuffled = {
+        (r.lang, r.doc_id): r.bin_id
+        for r in greedy_pack(df.repartition(7), budget=10).collect()
+    }
+    assert got_shuffled == want

@@ -78,6 +78,65 @@ def capped_running_balance(
 
     cols = [key, delta_col, *order]
     slim = df.select(*dict.fromkeys(cols))
+    return _fold_by_key(slim, key, fold, out_schema).withColumn(
+        "final_balance", F.round(F.col("final_balance") + F.lit(1e-9), 6)
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    *,
+    key: str = "lang",
+    order_col: str = "doc_id",
+    size_col: str = "n_chars",
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing WITHOUT item spanning: walk each key's
+    items in ``order_col`` order; an item joins the current bin iff it
+    fits (``fill + size <= budget``), else it OPENS a new bin (items
+    larger than the budget get a bin of their own). One row per item:
+    ``(key, order_col, size_col, bin_id)``.
+
+    This is the packing SFT/training pipelines use when documents must
+    not cross an example boundary — and it is a NON-associative fold
+    (the bin boundary depends on the running remainder), so no prefix
+    sum or window frame expresses it; contrast q114's concat-and-chunk
+    sharding, which spans items and IS a closed-form over the prefix
+    sum. Same distributed shape as :func:`capped_running_balance`:
+    shuffle by key, per-key ordered scan with O(1) state.
+    """
+    key_t = df.schema[key].dataType.simpleString()
+    order_t = df.schema[order_col].dataType.simpleString()
+    size_t = df.schema[size_col].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_t}, {order_col} {order_t}, {size_col} {size_t}, "
+        "bin_id long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        bins = []
+        bin_id, fill = 0, None
+        for c in pdf[size_col].to_numpy():
+            if fill is None:
+                fill = c
+            elif fill + c <= budget:
+                fill += c
+            else:
+                bin_id += 1
+                fill = c
+            bins.append(bin_id)
+        return pdf.assign(bin_id=bins)[
+            [key, order_col, size_col, "bin_id"]
+        ]
+
+    slim = df.select(*dict.fromkeys([key, order_col, size_col]))
+    return _fold_by_key(slim, key, fold, out_schema)
+
+
+def _fold_by_key(slim: DataFrame, key: str, fold, out_schema: str) -> DataFrame:
     # Task-count sizing: pre-partition by key so the groupBy reuses the
     # partitioning (no second exchange) and the task count tracks input
     # volume instead of spark.sql.shuffle.partitions — each grouped-map
@@ -85,12 +144,11 @@ def capped_running_balance(
     # small inputs (measured 4x at sf0.1). Same rows-per-task logic as
     # streaming/_drain.size_partitions; production at 100 TB lands at
     # full cluster width.
-    spark = df.sparkSession
+    spark = slim.sparkSession
     hi = max(4, spark.sparkContext.defaultParallelism)
     n_parts = max(4, min(hi, slim.count() // 50_000 + 1))
     return (
         slim.repartition(n_parts, key)
         .groupBy(key)
         .applyInPandas(fold, schema=out_schema)
-        .withColumn("final_balance", F.round(F.col("final_balance") + F.lit(1e-9), 6))
     )

@@ -2712,6 +2712,448 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# q183 — bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+# --------------------------------------------------------------------------
+
+
+def q183_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-STATE production form of q82's streaming dedup:
+    ``withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)`` —
+    state for a key is GC'd once the event-time watermark passes its
+    last occurrence plus the delay, which is what keeps an UNBOUNDED
+    stream's dedup state finite (q82's plain dropDuplicates holds one
+    state entry per distinct key forever). Same kernel
+    (streaming/dedup_stream.py), same multi-batch replay, same loud
+    single-batch failure.
+
+    With the delay covering the replayed span, every recurrence falls
+    inside the retention window and the result equals exact DISTINCT —
+    so the batch oracle pins that the bounded operator drops NOTHING it
+    shouldn't (the only divergence a correct implementation may show is
+    re-emitting a key whose state was already GC'd, which the
+    span-covering delay rules out here; the parity is additionally
+    pytest-locked in tests/test_streaming_semantics.py).
+
+    Scale shape: state = keys seen within the watermark horizon, not
+    all keys ever — the difference between O(active window) and
+    O(lifetime cardinality) at 100 TB."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _split_events
+    from wetsa_cams_solrad_timeseries_spark.streaming.dedup_stream import (
+        streaming_distinct,
+    )
+
+    split_dir = _split_events(spark, sf_dir)
+    return streaming_distinct(
+        spark,
+        f"{split_dir}/part-*.parquet",
+        ["user_id", "event_type"],
+        max_files_per_trigger=1,
+        require_multi_batch=True,
+        within_watermark="45 days",
+    )
+
+
+Q183_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# q184 — calendar-spine business days with a holiday dimension
+# --------------------------------------------------------------------------
+
+
+def q184_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→first-ship latency in business days EXCLUDING holidays —
+    the calendar-dimension plan q169's closed-form counter documents as
+    its extension path. The engine GENERATES the calendar spine
+    (sequence over the data's own date bounds — computed distributed,
+    never collected to the driver), marks weekends and a fixed-date
+    holiday list (Jan 1 / Jul 4 / Dec 25), and pre-computes a RUNNING
+    BUSINESS-DAY INDEX over the spine. Business days between two dates
+    is then idx(ship) − idx(order): two broadcast equi-joins on exact
+    date, O(1) per fact row.
+
+    This is the scalable calendar form — the naive alternative (range
+    join fact × calendar, count matching days) explodes every order
+    into its latency-many calendar rows and needs a theta-join; the
+    index form touches each fact row twice via hash lookups. The
+    running index itself is a window over the CALENDAR (dimension-sized,
+    ~2.5k rows — bounded by the date span, never by the fact table), so
+    the one-partition window is a non-issue by construction.
+
+    Scale shape: one min-agg shuffle on l_orderkey, the orders join on
+    the same key, two broadcast joins against the ~2.5k-row indexed
+    spine, one priority-sized rollup."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    facts = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    ).join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+
+    # Date bounds as a 1-row frame (distributed agg, no driver pull),
+    # then the spine explodes executor-side.
+    bounds = facts.agg(
+        F.min("order_d").alias("lo"), F.max("first_ship").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    # Weekend via Spark dayofweek (Sun=1..Sat=7); holidays by fixed
+    # (month, day) — both pure date arithmetic, engine-portable.
+    is_weekend = F.dayofweek("day").isin(1, 7)
+    is_holiday = F.concat_ws(
+        "-", F.month("day"), F.dayofmonth("day")
+    ).isin("1-1", "7-4", "12-25")
+    cal = spine.select(
+        "day",
+        F.when(is_weekend | is_holiday, 0).otherwise(1).alias("is_bus"),
+    )
+    from pyspark.sql import Window as _W
+
+    cal_idx = cal.select(
+        "day",
+        F.sum("is_bus")
+        .over(_W.orderBy("day").rowsBetween(_W.unboundedPreceding, 0))
+        .alias("bidx"),
+    )
+    c1 = cal_idx.select(F.col("day").alias("order_d"), F.col("bidx").alias("i0"))
+    c2 = cal_idx.select(F.col("day").alias("first_ship"), F.col("bidx").alias("i1"))
+    lat = (
+        facts.join(F.broadcast(c1), "order_d")
+        .join(F.broadcast(c2), "first_ship")
+        .select(
+            "o_orderpriority",
+            (F.col("i1") - F.col("i0")).alias("bus_days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round6(F.avg("bus_days")).alias("avg_bus_days"),
+        F.max("bus_days").alias("max_bus_days"),
+    )
+
+
+Q184_ORACLE = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, CAST(min(l_shipdate) AS DATE) AS first_ship
+  FROM lineitem GROUP BY 1
+), facts AS (
+  SELECT o.o_orderpriority, CAST(o.o_orderdate AS DATE) AS order_d,
+         f.first_ship
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+), bounds AS (
+  SELECT min(order_d) AS lo, max(first_ship) AS hi FROM facts
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM bounds
+), cal AS (
+  SELECT day,
+         CASE WHEN isodow(day) IN (6, 7)
+                OR (CAST(month(day) AS VARCHAR) || '-' ||
+                    CAST(dayofmonth(day) AS VARCHAR))
+                    IN ('1-1', '7-4', '12-25')
+              THEN 0 ELSE 1 END AS is_bus
+  FROM spine
+), cal_idx AS (
+  SELECT day, sum(is_bus) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS bidx
+  FROM cal
+)
+SELECT f.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {round6_sql('avg(c2.bidx - c1.bidx)')} AS avg_bus_days,
+       CAST(max(c2.bidx - c1.bidx) AS BIGINT) AS max_bus_days
+FROM facts f
+JOIN cal_idx c1 ON c1.day = f.order_d
+JOIN cal_idx c2 ON c2.day = f.first_ship
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q185 — two-dimensional range query over the z-ordered layout
+# --------------------------------------------------------------------------
+
+_Q185_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def q185_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query form q120's z-order manifest promises: events are
+    sort-WRITTEN by the Morton key (``repartitionByRange(z) +
+    sortWithinPartitions(z)`` — a normal distributed sort), then a
+    TWO-dimensional rectangle predicate (a < 32 AND b < 32) runs against
+    the layout. Because a contiguous z range bounds a small (a, b)
+    rectangle, per-file footer statistics are narrow in BOTH interleaved
+    dimensions and most files are skippable — single-column sorting can
+    only ever prune one of the two. The fn PROVES the skip at footer
+    level on every execution (pyarrow metadata: the candidate file set
+    for the rectangle must be under half the layout) and RAISES
+    otherwise — same driver-visible-property contract as q91's
+    PartitionFilters assert. The oracle runs the identical rectangle on
+    the raw table: pruning must be lossless.
+
+    Scale shape: layout write is one range-partitioned sort (once, like
+    any OPTIMIZE/ZORDER maintenance job); the query is then a scan whose
+    row-group/file pruning is proportional to the rectangle, not the
+    table. Aggregates go through the exact-decimal sum because the
+    rewritten layout reorders rows — the case round6 alone cannot
+    stabilize."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import _zvalue
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    zdir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_zorder_*_{sf_tag}"),
+        _Q185_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(), f"wetsa_zorder_{_Q185_TOKEN}_{sf_tag}"
+        ),
+    )
+    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        a = (F.col("user_id") % 256).cast("int")
+        b = F.least(
+            F.lit(255), F.greatest(F.lit(0), F.floor(F.col("value") * 2.55))
+        ).cast("int")
+        keyed = ev.select(
+            "event_type", "value", a.alias("a"), b.alias("b")
+        ).withColumn("z", _zvalue(F.col("a"), F.col("b")))
+        (
+            keyed.repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(zdir)
+        )
+
+    # Footer-level skip proof: files whose (a, b) envelope intersects the
+    # rectangle. This is the math any lakehouse reader runs; if the
+    # z-layout stopped confining the corner, the property is gone and the
+    # query must fail loudly rather than silently full-scan.
+    cand = nonempty = 0
+    for f in sorted(glob.glob(os.path.join(zdir, "part-*.parquet"))):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        nonempty += 1
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo_a = min(
+            md.row_group(rg).column(idx["a"]).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        lo_b = min(
+            md.row_group(rg).column(idx["b"]).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        if lo_a < 32 and lo_b < 32:
+            cand += 1
+    if not (0 < cand <= nonempty // 2):
+        raise RuntimeError(
+            f"z-order layout did not confine the 32x32 corner: "
+            f"{cand}/{nonempty} candidate files (expected <= half)"
+        )
+
+    return (
+        spark.read.parquet(zdir)
+        .filter((F.col("a") < 32) & (F.col("b") < 32))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            round6(exact_sum("value")).alias("sum_value"),
+            F.max("a").alias("max_a"),
+            F.max("b").alias("max_b"),
+        )
+    )
+
+
+Q185_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_type, value,
+         CAST(user_id % 256 AS INTEGER) AS a,
+         CAST(least(255, greatest(0, floor(value * 2.55))) AS INTEGER) AS b
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       {round6_sql(exact_sum_sql('value'))} AS sum_value,
+       max(a) AS max_a, max(b) AS max_b
+FROM keyed
+WHERE a < 32 AND b < 32
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q186 — Kafka-shaped keyed streaming source (per-partition offset map)
+# --------------------------------------------------------------------------
+
+
+def q186_keyed_offset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity stats streamed through the engine's
+    Kafka-SHAPED connector (sources/replay_stream.py:
+    EventsKeyedStreamReader): the offset is a PER-PARTITION position map
+    — the key space hashes into independent ordered logs, each log's
+    position advances on its own, a commit is a vector of positions,
+    and a restart resumes every partition from its own watermark. This
+    completes the module's offset-design trilogy: q163 = monotone
+    counter, q179 = event-time RANGE boundaries, q186 = partition
+    map — the three shapes real connectors (file replay, time-ordered
+    CDC, Kafka topics) actually use. Asserts the replay spread over the
+    configured number of micro-batches; final complete-mode state
+    equals the batch aggregation (the oracle).
+
+    Scale shape: driver state is one integer per partition; each batch
+    plans one InputPartition per keyed log, served executor-side in
+    Arrow batches. Per-key ORDER holds within a partition (the Kafka
+    guarantee) — which is exactly why keyed processors downstream can
+    fold per-key state without a sort."""
+    import json
+    import shutil
+    import uuid as _uuid
+
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        register_events_replay_source,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    register_events_replay_source(spark)
+    n_batches = 2
+    src = (
+        spark.readStream.format("events_keyed_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("partitions", "4")
+        .option("batches", str(n_batches))
+        .load()
+    )
+    agg = src.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.avg("value")).alias("avg_value"),
+        F.max("value").alias("max_value"),
+    )
+    name = f"kr_{_uuid.uuid4().hex[:12]}"
+    ckpt = drain_checkpoint_dir()
+    n_rows = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    with drain_partitions(spark, size_partitions(spark, n_rows)):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed = sum(
+                1
+                for p in query.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if fed < n_batches:
+        raise RuntimeError(
+            f"keyed replay fed {fed} micro-batches, expected {n_batches} "
+            "(per-partition positions advance once per batch)"
+        )
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
+Q186_ORACLE = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       {round6_sql('avg(value)')} AS avg_value,
+       max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q187 — greedy sequence packing (non-spanning bin fold)
+# --------------------------------------------------------------------------
+
+_Q187_BUDGET = 2000
+
+
+def q187_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example packing WITHOUT document spanning: per language,
+    walk documents in doc_id order and fill ≤2000-char bins; a document
+    that does not fit OPENS the next bin (oversized documents get a bin
+    alone). The per-bin report (doc count, char mass, fill ratio) is
+    what a packing job emits to size its training shards.
+
+    This is the OTHER packing from q114: concat-and-chunk (q114) lets
+    items span shard boundaries, so the boundary is a closed form over
+    the prefix sum — embarrassingly parallel. No-span packing is a
+    NON-associative fold (the boundary depends on the running
+    remainder), so the faithful plan is the per-key ordered scan
+    (operators/sequential.py:greedy_pack, q154's applyInPandas shape)
+    and the oracle is a recursive CTE replaying the same recurrence.
+
+    Scale shape: shuffle by language, O(1) fold state per key; millions
+    of independent keys → full cluster width. The recursion lives in
+    the ORACLE only — the engine side is one pass."""
+    from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+        greedy_pack,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    packed = greedy_pack(
+        docs, key="lang", order_col="doc_id", size_col="n_chars",
+        budget=_Q187_BUDGET,
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        round6(F.sum("n_chars") / F.lit(float(_Q187_BUDGET))).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+Q187_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), rec AS (
+  SELECT lang, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_chars AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_chars, o.rn,
+         CASE WHEN r.fill + o.n_chars <= {_Q187_BUDGET}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + o.n_chars <= {_Q187_BUDGET}
+              THEN r.fill + o.n_chars ELSE o.n_chars END
+  FROM ordered o JOIN rec r ON o.lang = r.lang AND o.rn = r.rn + 1
+)
+SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {round6_sql(f'sum(n_chars) / {_Q187_BUDGET}.0')} AS fill_ratio
+FROM rec GROUP BY 1, 2
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2788,5 +3230,15 @@ SPECS = make_specs(
          "long-to-wide pivot with explicit values"),
         ("q182_stratified_split", q182_stratified_split, Q182_ORACLE, (),
          "hash-stratified train/val/test split audit"),
+        ("q183_stream_dedup_watermark", q183_stream_dedup_watermark,
+         Q183_ORACLE, (), "bounded-state streaming dedup (watermark GC)"),
+        ("q184_calendar_spine", q184_calendar_spine, Q184_ORACLE, (),
+         "calendar-spine business days w/ holiday dimension"),
+        ("q185_zorder_pruned_scan", q185_zorder_pruned_scan, Q185_ORACLE, (),
+         "2-dim rectangle over the z-ordered layout (file-skip proven)"),
+        ("q186_keyed_offset_stream", q186_keyed_offset_stream, Q186_ORACLE,
+         (), "Kafka-shaped per-partition offset-map source"),
+        ("q187_sequence_packing", q187_sequence_packing, Q187_ORACLE, (),
+         "greedy non-spanning sequence packing per language"),
     ]
 )

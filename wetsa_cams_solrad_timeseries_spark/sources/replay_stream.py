@@ -258,6 +258,114 @@ def _to_us(v) -> int:
     return int(v)
 
 
+class _KeyedPart(InputPartition):
+    def __init__(self, path: str, part: int, n_parts: int, lo: int, hi: int):
+        self.path = path
+        self.part = part
+        self.n_parts = n_parts
+        self.lo = lo
+        self.hi = hi
+
+
+class EventsKeyedStreamReader(DataSourceStreamReader):
+    """Kafka-SHAPED offsets: the offset is a PER-PARTITION position map
+    ``{"0": pos, "1": pos, ...}``. The key space is hashed into
+    ``partitions`` independent ordered logs (user_id % P — the keyed
+    topic-partition contract: per-key order within a partition, no
+    order across partitions), and every partition's position advances
+    INDEPENDENTLY — exactly the offset algebra Kafka sources implement,
+    where a commit is a vector of positions and a restart resumes each
+    partition from its own watermark.
+
+    Within a partition, rows are ordered by ``event_id`` (the stable
+    per-partition log order) and positions index that order, so every
+    run replays identical per-partition batches. The driver learns each
+    partition's end position the way a Kafka driver asks the broker for
+    end offsets: one columnar projection of the two key columns at
+    init — never the payload.
+
+    ``batches`` controls how many micro-batches the replay spreads over
+    (per-partition step = ceil(len/batches)); offset advance is
+    idempotent between commits, same contract as the other readers in
+    this module."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("events_keyed_replay: 'path' option is required")
+        self._n_parts = int(options.get("partitions", "4"))
+        self._n_batches = int(options.get("batches", "2"))
+        import pyarrow.parquet as pq
+
+        # Broker-style end-offset discovery: project ONLY the partition
+        # key column; counts per partition are the end positions.
+        tbl = pq.read_table(self._path, columns=["user_id"])
+        uid = tbl.column("user_id").to_numpy()
+        self._ends = [
+            int((uid % self._n_parts == p).sum()) for p in range(self._n_parts)
+        ]
+        self._steps = [
+            max(1, -(-end // self._n_batches)) for end in self._ends
+        ]
+
+    def _zero(self) -> dict:
+        return {str(p): 0 for p in range(self._n_parts)}
+
+    def initialOffset(self) -> dict:
+        return self._zero()
+
+    def latestOffset(self) -> dict:
+        committed = getattr(self, "_committed", self._zero())
+        planned = getattr(self, "_planned", self._zero())
+        base = {
+            k: max(committed[k], planned[k]) for k in committed
+        }
+        return {
+            str(p): min(self._ends[p], base[str(p)] + self._steps[p])
+            for p in range(self._n_parts)
+        }
+
+    def commit(self, end: dict) -> None:
+        committed = getattr(self, "_committed", self._zero())
+        self._committed = {
+            k: max(committed[k], int(v)) for k, v in end.items()
+        }
+
+    def partitions(self, start: dict, end: dict):
+        planned = getattr(self, "_planned", self._zero())
+        self._planned = {k: max(planned[k], int(v)) for k, v in end.items()}
+        return [
+            _KeyedPart(
+                self._path, p, self._n_parts,
+                int(start[str(p)]), int(end[str(p)]),
+            )
+            for p in range(self._n_parts)
+            if int(end[str(p)]) > int(start[str(p)])
+        ]
+
+    def read(self, partition: _KeyedPart):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        uid = tbl.column("user_id").to_numpy()
+        mask = uid % partition.n_parts == partition.part
+        tbl = tbl.filter(pa.array(mask))
+        # Stable per-partition log order, then the [lo, hi) position
+        # window — the slice a Kafka partition serves for that offset
+        # range.
+        order = np.argsort(tbl.column("event_id").to_numpy(), kind="stable")
+        take = order[partition.lo : partition.hi]
+        tbl = tbl.take(pa.array(take))
+        ts_i = tbl.column_names.index("ts")
+        tbl = tbl.set_column(
+            ts_i, "ts", pc.cast(tbl.column("ts"), pa.timestamp("us"), safe=False)
+        )
+        yield from tbl.to_batches()
+
+
 class EventsReplayDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -288,7 +396,23 @@ class EventsRangeReplayDataSource(DataSource):
         return EventsRangeStreamReader(self.options)
 
 
+class EventsKeyedReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_keyed_replay"
+
+    def schema(self) -> str:
+        return (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return EventsKeyedStreamReader(self.options)
+
+
 def register_events_replay_source(spark) -> None:
     """Per-session registration; idempotent."""
     spark.dataSource.register(EventsReplayDataSource)
     spark.dataSource.register(EventsRangeReplayDataSource)
+    spark.dataSource.register(EventsKeyedReplayDataSource)
