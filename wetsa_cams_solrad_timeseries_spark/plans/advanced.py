@@ -3154,6 +3154,170 @@ FROM rec GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q188 — deterministic negative sampling for contrastive training
+# --------------------------------------------------------------------------
+
+_Q188_K = 3
+
+
+def q188_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-pair generation for contrastive/embedding training:
+    every anchor vector gets K=3 pseudo-random negatives WITHOUT a cross
+    join and WITHOUT engine RNG — the partner is a hash-offset on the
+    id ring, ``neg = (anchor + 1 + h(anchor, k) mod (n−1)) mod n``,
+    which is uniform over the other ids, collision-free with the anchor
+    by construction, and REPRODUCIBLE across runs, engines, and
+    partitionings (the md5 bridge; rand() would re-deal every run — the
+    classic irreproducible-training-pairs bug). Each pair carries the
+    exact cosine and a same-label flag so a trainer can drop false
+    negatives — the cosine is computed JVM-side with
+    ``zip_with``/``aggregate`` higher-order functions, no Python.
+
+    Scale shape: pair construction is a scan-stage expression; the ONLY
+    shuffle is the equi-join that fetches the partner's vector and
+    label (corpus-linear, K rows per anchor). The n-row count rides a
+    1-row broadcast. Contrast the naive crossJoin-then-sample, which is
+    Θ(n²) before the sample."""
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    emb = table(spark, sf_dir, "embeddings")
+    n1 = emb.agg((F.max("vec_id") + 1).alias("n"))
+    offs = F.array(
+        *[
+            hash32(
+                F.concat(
+                    F.lit(f"neg{k}_"), F.col("vec_id").cast("string")
+                )
+            )
+            % (F.col("n") - 1)
+            + 1
+            for k in range(_Q188_K)
+        ]
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("ea"),
+            "n",
+            F.posexplode(offs).alias("k", "off"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "ea",
+            (F.col("k") + 1).cast("long").alias("neg_rank"),
+            ((F.col("anchor_id") + F.col("off")) % F.col("n")).alias("neg_id"),
+        )
+    )
+    partner = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("eb"),
+    )
+    j = cand.join(partner, "neg_id")
+
+    def to_d(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    va, vb = to_d(F.col("ea")), to_d(F.col("eb"))
+    cos = dot(va, vb) / F.sqrt(dot(va, va) * dot(vb, vb))
+    return j.select(
+        "anchor_id",
+        "neg_rank",
+        "neg_id",
+        (F.col("anchor_label") == F.col("neg_label")).alias("same_label"),
+        F.round(cos + F.lit(1e-9), 6).alias("cosine"),
+    )
+
+
+Q188_ORACLE = f"""
+WITH n1 AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id AS anchor_id, e.label AS anchor_label,
+         CAST(t.k + 1 AS BIGINT) AS neg_rank,
+         (e.vec_id
+          + ({hash32_sql_duckdb("'neg' || CAST(t.k AS VARCHAR) || '_' || CAST(e.vec_id AS VARCHAR)")}
+             % (n.n - 1)) + 1) % n.n AS neg_id
+  FROM embeddings e CROSS JOIN n1 n CROSS JOIN range({_Q188_K}) t(k)
+),
+joined AS (
+  SELECT c.anchor_id, c.neg_rank, c.neg_id,
+         c.anchor_label = p.label AS same_label,
+         CAST(a.embedding AS DOUBLE[]) AS va,
+         CAST(p.embedding AS DOUBLE[]) AS vb
+  FROM cand c
+  JOIN embeddings p ON p.vec_id = c.neg_id
+  JOIN embeddings a ON a.vec_id = c.anchor_id
+)
+SELECT anchor_id, neg_rank, neg_id, same_label,
+       round(list_sum([va[i] * vb[i] FOR i IN range(1, 65)])
+             / sqrt(list_sum([va[i] * va[i] FOR i IN range(1, 65)])
+                    * list_sum([vb[i] * vb[i] FOR i IN range(1, 65)]))
+             + 1e-9, 6) AS cosine
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# q189 — unpivot / melt (wide → long relational reshape)
+# --------------------------------------------------------------------------
+
+_Q189_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q189_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q181's inverse: the wide lineitem measure block melted to long
+    form with the native ``unpivot`` operator (Spark ≥3.4 — compiles to
+    one Expand node, NOT a union of N scans), then a per-(measure,
+    returnflag) profile. Long form is what generic profilers, drift
+    monitors, and metric stores consume — one row per (entity, metric)
+    regardless of how many measure columns the source grows.
+
+    Scale shape: Expand multiplies rows by the measure count in the
+    SCAN stage (no extra pass over the table per measure — the
+    union-of-selects spelling would scan 4×); the rollup is an ordinary
+    grouped aggregate on a (measure × flag)-sized key space. Exact
+    decimal sums (reordered accumulation vs the source layout)."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=list(_Q189_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        round6(exact_sum("val")).alias("sum_val"),
+        round6(F.avg("val")).alias("avg_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+Q189_ORACLE = f"""
+WITH long AS (
+  SELECT l_returnflag, measure, val
+  FROM lineitem
+  UNPIVOT (val FOR measure IN ({', '.join(_Q189_MEASURES)}))
+)
+SELECT measure, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       {round6_sql(exact_sum_sql('val'))} AS sum_val,
+       {round6_sql('avg(val)')} AS avg_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM long GROUP BY 1, 2
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -3240,5 +3404,9 @@ SPECS = make_specs(
          (), "Kafka-shaped per-partition offset-map source"),
         ("q187_sequence_packing", q187_sequence_packing, Q187_ORACLE, (),
          "greedy non-spanning sequence packing per language"),
+        ("q188_negative_sampling", q188_negative_sampling, Q188_ORACLE, (),
+         "deterministic contrastive negative pairs (no cross join)"),
+        ("q189_unpivot_melt", q189_unpivot_melt, Q189_ORACLE, (),
+         "wide-to-long unpivot (single Expand, no multi-scan)"),
     ]
 )
