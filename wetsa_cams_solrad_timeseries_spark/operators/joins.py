@@ -162,7 +162,11 @@ def asof_join(
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
-    collisions = set(right_cols) & set(lcols)
+    # Guard the WHOLE left output namespace (payload + by keys + the ts
+    # column): a right_col named like any of them would emit duplicate
+    # output columns and fail later with AMBIGUOUS_REFERENCE instead of
+    # this clear error.
+    collisions = set(right_cols) & ({left_ts, *by, *lcols})
     if collisions:
         raise ValueError(
             f"asof_join: right_cols {sorted(collisions)} collide with left "
@@ -258,7 +262,10 @@ def nearest_join(
     """
     by = list(by)
     lcols = [c for c in left.columns if c not in by and c != left_ts]
-    collisions = set(right_cols) & set(lcols)
+    # Also reserve the operator's own output columns (direction, gap_s).
+    collisions = set(right_cols) & (
+        {left_ts, *by, *lcols, "direction", "gap_s"}
+    )
     if collisions:
         raise ValueError(
             f"nearest_join: right_cols {sorted(collisions)} collide with "

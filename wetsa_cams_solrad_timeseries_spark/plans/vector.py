@@ -525,11 +525,16 @@ def _split_events(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
     # recycled pid would reuse a stale split via the _SUCCESS gate.
     # claim_artifact_dir sweeps prior-generation splits for this SF and
     # registers ours for atexit removal (bounded /tmp growth).
+    # n_files is part of the cache identity: the _SUCCESS gate would
+    # otherwise hand a caller requesting 3 files whichever split ran
+    # first in this process. The sweep pattern stays wide so stale
+    # generations of ANY file count are collected.
     split_dir = claim_artifact_dir(
-        os.path.join(tempfile.gettempdir(), f"wetsa_events_split_*_{sf_tag}"),
+        os.path.join(tempfile.gettempdir(), f"wetsa_events_split_*_{sf_tag}*"),
         _SPLIT_TOKEN,
         os.path.join(
-            tempfile.gettempdir(), f"wetsa_events_split_{_SPLIT_TOKEN}_{sf_tag}"
+            tempfile.gettempdir(),
+            f"wetsa_events_split_{_SPLIT_TOKEN}_{sf_tag}_f{n_files}",
         ),
     )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):

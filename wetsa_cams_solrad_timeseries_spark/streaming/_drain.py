@@ -73,6 +73,55 @@ def drain_partitions(spark: SparkSession, n: int = DRAIN_PARTITIONS):
         spark.conf.set(key, old)
 
 
+def drain_complete_agg(
+    spark: SparkSession,
+    agg_df,
+    *,
+    n_input_rows: int,
+    min_fed_batches: int,
+    what: str,
+):
+    """Shared drain for the replay-source queries (q163/q179/q186): run a
+    COMPLETE-mode aggregation over a finite custom-source replay to
+    exhaustion, require that at least ``min_fed_batches`` micro-batches
+    actually carried rows (a collapsed replay proves nothing about
+    cross-batch offset/state handling — fail loudly), and return the
+    final state detached from the memory sink. One definition of the
+    fed-batch counting / checkpoint lifecycle / partition sizing idiom,
+    so a fix lands everywhere at once."""
+    import json
+
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    ckpt = drain_checkpoint_dir()
+    with drain_partitions(spark, size_partitions(spark, n_input_rows)):
+        query = (
+            agg_df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            fed = sum(
+                1
+                for p in query.recentProgress
+                if json.loads(p.json).get("numInputRows", 0) > 0
+            )
+        finally:
+            query.stop()
+            import shutil as _shutil
+
+            _shutil.rmtree(ckpt, ignore_errors=True)
+    if fed < min_fed_batches:
+        raise RuntimeError(
+            f"{what} fed {fed} micro-batches, expected {min_fed_batches} "
+            "(one per offset advance)"
+        )
+    result = spark.table(name)
+    return spark.createDataFrame(result.collect(), schema=result.schema)
+
+
 def drain_rows(
     spark: SparkSession,
     out_df,

@@ -62,11 +62,13 @@ def chrono_split(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
     from wetsa_cams_solrad_timeseries_spark.plans.vector import _SPLIT_TOKEN
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # n_files participates in the cache identity (see vector._split_events).
     split_dir = claim_artifact_dir(
-        os.path.join(tempfile.gettempdir(), f"wetsa_chrono_split_*_{sf_tag}"),
+        os.path.join(tempfile.gettempdir(), f"wetsa_chrono_split_*_{sf_tag}*"),
         _SPLIT_TOKEN,
         os.path.join(
-            tempfile.gettempdir(), f"wetsa_chrono_split_{_SPLIT_TOKEN}_{sf_tag}"
+            tempfile.gettempdir(),
+            f"wetsa_chrono_split_{_SPLIT_TOKEN}_{sf_tag}_f{n_files}",
         ),
     )
     done = os.path.join(split_dir, "_SUCCESS")
