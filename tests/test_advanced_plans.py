@@ -463,3 +463,53 @@ def test_greedy_pack_semantics_and_invariance(spark):
         for r in greedy_pack(df.repartition(7), budget=10).collect()
     }
     assert got_shuffled == want
+
+
+def test_modulo_replay_latest_offset_idempotent(sf_dir):
+    """ADVICE regression lock: latestOffset must return the same answer
+    however many times the engine probes it between commits — a
+    counter-mutating implementation silently merges two slices into one
+    micro-batch on a double probe. Engine-free contract check."""
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        EventsReplayStreamReader,
+    )
+
+    rd = EventsReplayStreamReader(
+        {"path": f"{sf_dir}/events.parquet", "slices": "3"}
+    )
+    assert rd.initialOffset() == {"slice": 0}
+    assert rd.latestOffset() == {"slice": 1}
+    assert rd.latestOffset() == {"slice": 1}  # probe again: no advance
+    rd.partitions({"slice": 0}, {"slice": 1})  # batch planned, uncommitted
+    assert rd.latestOffset() == {"slice": 2}  # planned watermark advances
+    assert rd.latestOffset() == {"slice": 2}
+    rd.commit({"slice": 1})
+    assert rd.latestOffset() == {"slice": 2}
+    rd.commit({"slice": 2})
+    assert rd.latestOffset() == {"slice": 3}
+    rd.commit({"slice": 3})
+    assert rd.latestOffset() == {"slice": 3}  # exhausted: never past n
+
+
+def test_keyed_replay_latest_offset_idempotent(sf_dir):
+    """Same contract for the per-partition offset-map reader: each keyed
+    log's position advances by its own step once per commit, never on a
+    repeated probe, and caps at its end position."""
+    from wetsa_cams_solrad_timeseries_spark.sources.replay_stream import (
+        EventsKeyedStreamReader,
+    )
+
+    rd = EventsKeyedStreamReader(
+        {"path": f"{sf_dir}/events.parquet", "partitions": "4",
+         "batches": "2"}
+    )
+    zero = rd.initialOffset()
+    assert zero == {str(p): 0 for p in range(4)}
+    first = rd.latestOffset()
+    assert first == rd.latestOffset()  # idempotent between commits
+    assert all(0 < int(v) <= rd._ends[int(k)] for k, v in first.items())
+    rd.commit(first)
+    second = rd.latestOffset()
+    assert second == {str(p): rd._ends[p] for p in range(4)}  # 2 batches
+    rd.commit(second)
+    assert rd.latestOffset() == second  # exhausted, stable

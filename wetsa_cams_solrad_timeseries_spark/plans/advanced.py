@@ -2601,6 +2601,13 @@ def q182_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     realized share within the language — the check that hash splitting
     kept every stratum close to 80/10/10.
 
+    vs q86 (pipeline_ops): q86 is the global split on the raw digest's
+    leading hex char (coarse 16ths, corpus-level rollup). This query is
+    the STRATIFIED audit — percent-exact bucket arithmetic, a salt so
+    re-splitting with a new salt is independent of the old assignment,
+    and per-stratum shares (the quantity a skewed-language corpus can
+    silently get wrong even when the global 80/10/10 holds).
+
     Scale shape: assignment is a scan-stage expression (no shuffle, no
     state); the audit is one grouped aggregate plus a broadcast-sized
     per-lang total join. At 100 TB the assignment column is written once
