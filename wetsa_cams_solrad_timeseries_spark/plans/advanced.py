@@ -3262,6 +3262,111 @@ FROM long GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# q190 — Holt double-exponential smoothing (forecasting primitive)
+# --------------------------------------------------------------------------
+
+_Q190_ALPHA, _Q190_BETA = 0.5, 0.3
+
+
+def q190_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting baseline the inventory lacked: Holt's linear (double
+    exponential) smoothing over each event type's DAILY count series —
+    level and trend state folded through time, emitting the final state
+    and the 1-step-ahead forecast (level + trend). The recurrence
+    ``level_t = α·y_t + (1−α)(level_{t−1}+trend_{t−1})`` is a
+    NON-associative ordered fold (same class as q154/q187), so the plan
+    is: distributed daily aggregate first (the data-sized work), then a
+    per-key applyInPandas scan over the tiny per-type series.
+
+    Cross-engine float lockstep: both engines round level and trend to
+    6 decimals AFTER EVERY STEP (q161's per-iteration resync
+    precedent) — without it, 30 chained multiply-adds let DuckDB's
+    vectorized/FMA arithmetic drift a ULP from Python's scalar ops and
+    the final rounded digit can flip.
+
+    Scale shape: the fold input is one row per (type, day) — aggregate-
+    sized, not event-sized; millions of independent series → full
+    cluster width via the q154 keyed-fold shape."""
+    import math
+
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    a, b = _Q190_ALPHA, _Q190_BETA
+
+    def r6(x: float) -> float:
+        # Half-away-from-zero with the repo's +1e-9 nudge — bit-matches
+        # DuckDB round(x + 1e-9, 6) (python's round() banker's-rounds).
+        y = x + 1e-9
+        return math.copysign(math.floor(abs(y) * 1e6 + 0.5), y) / 1e6
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        ys = pdf["y"].to_numpy(dtype=float)
+        level, trend = float(ys[0]), 0.0
+        for y in ys[1:]:
+            prev = level
+            level = r6(a * y + (1 - a) * (level + trend))
+            trend = r6(b * (level - prev) + (1 - b) * trend)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_1": [r6(level + trend)],
+            }
+        )
+
+    out_schema = (
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_1 double"
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+        _fold_by_key,
+    )
+
+    return _fold_by_key(daily, "event_type", fold, out_schema)
+
+
+Q190_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), ordered AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), rec AS (
+  SELECT event_type, rn, CAST(y AS DOUBLE) AS level,
+         CAST(0.0 AS DOUBLE) AS trend
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn,
+         round({_Q190_ALPHA} * o.y
+               + {1 - _Q190_ALPHA} * (r.level + r.trend) + 1e-9, 6),
+         round({_Q190_BETA} * (round({_Q190_ALPHA} * o.y
+               + {1 - _Q190_ALPHA} * (r.level + r.trend) + 1e-9, 6)
+               - r.level)
+               + {1 - _Q190_BETA} * r.trend + 1e-9, 6)
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_days,
+       r.level, r.trend,
+       round(r.level + r.trend + 1e-9, 6) AS forecast_1
+FROM rec r
+JOIN (SELECT event_type, max(rn) AS m FROM rec GROUP BY 1) last
+  ON last.event_type = r.event_type AND last.m = r.rn
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -3352,5 +3457,7 @@ SPECS = make_specs(
          "deterministic contrastive negative pairs (no cross join)"),
         ("q189_unpivot_melt", q189_unpivot_melt, Q189_ORACLE, (),
          "wide-to-long unpivot (single Expand, no multi-scan)"),
+        ("q190_holt_smoothing", q190_holt_smoothing, Q190_ORACLE, (),
+         "Holt double-exponential smoothing + 1-step forecast"),
     ]
 )
