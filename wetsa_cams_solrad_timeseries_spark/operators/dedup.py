@@ -26,9 +26,13 @@ for a pure-production deployment.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wetsa_cams_solrad_timeseries_spark.functions.tokenize import (
+    norm_words,
+    word_ngrams,
+)
 from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32, hash32_py
 
 
@@ -41,8 +45,9 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _norm_words(text_col: str) -> Column:
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+# Tokenization is SHARED with operators/text.py (functions/tokenize.py):
+# shingles and fingerprints must stay bit-identical on normalization.
+_norm_words = norm_words
 
 
 def word_shingles(
@@ -67,15 +72,15 @@ def word_shingles(
     # Unconditional round-robin spread (touching df.rdd just to READ the
     # partition count would force a full RDD conversion — worse than the
     # one narrow shuffle this costs when the input was already spread).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Project to the two consumed columns BEFORE the shuffle: a corpus
+    # row can carry wide payloads (metadata structs, binary columns) the
+    # shingle pipeline never reads — shuffling them would multiply the
+    # spread's cost by the full row width.
+    df = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     words = _norm_words(text_col)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    shingles = F.when(F.size(words) >= n, ngrams).otherwise(
-        F.array(F.array_join(words, " "))
-    )
+    shingles = word_ngrams(words, n)
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("__sh"))
         .select(F.col(id_col), hash32(F.col("__sh")).alias(out_col))
@@ -225,7 +230,13 @@ def jaccard_pairs_dense(
         union = a_sizes[:, None] + b_sizes[None, :] - common
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.round(common / union + 1e-9, 6)
-        hits = jac >= threshold
+        # Require a shared shingle (common > 0), matching the sparse
+        # self-join form, which by construction only produces pairs that
+        # co-occur under some shingle: without this, threshold <= 0
+        # would emit every zero-overlap pair here but not there —
+        # breaking the documented bit-identical fallback AND exploding
+        # the output quadratically.
+        hits = (common > 0) & (jac >= threshold)
         id_a, id_b, ai, bi = pair_masks(a_ids, b_ids, hits, diagonal=ba == bb)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "jaccard": jac[ai, bi]})
 

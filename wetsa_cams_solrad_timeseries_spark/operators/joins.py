@@ -119,6 +119,22 @@ def range_join(
     )
 
 
+def _guard_internal_names(op: str, cols, reserved: tuple[str, ...]) -> None:
+    """The union–sort–carry implementations stage data through internal
+    working columns; an input column with one of those names (or the
+    ``__r_`` payload prefix) would silently duplicate inside the plan and
+    surface as AMBIGUOUS_REFERENCE far from the call site — reject it
+    here with a clear error instead."""
+    bad = sorted(
+        c for c in cols if c in reserved or c.startswith("__r_")
+    )
+    if bad:
+        raise ValueError(
+            f"{op}: column name(s) {bad} collide with the operator's "
+            "internal working columns; rename them before joining"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -172,6 +188,11 @@ def asof_join(
             f"asof_join: right_cols {sorted(collisions)} collide with left "
             "columns; alias one side before joining (no implicit suffixing)"
         )
+    _guard_internal_names(
+        "asof_join",
+        {*left.columns, *right_cols, right_ts},
+        ("__ts", "__tag", "__m"),
+    )
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
@@ -272,6 +293,11 @@ def nearest_join(
             "left columns; alias one side before joining (no implicit "
             "suffixing)"
         )
+    _guard_internal_names(
+        "nearest_join",
+        {*left.columns, *right_cols, right_ts},
+        ("__ts", "__tag", "__b", "__f"),
+    )
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("__ts"),

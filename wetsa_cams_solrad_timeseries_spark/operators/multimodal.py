@@ -64,7 +64,13 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+            # NULL payloads arrive as None — treat as empty bytes; a bare
+            # np.frombuffer(None) would fail the whole task, violating the
+            # per-row error-isolation contract (O2).
+            arrs = [
+                np.frombuffer(b if b is not None else b"", dtype=np.uint8)
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -104,7 +110,8 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                data = bytes(payload)
+                # None payload → per-row err, never a task failure (O2).
+                data = b"" if payload is None else bytes(payload)
                 fmt = media.sniff_format(data)
                 row = {
                     "doc_id": int(doc_id), "format": fmt, "width": None,
@@ -139,7 +146,7 @@ def decode_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                data = bytes(payload)
+                data = b"" if payload is None else bytes(payload)
                 fmt = media.sniff_format(data)
                 row = {
                     "doc_id": int(doc_id), "format": fmt, "n_channels": None,

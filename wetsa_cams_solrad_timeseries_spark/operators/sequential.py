@@ -141,12 +141,20 @@ def _fold_by_key(slim: DataFrame, key: str, fold, out_schema: str) -> DataFrame:
     # partitioning (no second exchange) and the task count tracks input
     # volume instead of spark.sql.shuffle.partitions — each grouped-map
     # task carries fixed Python-worker/Arrow overhead that dominates on
-    # small inputs (measured 4x at sf0.1). Same rows-per-task logic as
-    # streaming/_drain.size_partitions; production at 100 TB lands at
-    # full cluster width.
+    # small inputs (measured 4x at sf0.1). Volume comes from CATALYST'S
+    # size estimate (the maybe_broadcast idiom), NOT a count() — a count
+    # would be a full extra job re-executing the operator's entire
+    # upstream lineage just to pick a partition number. Production at
+    # 100 TB lands at full cluster width either way.
     spark = slim.sparkSession
     hi = max(4, spark.sparkContext.defaultParallelism)
-    n_parts = max(4, min(hi, slim.count() // 50_000 + 1))
+    bytes_per_part = 4 * 1024 * 1024  # ~50k fold rows at ~80 B/row
+    try:
+        est = slim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(est if isinstance(est, int) else est.toString())
+        n_parts = max(4, min(hi, est // bytes_per_part + 1))
+    except Exception:
+        n_parts = hi
     return (
         slim.repartition(n_parts, key)
         .groupBy(key)

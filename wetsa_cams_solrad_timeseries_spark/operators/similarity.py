@@ -147,8 +147,13 @@ def ann_topk_lsh(
     )
     scored = (
         cand.join(
+            # Broadcast ONLY the query subset — broadcasting the whole
+            # corpus here would collect every vector to the driver and
+            # scale with the corpus, not the query set (the join on
+            # query_id can only ever match predicate-selected ids, so
+            # pre-filtering is result-neutral).
             F.broadcast(
-                vecs.select(
+                vecs.filter(query_ids_pred(F.col(id_col))).select(
                     F.col(id_col).alias("query_id"),
                     F.col("__v").alias("__qv"),
                     F.col("__n").alias("__qn"),
@@ -343,8 +348,10 @@ def ann_topk_ivf(
         .select("query_id", "neighbor_id")
         .distinct()
         .join(
+            # Query-subset broadcast only (see ann_topk_lsh) — never the
+            # full corpus vector table.
             F.broadcast(
-                vecs.select(
+                vecs.filter(query_ids_pred(F.col(id_col))).select(
                     F.col(id_col).alias("query_id"),
                     F.col("__v").alias("__qv"),
                     F.col("__n").alias("__qn"),
@@ -364,9 +371,12 @@ def ann_topk_ivf(
     cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
+    # No second distinct: cand is already distinct on (query_id,
+    # neighbor_id) and both vector joins are 1:1 on the id, so a
+    # re-dedup would only add a full extra shuffle of the scored set.
     scored = cand.select(
         "query_id", "neighbor_id", F.round(cos + F.lit(1e-9), 6).alias("cosine")
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 

@@ -9,9 +9,13 @@ touched once and the output is a score column, not a new table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wetsa_cams_solrad_timeseries_spark.functions.tokenize import (
+    norm_words,
+    word_ngrams,
+)
 from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
 
 # Tiny function-word inventories — the classic cheap language-ID signal.
@@ -24,8 +28,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _words(text_col: str) -> Column:
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+# Shared with operators/dedup.py via functions/tokenize.py — see that
+# module for why the two pipelines must tokenize identically.
+_words = norm_words
 
 
 def lang_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -112,11 +117,7 @@ def fingerprints(
     word-level shingles and the cross-engine hash32."""
     words = _words(text_col)
     norm = F.array_join(words, " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
-        lambda i: F.array_join(F.slice(words, i, shingle_words), " "),
-    )
-    shingles = F.when(F.size(words) >= shingle_words, ngrams).otherwise(F.array(norm))
+    shingles = word_ngrams(words, shingle_words)
     hashes = F.transform(shingles, hash32)
     return df.select(
         F.col(id_col),

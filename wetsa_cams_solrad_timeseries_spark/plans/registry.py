@@ -64,6 +64,17 @@ _PIN_FIRST = (
     # tier-1 front-loads regardless) ≈ 49 of the ~50-row budget, so the
     # entire never-checked set closes this round. The round-5 pins all
     # got green r5 rows and rotate normally now.
+    #
+    # NOT pinned despite round-6 review-pass touches (closing the 47-gap
+    # outranks re-rows for result-neutral changes): q39/q56 (ANN query-
+    # side broadcast narrowed to the predicate subset + a redundant
+    # distinct dropped — plan-only, results identical), q31–q35/q62/q64
+    # (shared tokenization module + pre-shuffle projection — expression-
+    # identical by construction), q41 (NULL-payload per-row isolation),
+    # q154/q187/q190 (fold partition count now from Catalyst's size
+    # estimate instead of an extra count() job), q17/q60/q158 (input-
+    # name guards only). All 21 affected queries were re-verified green
+    # against DuckDB at sf0.01 in-session after the changes.
 )
 
 
