@@ -74,6 +74,21 @@ def clean_key(col: Column | str) -> Column:
     return F.trim(c)
 
 
+def clean_key_str(name: str) -> str:
+    """Driver-side twin of :func:`clean_key` — SAME normalization, so
+    literal exclusion/membership lists can be compared against
+    ``clean_key``-derived join keys. A hand-rolled
+    ``lower().replace('_',' ')`` misses the punctuation-strip and
+    whitespace-collapse steps and silently fails to match (observed:
+    'Mt. Merapi' → 'mt. merapi' vs clean_key's 'mt merapi')."""
+    import re
+
+    s = name.replace("_", " ")
+    s = re.sub(r"[^a-zA-Z0-9\s]", "", s)
+    s = re.sub(r"\s+", " ", s.lower())
+    return s.strip()
+
+
 # F7 pattern, shared by the Column form and the driver-side string form.
 FILENAME_SANITIZE_PATTERN = r"[^\w\.-]"
 

@@ -23,7 +23,17 @@ def dot_literal(weights: list) -> "callable":
 
     @pandas_udf("double")
     def _dot(v: pd.Series) -> pd.Series:
-        mat = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        # Per-row isolation: a NULL or wrong-dimension embedding yields a
+        # NaN score instead of a np.vstack ValueError that fails the
+        # whole task (the same O2 contract as the multimodal kernels).
+        dim = len(w)
+        rows = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == dim
+            else np.full(dim, np.nan)
+            for x in v
+        ]
+        mat = np.vstack(rows) if rows else np.empty((0, dim))
         return pd.Series(mat @ w)
 
     return _dot

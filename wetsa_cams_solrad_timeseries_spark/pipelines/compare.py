@@ -70,9 +70,18 @@ def compare_join(ground: DataFrame, cams: DataFrame) -> DataFrame:
     """J1 inner join on timestamp (+station when present), full-row
     null-drop (P5 — solrad-compare.py:81), bias (F9), abs-bias (F11) and
     null-safe GHI/DHI ratio (F10) derivations."""
-    keys = ["timestamp"] + (
-        ["station"] if "station" in ground.columns and "station" in cams.columns else []
-    )
+    g_has, c_has = "station" in ground.columns, "station" in cams.columns
+    if g_has != c_has:
+        # A timestamp-only fallback here would cross-match every station
+        # against every other at equal timestamps — silently wrong stats.
+        # One-sided station columns mean the caller mixed a multi-station
+        # table with a per-station one; make them say which station.
+        raise ValueError(
+            "compare_join: 'station' present on only one side — join "
+            "would multiply rows across stations; add the column to the "
+            "other side or drop it from both"
+        )
+    keys = ["timestamp"] + (["station"] if g_has else [])
     merged = ground.join(cams, on=keys, how="inner").na.drop()
     for c in COMPONENTS:
         if f"{c}_cams" in merged.columns and f"{c}_ground" in merged.columns:
@@ -95,7 +104,11 @@ def regression_stats(merged: DataFrame) -> list[dict]:
     has_station = "station" in merged.columns
     frames = []
     for c in COMPONENTS:
-        if f"{c}_cams" not in merged.columns:
+        # BOTH sides must carry the component: prepare_ground/prepare_cams
+        # each skip columns their input lacks, so a component can exist
+        # cams-only (or ground-only) — selecting the missing twin would
+        # throw AnalysisException instead of skipping like compare_join.
+        if f"{c}_cams" not in merged.columns or f"{c}_ground" not in merged.columns:
             continue
         cols = [
             F.lit(c).alias("component"),
@@ -105,6 +118,13 @@ def regression_stats(merged: DataFrame) -> list[dict]:
         if has_station:
             cols.insert(0, F.col("station"))
         frames.append(merged.select(*cols))
+    if not frames:
+        # reduce() over an empty list raises a bare TypeError that masks
+        # the actual problem (no component survived on both sides).
+        raise ValueError(
+            "regression_stats: no component present on BOTH sides of the "
+            f"merged frame (columns: {merged.columns})"
+        )
     unioned = reduce(lambda a, b: a.unionByName(b), frames)
     group = (["station"] if has_station else []) + ["component"]
     rows = [

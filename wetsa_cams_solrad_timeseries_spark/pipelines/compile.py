@@ -20,8 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wetsa_cams_solrad_timeseries_spark.operators.filters import exclude_keys
 from wetsa_cams_solrad_timeseries_spark.functions.scalar import (
     clean_key,
+    clean_key_str,
     local_time,
     parse_utc_offset,
 )
@@ -55,12 +57,33 @@ PROCESSED_SCHEMA = T.StructType(
 def read_locations(spark: SparkSession, path: str) -> DataFrame:
     """F1 fixture reader (schema per FIXTURES.md F1; the shipped reference
     CSV lacks the ``timezone`` column its own code requires —
-    SURVEY.md §2.13.1 — so the schema here declares it explicitly)."""
-    return (
+    SURVEY.md §2.13.1 — so the schema here declares it explicitly).
+
+    Validates the parsed UTC offsets EAGERLY: ``parse_utc_offset`` is a
+    cast (null on 'UTC+05:30' or garbage), and a null offset would later
+    null ``time_local`` and let ``compile_solar``'s na.drop silently
+    delete the whole station — where the reference's ``astype(int)``
+    fails loudly. The probe is a limit-5 collect over a ~35-row
+    dimension table, so the eager action is free."""
+    loc = (
         spark.read.option("header", True).schema(LOCATIONS_SCHEMA).csv(path)
         .withColumn("station_key", clean_key("station"))
         .withColumn("utc_offset", parse_utc_offset("timezone"))
     )
+    bad = (
+        loc.where(
+            F.col("timezone").isNotNull() & F.col("utc_offset").isNull()
+        )
+        .select("station", "timezone")
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "unparseable integer UTC offsets in locations table "
+            f"(reference supports whole hours only): {[tuple(r) for r in bad]}"
+        )
+    return loc
 
 
 def compile_solar(
@@ -79,7 +102,11 @@ def compile_solar(
     Output: the long-form compiled table (FIXTURES.md F5).
     """
     locations = read_locations(spark, locations_path)
-    excl_keys = [k.lower().replace("_", " ") for k in exclude_stations]
+    # Exclusion names normalize through clean_key_str — the driver-side
+    # twin of the clean_key join-key derivation — so a name like
+    # 'Mt. Merapi' actually matches its key ('mt merapi'); a partial
+    # re-implementation here silently failed to exclude such names.
+    excl_keys = [clean_key_str(k) for k in exclude_stations]
 
     fact = (
         spark.read.option("header", True).schema(PROCESSED_SCHEMA)
@@ -92,8 +119,8 @@ def compile_solar(
             ),
         )
         .withColumn("station_key", clean_key("station_file"))
-        .filter(~F.col("station_key").isin(excl_keys))
     )
+    fact = exclude_keys(fact, "station_key", excl_keys)
     dim = locations.select(
         "station_key",
         F.col("station").alias("station"),

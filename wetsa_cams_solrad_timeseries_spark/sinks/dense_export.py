@@ -53,8 +53,15 @@ def write_dense_partitioned(
         .parquet(path)
     )
 
+    # Manifest from the JUST-WRITTEN parquet, not the input frame:
+    # re-aggregating `compiled` would re-execute its entire lineage (CSV
+    # scan + joins) a second time, and the manifest should describe what
+    # actually landed on disk anyway. The read-back scan is columnar,
+    # partition-aware, and only touches two columns.
+    spark = compiled.sparkSession
     chunk_rows = (
-        compiled.groupBy(partition_col)
+        spark.read.parquet(path)
+        .groupBy(partition_col)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min(time_col).cast("string").alias("time_min"),

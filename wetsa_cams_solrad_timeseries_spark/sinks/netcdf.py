@@ -143,15 +143,18 @@ def _write_netcdf3_classic(
 
     stations = coords.index.to_list()
     times = wide.index.to_list()
-    strlen = max((len(str(s)) for s in stations), default=1)
+    # strlen counts ENCODED BYTES, not characters: the char variable's
+    # payload is utf-8 bytes, so a non-ASCII station name is longer in
+    # bytes than in characters and a char-based strlen under-sizes the
+    # dimension (ljust then cannot pad and the payload-size check fails).
+    enc = [str(s).encode("utf-8") for s in stations]
+    strlen = max((len(e) for e in enc), default=1)
     dims = {"time": len(times), "station": len(stations), "name_strlen": strlen}
 
     def epoch_seconds(t) -> float:
         return pd.Timestamp(t).value / 1e9
 
-    station_bytes = b"".join(
-        str(s).encode("utf-8").ljust(strlen, b"\x00") for s in stations
-    )
+    station_bytes = b"".join(e.ljust(strlen, b"\x00") for e in enc)
     nc_vars: list[dict[str, Any]] = [
         {
             "name": "time",

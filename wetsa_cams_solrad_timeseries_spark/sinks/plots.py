@@ -56,19 +56,29 @@ def plot_inputs(
         pdf = df.select(
             F.col("timestamp"), F.col(g).alias("ground"), F.col(c).alias("cams")
         ).toPandas()
-        axis_max_row = df.agg(
-            F.greatest(F.max(g), F.max(c)).alias("m")
-        ).first()
-        axis_max = float(axis_max_row["m"] or 0.0)
-        stat = next(
-            (
-                s
-                for s in stats
-                if s["component"] == comp
-                and (station is None or s.get("station") == station)
-            ),
-            None,
+        # axis max (A3) derives from the ALREADY-collected scatter frame —
+        # a separate df.agg() would re-execute the whole merged join plan
+        # once more per component (measured: ~2 Spark jobs per panel).
+        axis_max = (
+            float(max(pdf["ground"].max(), pdf["cams"].max()))
+            if len(pdf)
+            else 0.0
         )
+        matches = [
+            s
+            for s in stats
+            if s["component"] == comp
+            and (station is None or s.get("station") == station)
+        ]
+        if station is None and len(matches) > 1:
+            # Multi-station stats with no station filter: pooling every
+            # station's scatter under ONE arbitrary station's fitted
+            # line is a silently wrong figure — make the caller pick.
+            raise ValueError(
+                f"plot_inputs: stats carry {len(matches)} stations for "
+                f"{comp}; pass station=... to plot one station's panel"
+            )
+        stat = matches[0] if matches else None
         out["components"][comp] = {
             "scatter": pdf,
             "axis_max": axis_max,
