@@ -49,6 +49,14 @@ def _cleanup_registered() -> None:  # pragma: no cover - exit hook
 atexit.register(_cleanup_registered)
 
 
+def register_cleanup(path: str) -> str:
+    """Register an arbitrary path for best-effort removal at interpreter
+    exit (no sweep — for throwaway outputs like drain parquet dirs that
+    have no generation pattern). Returns ``path`` for chaining."""
+    _REGISTERED.add(path)
+    return path
+
+
 def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
     """Claim ``path`` (which must match ``pattern`` and contain ``token``)
     as this process's generation of an artifact family: sweep prior

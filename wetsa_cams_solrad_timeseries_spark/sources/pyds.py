@@ -93,7 +93,13 @@ class ExpertCsvDataSource(DataSource):
         return "expert_csv"
 
     def schema(self):
-        return expert_csv_schema(peek_header(self.options.get("path")))
+        path = self.options.get("path")
+        if not path:
+            # schema() runs before reader(), so the reader's own check
+            # is unreachable for this case — without this guard the
+            # caller gets an opaque TypeError from peek_header(None).
+            raise ValueError("expert_csv: 'path' option is required")
+        return expert_csv_schema(peek_header(path))
 
     def reader(self, schema) -> DataSourceReader:
         return ExpertCsvReader(self.options, schema)

@@ -301,9 +301,11 @@ class EventsKeyedStreamReader(DataSourceStreamReader):
         # key column; counts per partition are the end positions.
         tbl = pq.read_table(self._path, columns=["user_id"])
         uid = tbl.column("user_id").to_numpy()
-        self._ends = [
-            int((uid % self._n_parts == p).sum()) for p in range(self._n_parts)
-        ]
+        # One bincount pass, not n_parts boolean-mask passes.
+        import numpy as np
+
+        counts = np.bincount(uid % self._n_parts, minlength=self._n_parts)
+        self._ends = [int(c) for c in counts]
         self._steps = [
             max(1, -(-end // self._n_batches)) for end in self._ends
         ]
@@ -353,11 +355,21 @@ class EventsKeyedStreamReader(DataSourceStreamReader):
         uid = tbl.column("user_id").to_numpy()
         mask = uid % partition.n_parts == partition.part
         tbl = tbl.filter(pa.array(mask))
-        # Stable per-partition log order, then the [lo, hi) position
-        # window — the slice a Kafka partition serves for that offset
-        # range.
-        order = np.argsort(tbl.column("event_id").to_numpy(), kind="stable")
-        take = order[partition.lo : partition.hi]
+        # Per-partition log order (event_id ascending), then the
+        # [lo, hi) position window — the slice a Kafka partition serves
+        # for that offset range. The prefix is selected with
+        # argpartition (O(n + hi log hi)) instead of a full O(n log n)
+        # sort re-run every micro-batch; event_id is unique, so no
+        # stability concern. The full re-read per batch is the reader's
+        # documented harness cost (a real broker serves the slice).
+        eid = tbl.column("event_id").to_numpy()
+        hi = min(partition.hi, len(eid))
+        if hi < len(eid):
+            prefix = np.argpartition(eid, hi - 1)[:hi] if hi > 0 else np.array([], dtype=np.int64)
+            order = prefix[np.argsort(eid[prefix])]
+        else:
+            order = np.argsort(eid, kind="stable")
+        take = order[partition.lo : hi]
         tbl = tbl.take(pa.array(take))
         ts_i = tbl.column_names.index("ts")
         tbl = tbl.set_column(

@@ -62,6 +62,47 @@ def size_partitions(spark: SparkSession, n_rows: int) -> int:
     return max(DRAIN_PARTITIONS, min(hi, n_rows // ROWS_PER_STATE_PARTITION + 1))
 
 
+def fed_batches(query) -> int:
+    """Number of micro-batches that actually carried input rows — THE
+    shared definition (progress objects are parsed via their json form;
+    ``p.get(...)`` also happens to work because StreamingQueryProgress
+    subclasses dict in 4.x, but that is an implementation detail two
+    idioms should not separately depend on)."""
+    import json
+
+    return sum(
+        1
+        for p in query.recentProgress
+        if json.loads(p.json).get("numInputRows", 0) > 0
+    )
+
+
+def file_replay_reader(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+):
+    """readStream over a parquet FILE, GLOB, or DIRECTORY — the shared
+    replay-source preamble. A file or glob streams over its parent
+    directory scoped by ``pathGlobFilter``; a bare directory streams
+    over itself (splitting it into (parent, name) would set a
+    pathGlobFilter matching NO leaf file and silently drain an empty
+    stream — the divergence this helper exists to end)."""
+    import os
+
+    directory, filename = os.path.split(parquet_path.rstrip("/"))
+    reader = spark.readStream.schema(schema)
+    if filename.endswith(".parquet"):
+        reader = reader.option("pathGlobFilter", filename)
+        src = directory
+    else:
+        src = parquet_path
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src)
+
+
 @contextmanager
 def drain_partitions(spark: SparkSession, n: int = DRAIN_PARTITIONS):
     key = "spark.sql.shuffle.partitions"
@@ -89,8 +130,6 @@ def drain_complete_agg(
     final state detached from the memory sink. One definition of the
     fed-batch counting / checkpoint lifecycle / partition sizing idiom,
     so a fix lands everywhere at once."""
-    import json
-
     name = f"drain_{uuid.uuid4().hex[:12]}"
     ckpt = drain_checkpoint_dir()
     with drain_partitions(spark, size_partitions(spark, n_input_rows)):
@@ -103,11 +142,7 @@ def drain_complete_agg(
         )
         try:
             query.processAllAvailable()
-            fed = sum(
-                1
-                for p in query.recentProgress
-                if json.loads(p.json).get("numInputRows", 0) > 0
-            )
+            fed = fed_batches(query)
         finally:
             query.stop()
             import shutil as _shutil
@@ -118,8 +153,19 @@ def drain_complete_agg(
             f"{what} fed {fed} micro-batches, expected {min_fed_batches} "
             "(one per offset advance)"
         )
+    return _detach_memory_table(spark, name)
+
+
+def _detach_memory_table(spark: SparkSession, name: str):
+    """Collect a memory-sink table into a standalone DataFrame and DROP
+    the temp view: the sink's in-memory table otherwise holds the full
+    result on the driver for the session's lifetime — across a
+    180-query bench run that is every streaming result resident
+    simultaneously."""
     result = spark.table(name)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def drain_rows(
@@ -130,6 +176,8 @@ def drain_rows(
     sink: str = "memory",
     name: str | None = None,
     out_dir: str | None = None,
+    min_fed_batches: int | None = None,
+    what: str = "drain",
 ):
     """Run a finite-replay streaming query to completion and return the
     emitted rows as a DataFrame.
@@ -169,9 +217,16 @@ def drain_rows(
             )
             try:
                 query.processAllAvailable()
+                fed = fed_batches(query)
             finally:
                 query.stop()
-            return spark.table(name)
+            if min_fed_batches is not None and fed < min_fed_batches:
+                raise RuntimeError(
+                    f"{what} fed {fed} micro-batches, expected "
+                    f"{min_fed_batches}"
+                )
+            # Detached + view dropped — see _detach_memory_table.
+            return _detach_memory_table(spark, name)
         if sink == "parquet":
             if output_mode != "append":
                 raise ValueError(
@@ -179,6 +234,16 @@ def drain_rows(
                 )
             if out_dir is None:
                 out_dir = ckpt + "-out"
+                # The default out_dir lives next to the checkpoint
+                # (often RAM-backed /dev/shm) — register it for atexit
+                # removal or every drain leaks tmpfs RAM beyond the
+                # process lifetime. An EXPLICIT out_dir is the caller's
+                # product and is left alone.
+                from wetsa_cams_solrad_timeseries_spark._artifacts import (
+                    register_cleanup,
+                )
+
+                register_cleanup(out_dir)
             query = (
                 out_df.writeStream.outputMode("append")
                 .format("parquet")
@@ -188,8 +253,14 @@ def drain_rows(
             )
             try:
                 query.processAllAvailable()
+                fed = fed_batches(query)
             finally:
                 query.stop()
+            if min_fed_batches is not None and fed < min_fed_batches:
+                raise RuntimeError(
+                    f"{what} fed {fed} micro-batches, expected "
+                    f"{min_fed_batches}"
+                )
             return spark.read.parquet(out_dir)
         raise ValueError(f"unknown sink {sink!r} (memory|parquet)")
     finally:

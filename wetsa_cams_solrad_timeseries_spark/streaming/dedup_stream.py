@@ -20,17 +20,15 @@ documented 100 TB form.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from wetsa_cams_solrad_timeseries_spark.catalog import ts_fix_expr
 from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-    drain_checkpoint_dir,
     drain_partitions,
+    drain_rows,
+    file_replay_reader,
     size_partitions,
 )
 
@@ -63,13 +61,9 @@ def streaming_distinct(
     the parity test pins the variant's semantics."""
     keys = list(keys)
     batch_df = spark.read.parquet(parquet_path)
-    directory, filename = os.path.split(parquet_path.rstrip("/"))
-    reader = spark.readStream.schema(batch_df.schema).option(
-        "pathGlobFilter", filename
+    src = file_replay_reader(
+        spark, parquet_path, batch_df.schema, max_files_per_trigger
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    src = reader.parquet(directory)
     if "ts" in keys or within_watermark:
         # A ts dedup key must stream the NORMALIZED timestamp, or the raw
         # physical values (bigint nanos / timestamp_ntz) would mismatch
@@ -86,29 +80,14 @@ def streaming_distinct(
     else:
         deduped = src.select(*keys).dropDuplicates(keys)
 
-    name = f"dedup_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
+        # drain_rows owns the checkpoint lifecycle, fed-batch counting,
+        # and memory-sink detach/drop — one definition for all drains.
+        return drain_rows(
+            spark,
+            deduped,
+            output_mode="append",
+            sink="memory",
+            min_fed_batches=2 if require_multi_batch else None,
+            what="multi-batch dedup drain",
         )
-        try:
-            query.processAllAvailable()
-            fed_batches = sum(
-                1
-                for p in query.recentProgress
-                if p.get("numInputRows", 0) > 0
-            )
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    if require_multi_batch and fed_batches <= 1:
-        raise RuntimeError(
-            "multi-batch dedup drain did not run: only "
-            f"{fed_batches} micro-batch saw input rows"
-        )
-    return spark.table(name)

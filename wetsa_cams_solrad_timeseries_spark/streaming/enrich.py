@@ -20,7 +20,6 @@ construction, which is exactly what the DuckDB twin checks).
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,11 +49,10 @@ def streaming_enriched_agg(
     dimension chain stays dimension-sized, but it may scale with SF).
     """
     import os
-    import shutil
-
+    
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
         drain_partitions,
+        drain_rows,
         size_partitions,
     )
 
@@ -93,20 +91,7 @@ def streaming_enriched_agg(
         )
     )
 
-    name = f"enrich_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    result = spark.table(name)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+        # drain_rows owns the checkpoint lifecycle and detaches/drops the
+        # memory-sink view.
+        return drain_rows(spark, agg, output_mode="complete")

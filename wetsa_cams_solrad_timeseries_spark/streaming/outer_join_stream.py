@@ -34,7 +34,6 @@ everywhere else (_drain.size_partitions).
 from __future__ import annotations
 
 import glob
-import json
 import os
 import shutil
 import tempfile
@@ -116,8 +115,10 @@ def streaming_left_outer_interval_join(
     Asserts >1 micro-batch fed rows AND at least one outer (null) row
     was emitted through watermark-driven eviction."""
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        _detach_memory_table,
         drain_checkpoint_dir,
         drain_partitions,
+        fed_batches,
         size_partitions,
     )
 
@@ -168,11 +169,7 @@ def streaming_left_outer_interval_join(
         )
         try:
             query.processAllAvailable()
-            fed = sum(
-                1
-                for p in query.recentProgress
-                if json.loads(p.json).get("numInputRows", 0) > 0
-            )
+            fed = fed_batches(query)
         finally:
             query.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -181,8 +178,7 @@ def streaming_left_outer_interval_join(
             f"outer join drained in {fed} micro-batch(es) — cross-batch "
             "state was not exercised"
         )
-    result = spark.table(name)
-    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    out = _detach_memory_table(spark, name)
     if out.where(F.col("error_id").isNull()).limit(1).count() == 0:
         raise RuntimeError(
             "no outer null row emitted — watermark-driven eviction did "

@@ -134,7 +134,10 @@ def streaming_scd2_merge(
         rebuild_points = (
             delta
             if log is None
-            else log.join(touched, key, "left_semi").unionByName(delta)
+            # Reuse the semi-join computed for the high-water-mark probe
+            # — re-deriving it would plan and run the log scan twice per
+            # batch.
+            else touched_log.unionByName(delta)
         )
         new_versions = scd2_versions(rebuild_points, key, ts_col, attr)
         if state["versions"] is not None:

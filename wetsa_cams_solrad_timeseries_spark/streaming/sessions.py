@@ -127,18 +127,16 @@ def streaming_sessions(
 
     ``sink="parquet"`` drains executor-side (append-mode file sink, the
     100 TB form — see ``_drain.drain_rows``); memory is the oracle gate."""
-    import os
-
     batch_df = spark.read.parquet(parquet_path)
     ts_fix = ts_fix_expr(dict(batch_df.dtypes).get("ts"))
-    directory, filename = os.path.split(parquet_path.rstrip("/"))
-    reader = spark.readStream.schema(batch_df.schema).option(
-        "pathGlobFilter", filename
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        file_replay_reader,
     )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+
     stream = (
-        reader.parquet(directory)
+        file_replay_reader(
+            spark, parquet_path, batch_df.schema, max_files_per_trigger
+        )
         .withColumn("ts", ts_fix)
         .select("user_id", "ts", "value")
         .withWatermark("ts", watermark)
@@ -158,7 +156,7 @@ def streaming_sessions(
 
     name = f"sessions_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        result = drain_rows(
+        # drain_rows detaches (and drops) the memory-sink view itself.
+        return drain_rows(
             spark, out, output_mode="append", sink=sink, name=name
         )
-    return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -79,19 +79,16 @@ def streaming_running_totals(
     last-update-per-key filter below collapses both forms to identical
     final state; tests/test_streaming_semantics.py asserts the parity).
     """
-    import os
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        file_replay_reader,
+    )
 
     batch_df = spark.read.parquet(parquet_path)
     ts_fix = ts_fix_expr(dict(batch_df.dtypes).get("ts"))
-
-    directory, filename = os.path.split(parquet_path.rstrip("/"))
-    reader = spark.readStream.schema(batch_df.schema).option(
-        "pathGlobFilter", filename
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        reader.parquet(directory)
+        file_replay_reader(
+            spark, parquet_path, batch_df.schema, max_files_per_trigger
+        )
         .withColumn("ts", ts_fix)
         .select("user_id", "ts", "value")
     )
@@ -111,6 +108,7 @@ def streaming_running_totals(
 
     name = f"stateful_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        # drain_rows detaches (and drops) the memory-sink view itself.
         result = drain_rows(
             spark, out, output_mode=mode, sink=sink, name=name
         )
@@ -118,7 +116,6 @@ def streaming_running_totals(
     # per key per batch); with one batch this is the identity. The raw
     # update count is carried as __n_updates so callers/tests can assert
     # that multiple micro-batches actually ran.
-    result = spark.createDataFrame(result.collect(), schema=result.schema)
     w_cnt = Window.partitionBy("user_id")
     w = F.row_number().over(
         Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

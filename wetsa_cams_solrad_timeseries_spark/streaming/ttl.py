@@ -85,22 +85,17 @@ def streaming_ttl_evictions(
     evicted keys' final totals (active keys are retained in the store and
     emit nothing). ``sink="parquet"`` drains executor-side (see
     ``_drain.drain_rows``)."""
-    import os
-
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_partitions,
         drain_rows,
+        file_replay_reader,
         size_partitions,
     )
 
     batch_df = spark.read.parquet(parquet_path)
     ts_fix = ts_fix_expr(dict(batch_df.dtypes).get("ts"))
-    directory, filename = os.path.split(parquet_path.rstrip("/"))
-    reader = spark.readStream.schema(batch_df.schema).option(
-        "pathGlobFilter", filename
-    )
     stream = (
-        reader.parquet(directory)
+        file_replay_reader(spark, parquet_path, batch_df.schema)
         .withColumn("ts", ts_fix)
         .select("user_id", "ts", "value")
         .withWatermark("ts", watermark)
@@ -114,7 +109,7 @@ def streaming_ttl_evictions(
     )
     name = f"ttl_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        result = drain_rows(
+        # drain_rows detaches (and drops) the memory-sink view itself.
+        return drain_rows(
             spark, out, output_mode="append", sink=sink, name=name
         )
-    return spark.createDataFrame(result.collect(), schema=result.schema)

@@ -145,7 +145,11 @@ def tws_running_totals(spark: SparkSession, split_dir: str) -> DataFrame:
             spark.conf.set(prov_key, old_prov)
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    emitted = spark.table(name)
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        _detach_memory_table,
+    )
+
+    emitted = _detach_memory_table(spark, name)
     # Final state per key = largest n_events emission (monotone totals).
     per_key_rows = emitted.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__emissions"),

@@ -113,19 +113,45 @@ def streaming_foreachbatch_upsert(
         tempfile.gettempdir(), f"wetsa_upsert_{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(root, exist_ok=True)
-    state = {"path": None, "batches": 0}
+
+    def committed_gens() -> list[int]:
+        import re
+
+        out = []
+        for name in os.listdir(root):
+            m = re.fullmatch(r"gen_(\d+)", name)
+            if m and os.path.exists(os.path.join(root, name, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def apply_batch(bdf: DataFrame, bid: int) -> None:
+        # Merge state is derived from DISK per batch id, never from a
+        # driver-side closure: foreachBatch is at-least-once, so
+        # (a) a RE-EXECUTED batch whose generation already committed
+        #     must SKIP (Spark's documented "use batchId to dedupe"
+        #     pattern) — the n_events count, unlike latest-wins, is not
+        #     idempotent and would double on a re-merge;
+        # (b) a RESTARTED query finds the last committed generation by
+        #     listing gen_* dirs with _SUCCESS (a crashed half-write has
+        #     no _SUCCESS and is simply redone), which is what makes the
+        #     docstring's "offset replay + last committed generation"
+        #     recovery REAL rather than an in-process dict that a new
+        #     driver would lose.
+        gens = committed_gens()
+        if bid in gens:
+            return
+        prior = [g for g in gens if g < bid]
         delta = _latest_per_key(bdf, key, ts_col)
-        if state["path"] is None:
+        if not prior:
             merged = delta
         else:
-            cur = spark.read.parquet(state["path"])
+            cur = spark.read.parquet(os.path.join(root, f"gen_{max(prior)}"))
             merged = _merge(cur, delta, key)
-        new_path = os.path.join(root, f"gen_{bid}")
-        merged.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
-        state["batches"] += 1
+        # Always a NEW generation dir (bid > every prior gen), so the
+        # write never overwrites a path the merge is reading from.
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"gen_{bid}")
+        )
 
     ckpt = drain_checkpoint_dir()
     try:
@@ -139,11 +165,11 @@ def streaming_foreachbatch_upsert(
                 query.processAllAvailable()
             finally:
                 query.stop()
-        assert state["batches"] > 1, (
-            f"multi-batch upsert expected >1 micro-batch, got "
-            f"{state['batches']}"
+        gens = committed_gens()
+        assert len(gens) > 1, (
+            f"multi-batch upsert expected >1 micro-batch, got {len(gens)}"
         )
-        result = spark.read.parquet(state["path"])
+        result = spark.read.parquet(os.path.join(root, f"gen_{max(gens)}"))
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -15,7 +15,6 @@ over the same files, which is exactly what the DuckDB oracle checks.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,30 +74,14 @@ def streaming_tumbling_agg(
         )
         .select(*group_cols, F.col("__w.start").alias("bucket_start"), "n_events", "avg_value")
     )
-    import shutil
-
+    
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
         drain_partitions,
+        drain_rows,
         size_partitions,
     )
 
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
     with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-        ckpt = drain_checkpoint_dir()
-        query = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    # Materialize before the memory sink table goes away with the query.
-    result = spark.table(name)
-    result = spark.createDataFrame(result.collect(), schema=result.schema)
-    return result
+        # drain_rows owns the checkpoint lifecycle and detaches/drops the
+        # memory-sink view.
+        return drain_rows(spark, agg, output_mode="complete")
