@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -21,6 +22,10 @@ def canon(rows: list[tuple], columns: list[str]) -> list[tuple]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def cell(v):
+        if isinstance(v, (bytes, bytearray)):
+            # Spark collects BinaryType as bytearray, DuckDB as bytes —
+            # repr() would differ on identical payloads.
+            return repr(bytes(v))
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
@@ -95,6 +100,16 @@ def type_mismatches(
 def main() -> int:
     import duckdb
 
+    # The value comparison assumes UTC: Spark's non-Arrow collect()
+    # converts TimestampType through the driver's LOCAL timezone while
+    # DuckDB returns naive-UTC instants — on a non-UTC host every
+    # timestamp-bearing query would false-fail. Pin the process TZ.
+    os.environ["TZ"] = "UTC"
+    import time as _time
+
+    if hasattr(_time, "tzset"):
+        _time.tzset()
+
     import __spark_entry__ as entry
     from wetsa_cams_solrad_timeseries_spark.catalog import TABLES
     from wetsa_cams_solrad_timeseries_spark.session import get_spark
@@ -110,12 +125,20 @@ def main() -> int:
         )
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd name would otherwise print "0/0 checked OK" and exit
+        # 0 — a green gate that verified nothing.
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     # sf-aware oracles: queries whose oracle embeds data-derived literals
     # (q56's trained centroids) regenerate for the sf being checked —
     # the static oracle_sql() strings are built for the DRIVER's gate SF.
     from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
 
     for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
         if spec.oracle_fn is not None:
             sql = spec.oracle_for(sf_dir)
             if sql is None:

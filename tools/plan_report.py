@@ -82,18 +82,35 @@ def main() -> int:
             report[name] = {"error": str(ex)[:200]}
             violations.append(f"{name}: plan build failed: {ex}")
             continue
-        # Single-partition windows: a Window whose child ordering has no
-        # partitioning expression. Physical form: 'Window [..], [..]' with
-        # only ORDER spec (no partition spec emits 2-arg Window node).
-        global_windows = len(
-            re.findall(r"Window \[[^\]]*\], \[[^\]]*ASC|DESC[^\]]*\]$", "")
-        )
-        # Robust detection: SinglePartition exchange feeding a Window.
-        single_part_window = bool(
-            re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window ", plan)
-        ) or bool(
-            re.search(r"Window [\s\S]{0,200}?Exchange SinglePartition", plan)
-        )
+        # Single-partition window detection, LINE-based: in the printed
+        # physical tree a Window node consuming an `Exchange
+        # SinglePartition` child sits a few lines ABOVE it (with only
+        # Sort / codegen chrome in between). Character-proximity regexes
+        # false-negative the moment a Window's expression list exceeds
+        # the proximity budget — one long line defeats them; line
+        # adjacency is length-independent.
+        lines = plan.splitlines()
+        single_part_window = False
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            for back in range(1, 5):
+                if i - back < 0:
+                    break
+                up = lines[i - back]
+                if "Window" in up:
+                    single_part_window = True
+                    break
+                # Only sort/codegen chrome may sit between a Window and
+                # its exchange; anything else means this exchange feeds
+                # a different operator.
+                if not any(
+                    t in up
+                    for t in ("Sort", "WholeStageCodegen", "InputAdapter", "*(")
+                ):
+                    break
+            if single_part_window:
+                break
         bnlj_types = [m.group(2) for m in _BNLJ_ANY.finditer(plan)]
         bnlj_noncross = [t for t in bnlj_types if t != "Cross"]
         metrics = {

@@ -11,13 +11,16 @@ grow /tmp and the warehouse without bound.
 Lifecycle rule implemented here, at the moment a generation is created:
 
 1. **sweep**: remove every PRIOR generation matching the artifact's name
-   pattern that does not carry the current process token AND is older
-   than ``_SWEEP_AGE_S``. The age gate is what makes CONCURRENT
-   harnesses safe: a live sibling process's fresh generation is never
-   clobbered mid-use (observed: a parallel oracle-gate run sweeping the
-   pytest process's bucketed tables failed q81), while orphans from
-   crashed runs still get collected one age-window later. Disk stays
-   bounded at ~one generation per SF tag per age window.
+   pattern that does not carry the current process token, whose OWNER
+   process (sibling ``<dir>.owner`` pid file) is no longer alive, AND
+   that is older than ``_SWEEP_AGE_S``. Liveness + age together make
+   CONCURRENT harnesses safe: a live sibling's generation is never
+   clobbered mid-use however long it runs (a dir's mtime freezes at
+   creation, so age alone failed for >1 h sessions; observed earlier: a
+   parallel oracle-gate run sweeping the pytest process's bucketed
+   tables failed q81), while orphans from crashed runs still get
+   collected one age-window later. Disk stays bounded at ~one
+   generation per SF tag per age window.
 2. **atexit**: best-effort removal of our own generation at interpreter
    exit (pure ``shutil`` — no Spark needed, so it works after the
    session/JVM is gone).
@@ -43,7 +46,13 @@ _SWEEP_AGE_S = 3600.0
 
 def _cleanup_registered() -> None:  # pragma: no cover - exit hook
     for path in list(_REGISTERED):
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
 
 atexit.register(_cleanup_registered)
@@ -57,13 +66,40 @@ def register_cleanup(path: str) -> str:
     return path
 
 
+def _owner_alive(artifact_dir: str) -> bool:
+    """True when the SIBLING ``<dir>.owner`` pid file records a process
+    that still runs. The owner file sits NEXT TO the artifact dir, not
+    inside it, because a Spark ``mode("overwrite")`` write wipes the dir
+    contents. Missing/unreadable owner files report NOT alive (fall
+    through to the age gate)."""
+    try:
+        with open(artifact_dir.rstrip("/") + ".owner") as fh:
+            pid = int(fh.read().strip())
+        return os.path.exists(f"/proc/{pid}")
+    except (OSError, ValueError):
+        return False
+
+
 def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
     """Claim ``path`` (which must match ``pattern`` and contain ``token``)
     as this process's generation of an artifact family: sweep prior
     generations matching ``pattern`` that lack ``token``, and register
-    ``path`` for atexit removal. Returns ``path`` for chaining."""
+    ``path`` for atexit removal. Returns ``path`` for chaining.
+
+    Sweep rule: a foreign generation is removed only when its recorded
+    OWNER process is gone AND it is older than the age gate. The
+    liveness check matters because a dir's mtime freezes at creation —
+    age alone would let a second harness delete a >1 h-old generation a
+    LONG-RUNNING sibling is still reading (the clobber class the age
+    gate was added for, merely pushed past the 1 h mark)."""
     for stale in glob.glob(pattern):
+        # The pattern can also match sibling .owner pid FILES — only
+        # directories are artifact generations.
+        if not os.path.isdir(stale):
+            continue
         if token in os.path.basename(stale):
+            continue
+        if _owner_alive(stale):
             continue
         try:
             if time.time() - os.path.getmtime(stale) < _SWEEP_AGE_S:
@@ -71,5 +107,18 @@ def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
         except OSError:
             continue
         shutil.rmtree(stale, ignore_errors=True)
+        try:
+            os.remove(stale.rstrip("/") + ".owner")
+        except OSError:
+            pass
+    # Record ownership (sibling pid file) so other processes can test
+    # our liveness before sweeping.
+    owner = path.rstrip("/") + ".owner"
+    try:
+        with open(owner, "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass
     _REGISTERED.add(path)
+    _REGISTERED.add(owner)
     return path

@@ -69,12 +69,17 @@ def ts_fix_expr(ts_dtype: str | None, col: str = "ts") -> F.Column:
 
 
 def table(
-    spark: SparkSession, sf_dir: str, name: str, validate: bool = False
+    spark: SparkSession, sf_dir: str, name: str, validate: bool = True
 ) -> DataFrame:
     """Read one corpus table. Parquet scan → columnar, pushdown-capable.
 
     ``events.ts`` arrives in a per-round physical shape; ``normalize_ts``
     maps every shape to the same session-UTC TimestampType instants.
+
+    Validation defaults ON — the module docstring promises "asserted on
+    read", and the check is parquet-FOOTER metadata only (no data
+    scan): a silently drifted input type corrupts every downstream
+    query, which is far costlier than the microseconds this costs.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -121,17 +121,41 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
-        master = f"local[{cpus}]"
+    if master is None:
+        # Master resolution order: explicit arg > SPARK_MASTER env (its
+        # VALUE is used — previously it was only probed for existence,
+        # so `SPARK_MASTER=spark://host python bench.py` failed with "a
+        # master URL must be set" while spark-submit's --master was
+        # silently OVERRIDDEN to local) > whatever the launcher
+        # configured (spark-submit signals itself via
+        # PYSPARK_SUBMIT_ARGS; setting builder.master() there would
+        # stomp --master) > local[N] for plain `python` invocations.
+        master = os.environ.get("SPARK_MASTER")
+        if master is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+            master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
     for k, v in {**SEMANTIC_CONF, **PERF_CONF, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # getOrCreate may have returned a pre-existing session (e.g. the
-    # driver's); re-assert the semantics-critical conf on it.
+    # driver's): builder config is IGNORED on attach, so re-assert the
+    # semantics-critical conf AND the caller's extra_conf on the live
+    # session (static confs that cannot change post-start are skipped
+    # with a stderr note rather than silently dropped).
     for k, v in SEMANTIC_CONF.items():
         spark.conf.set(k, v)
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf on a live session
+            import sys as _sys
+
+            print(
+                f"# get_spark: conf {k!r} is static and the session "
+                "already exists; value not applied",
+                file=_sys.stderr,
+            )
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
