@@ -498,7 +498,7 @@ def q153_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("orphans"))
     )
     lineitem_rows = _report(
-        la.crossJoin(orphans),
+        la.crossJoin(F.broadcast(orphans)),
         "lineitem",
         [("lineitem_qty_range", "bad_qty"), ("lineitem_fk_orders", "orphans")],
     )
@@ -758,7 +758,9 @@ def q155_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tris)
+    # 1-row aggregates: hint them broadcast per the file idiom (a poor
+    # size estimate must never degrade these scalar augments).
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_tris))
 
 
 Q155_ORACLE = """
@@ -1355,12 +1357,17 @@ def q164_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q164_ORACLE = f"""
+-- TRY_CAST mirrors Spark's try_variant_get(..., 'int') exactly: a k
+-- that is PRESENT but not an integer counts as null on BOTH sides
+-- (a bare extract-string null check would diverge, and an unguarded
+-- CAST would make the oracle RAISE on such a payload).
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                              AS INTEGER) IS NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
-       {round6_sql("avg(CAST(json_extract_string(props, '$.k') AS INTEGER))")}
+       {round6_sql("avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))")}
          AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY 1
 """
 
@@ -1425,7 +1432,17 @@ SELECT t.doc_id, CAST(r.i AS INTEGER) AS chunk_id,
        array_to_string(list_slice(t.toks, r.i * {_Q165_STRIDE} + 1,
                                   r.i * {_Q165_STRIDE} + {_Q165_SIZE}), ' ')
          AS chunk_text
-FROM t, range(0, 100000) r(i)
+-- Chunk index space bounded by the CORPUS MAXIMUM chunk count,
+-- data-derived via the SCALAR list form of range() over a 1-row
+-- aggregate (the table function only accepts constants) — so no
+-- document can ever be silently truncated the way a fixed literal
+-- cap could (the repo's no-silent-caps rule); the WHERE trims each
+-- doc to its own chunks.
+FROM t, (
+  SELECT unnest(range(0, m)) AS i
+  FROM (SELECT CAST(ceil(max(len(toks)) * 1.0 / {_Q165_STRIDE}) AS BIGINT)
+          AS m FROM t)
+) r
 WHERE r.i * {_Q165_STRIDE} < len(t.toks)
 """
 
@@ -2005,7 +2022,7 @@ def q174_pmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nab"))
     )
     out = (
-        pairs.crossJoin(total)
+        pairs.crossJoin(F.broadcast(total))
         .join(
             F.broadcast(pa.select(F.col("event_type").alias("ta"),
                                   F.col("na").alias("na_a"))), "ta"
@@ -2178,8 +2195,9 @@ def q176_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round one degree aggregate + two semi-joins — all
     edge-sized shuffles on node keys; the frontier never materializes
     driver-side."""
-    e = _copurchase_edges(spark, sf_dir)
-    edges = e.localCheckpoint(eager=True)
+    # _copurchase_edges already localCheckpoints eagerly — re-checkpointing
+    # would run one full extra job and store a second executor copy.
+    edges = _copurchase_edges(spark, sf_dir)
     rounds = []
     for _ in range(_Q176_ROUNDS):
         deg = (
@@ -2282,7 +2300,7 @@ def q177_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_chars", F.percent_rank().over(w).alias("pr")
     )
     idx = F.floor(F.col("pr") * 100).cast("int")
-    mapped = ranked.crossJoin(grid).select(
+    mapped = ranked.crossJoin(F.broadcast(grid)).select(
         "source",
         "n_chars",
         F.element_at(F.col("grid"), idx + 1).alias("norm"),
@@ -2375,8 +2393,12 @@ WITH raw AS (
          CASE WHEN json_valid(raw) THEN raw ELSE '{}' END AS raw
   FROM raw
 ), cls AS (
+  -- Route on INT-castability (TRY_CAST), mirroring Spark's
+  -- from_json("k INT").k IS NOT NULL: a present-but-non-integer k must
+  -- quarantine on BOTH sides.
   SELECT CASE WHEN ok_json
-                AND json_extract_string(raw, '$.k') IS NOT NULL
+                AND TRY_CAST(json_extract_string(raw, '$.k') AS INT)
+                      IS NOT NULL
               THEN 'ok' ELSE 'quarantine' END AS route,
          CASE WHEN ok_json
               THEN TRY_CAST(json_extract_string(raw, '$.k') AS INT) END AS k,

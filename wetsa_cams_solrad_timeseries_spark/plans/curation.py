@@ -269,9 +269,15 @@ def q104_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [F.col("tok")]
     for i in range(1, _Q104_N):
         parts += [F.lit(" "), F.lead("tok", i).over(w)]
-    sh = toks.select(
-        "doc_id", "source", F.concat(*parts).alias("sh")
-    ).filter(F.col("sh").isNotNull())
+    # sh feeds BOTH the eval-distinct side and the candidate side of the
+    # semi-join; localCheckpoint the (tokenize + per-doc window) subtree
+    # once so Catalyst does not re-derive the most expensive lineage for
+    # each consumer — the multi-consumer convention q155/q176 use.
+    sh = (
+        toks.select("doc_id", "source", F.concat(*parts).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
     eval_sh = sh.filter(is_eval).select("sh").distinct()
     cand = sh.filter(~is_eval)
