@@ -61,9 +61,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops)."""
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops).
+
+    Specs with a data-derived oracle (oracle_fn — q56's trained centroid
+    literals) resolve LAZILY here for the driver's gate SF, so importing
+    the plans package never pays the oracle-training cost."""
     from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
 
-    return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name, spec in QUERIES.items():
+        sql = spec.oracle
+        if sql is None and spec.oracle_fn is not None:
+            sql = spec.oracle_for("/root/testdata/sf0.01")
+        if sql is not None:
+            out[name] = sql
+    return out

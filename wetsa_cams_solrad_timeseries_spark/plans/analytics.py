@@ -1471,10 +1471,14 @@ def q146_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     joined = salted_join(ev, cu, "user_id", "c_custkey", n_salts=8)
+    # exact-decimal sum: salting deliberately REORDERS the partial sums
+    # (q83's documented reorder case), and at large SF the per-segment
+    # totals cross the magnitude where a double sum has no stable 6th
+    # decimal — round6 alone cannot stabilize that (plans/_spec.py).
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        round6(F.sum("value")).alias("sum_value"),
+        round6(exact_sum("value")).alias("sum_value"),
     )
 
 
@@ -1482,7 +1486,7 @@ Q146_ORACLE = f"""
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-       {round6_sql('sum(e.value)')} AS sum_value
+       {round6_sql(exact_sum_sql('e.value'))} AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """

@@ -278,7 +278,11 @@ def q62_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=2).persist()
+    # localCheckpoint, not persist: three consumers reuse sh, and a
+    # persist() here is never unpersisted (q72 re-invokes this fn and
+    # would pin a SECOND copy for the process lifetime); checkpointed
+    # blocks are released by the ContextCleaner once unreferenced.
+    sh = word_shingles(docs, "doc_id", "text", n=2).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh, "doc_id", n_perm=_N_PERM)
     cand = lsh_candidate_pairs(sigs, "doc_id", n_perm=_N_PERM, bands=_BANDS)
 

@@ -281,9 +281,13 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning argument as map-side combine, expressed as JVM array ops.
     Stage 2 flattens the surviving ≤ partitions·k rows per group and
     takes the global bottom-k. The stage-1 shuffle carries pruned
-    arrays (≤ k·8 bytes per group per partition); with an extreme
-    partition count an intermediate merge level on pid % 1024 bounds
-    the stage-2 fan-in. Exact twins are hash-checked in q11/q18."""
+    arrays (≤ k·8 bytes per group per partition); the stage-2 fan-in is
+    partitions·k per group — fine at any realistic layout (10k
+    partitions × 256 ≈ 2.5M longs/group); a deployment with an extreme
+    partition count would ADD an intermediate merge keyed on
+    (group, pid % 1024) — not implemented here because the harness
+    never approaches that regime. Exact twins are hash-checked in
+    q11/q18."""
     from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
 
     ev = table(spark, sf_dir, "events")
@@ -528,16 +532,19 @@ def q57_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+            # exact-decimal sum: region-level totals aggregate the whole
+            # fact table into ~35 groups — the magnitude regime where a
+            # double sum's 6th decimal is order-dependent (plans/_spec).
+            F.round(exact_sum("value") + F.lit(1e-9), 6).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
 
 
-Q57_ORACLE = """
+Q57_ORACLE = f"""
 SELECT r_name AS region_name, event_type,
        count(*) AS n_events,
-       round(sum(value) + 1e-9, 6) AS sum_value,
+       round({exact_sum_sql('value')} + 1e-9, 6) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 JOIN customer ON user_id = c_custkey

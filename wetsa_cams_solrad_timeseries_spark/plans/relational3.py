@@ -520,8 +520,14 @@ def q84_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     na = table(spark, sf_dir, "nation")
 
+    # INTERVAL arithmetic, not date_add: date_add silently TRUNCATES the
+    # timestamp to a date (midnight), so any non-midnight o_orderdate
+    # would flip the late flag for lineitems shipping inside the sub-day
+    # gap relative to the oracle's time-preserving `+ INTERVAL n DAY`.
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
-        "late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q84_LATE_DAYS)
+        "late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q84_LATE_DAYS} DAYS"),
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -585,8 +591,12 @@ def q85_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     o = table(spark, sf_dir, "orders")
 
+    # The threshold is rounded (round6 nudge convention) on BOTH sides:
+    # a raw double average is order-dependent across engines, and a
+    # 2-decimal balance landing exactly on it would flip the comparison
+    # in one engine only — the boundary-flake class _spec.py documents.
     avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        round6(F.avg("c_acctbal")).alias("__avg_bal")
     )
     big_orders = o.filter(F.col("o_totalprice") > _Q85_BIG_ORDER).select("o_custkey")
     return (
@@ -603,7 +613,8 @@ def q85_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q85_ORACLE = f"""
 WITH avg_bal AS (
-  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+  SELECT round(avg(c_acctbal) + 1e-9, 6) AS a
+  FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
        {round6_sql('sum(c_acctbal)')} AS totacctbal

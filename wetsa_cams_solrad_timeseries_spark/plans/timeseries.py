@@ -451,9 +451,11 @@ GROUP BY user_id, session_seq
 # q60 — as-of join with tolerance (pandas merge_asof(tolerance=...) parity)
 # --------------------------------------------------------------------------
 def q60_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q17's as-of join with an 8400-day tolerance (cutoff lands inside the order-date range, so some matches survive and some null out): matches older than a
-    year before the event are nulled (same single-shuffle carry-forward
-    plan plus one gated column — operators/joins.py)."""
+    """q17's as-of join with an 8400-day tolerance — the cutoff lands
+    inside the order-date range, so some matches survive and the ones
+    whose matched order is older than 8400 days before the event null
+    out (same single-shuffle carry-forward plan plus one gated column —
+    operators/joins.py)."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = (
         table(spark, sf_dir, "orders")
@@ -584,15 +586,24 @@ def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("purchase_ts")
     )
+    # CONDITIONAL min, not a row filter: a pre-aggregation filter would
+    # DROP a user whose purchases all precede the first signup (every
+    # joined row removed → no group row), while the oracle's
+    # FILTER-clause aggregate keeps them with converted=0. The when()
+    # inside min() keeps the group row and nulls the aggregate — the
+    # exact FILTER semantics.
     conv = (
         per_user.filter(F.col("first_signup").isNotNull())
         .join(purchases, on="user_id", how="left")
-        .filter(
-            F.col("purchase_ts").isNull()
-            | (F.col("purchase_ts") > F.col("first_signup"))
-        )
         .groupBy("user_id", "first_signup")
-        .agg(F.min("purchase_ts").alias("first_purchase_after"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("purchase_ts") > F.col("first_signup"),
+                    F.col("purchase_ts"),
+                )
+            ).alias("first_purchase_after")
+        )
     )
     return conv.select(
         "user_id",

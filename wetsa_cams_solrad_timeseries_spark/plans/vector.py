@@ -466,9 +466,12 @@ def q56_oracle_for(sf_dir: str) -> str | None:
     )
 
 
-# The driver's correctness gate runs at sf0.01 — the static oracle string
-# it receives is trained on that corpus.
-Q56_ORACLE = q56_oracle_for("/root/testdata/sf0.01")
+# LAZY: the q56 oracle embeds trained centroid literals, and building it
+# here would make EVERY import of the plans package pay a DuckDB parquet
+# read + a numpy k-means replay (and silently degrade to rows-only on a
+# machine without the corpus). __spark_entry__.oracle_sql resolves
+# oracle_fn specs at CALL time for the driver's gate SF instead.
+Q56_ORACLE = None
 
 
 # --------------------------------------------------------------------------
@@ -705,8 +708,11 @@ def q99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stream-stream join drained in {fed} micro-batch(es) — the "
             "cross-batch state buffering was not exercised"
         )
-    result = spark.table(name)
-    return spark.createDataFrame(result.collect(), schema=result.schema)
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        _detach_memory_table,
+    )
+
+    return _detach_memory_table(spark, name)
 
 
 Q99_ORACLE = """
