@@ -46,7 +46,63 @@ GLOBAL_WINDOW_OK = {
     "q141_adoption_curve",    # days
     # oracle-exact global orderings documented as verification-scale:
     "q52_scd2_intervals",
+    # calendar-bounded frames (rows = days in the orders date range,
+    # ~2.5k at any SF — the spine is generated from min/max bounds, not
+    # from the fact table, so it does NOT grow with corpus size):
+    "q184_calendar_spine",
+    # k-bounded rank-of-survivors: the window consumes the output of an
+    # orderBy().limit(k) (TakeOrderedAndProject — per-partition top-k +
+    # k-row merge), so its input is ≤ k rows (10/20/25) regardless of
+    # corpus size. The round-7 structural detector surfaced these three;
+    # the old adjacency scan had never seen them because the limit node
+    # sits between the Window and its exchange:
+    "q21_shipping_priority",   # top-10 revenue orders
+    "q65_returned_items",      # top-20 lost-revenue customers
+    "q88_bigram_topk",         # top-25 bigrams
 }
+
+
+def _has_global_window(plan: str) -> bool:
+    """True iff the plan contains a Window node with NO partition spec.
+
+    Structural, not proximity-based: the printed ``Window`` node carries
+    its specs as top-level bracket groups after the expression list —
+    ``Window [exprs], [partCols], [orderCols]`` when partitioned versus
+    ``Window [exprs], [orderCols]`` (or ``Window [exprs]``, unordered)
+    when global. A trailing group is an ORDER spec iff its entries carry
+    the ``ASC/DESC NULLS`` markers; a 2-group node whose second group is
+    an order spec therefore has an empty partition spec. This replaces
+    the old 4-line ``Exchange SinglePartition`` adjacency scan, which
+    false-negatived whenever >4 lines of Project/Generate chrome sat
+    between the Window and its exchange (VERDICT r6 #1, q184)."""
+    order_marker = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\b")
+    for raw in plan.splitlines():
+        # Strip tree chrome: "+- ", ":- ", ":  ", "*(3) " prefixes.
+        node = re.sub(r"^[\s:+\-*()0-9]*", "", raw)
+        if not node.startswith("Window "):
+            continue
+        # Split the remainder into depth-0 bracket groups ([] at the top
+        # level; () and [] inside expressions are tracked so markers like
+        # arr#1[0] or windowspecdefinition(...) never fool the split).
+        groups: list[str] = []
+        depth = 0
+        start = -1
+        for i, ch in enumerate(node):
+            if ch in "([":
+                if depth == 0 and ch == "[":
+                    start = i
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0 and start >= 0:
+                    groups.append(node[start + 1 : i])
+                    start = -1
+        if len(groups) >= 3:
+            continue  # [exprs], [part], [order] — partitioned
+        if len(groups) == 2 and not order_marker.search(groups[1]):
+            continue  # [exprs], [part] — partitioned, unordered
+        return True  # [exprs], [order] or bare [exprs]: no partition
+    return False
 
 # BroadcastNestedLoopJoin classification: the engine's ONLY sanctioned
 # BNLJ is the scalar-augment pattern — crossJoin(broadcast(<1-row agg>)),
@@ -82,35 +138,7 @@ def main() -> int:
             report[name] = {"error": str(ex)[:200]}
             violations.append(f"{name}: plan build failed: {ex}")
             continue
-        # Single-partition window detection, LINE-based: in the printed
-        # physical tree a Window node consuming an `Exchange
-        # SinglePartition` child sits a few lines ABOVE it (with only
-        # Sort / codegen chrome in between). Character-proximity regexes
-        # false-negative the moment a Window's expression list exceeds
-        # the proximity budget — one long line defeats them; line
-        # adjacency is length-independent.
-        lines = plan.splitlines()
-        single_part_window = False
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            for back in range(1, 5):
-                if i - back < 0:
-                    break
-                up = lines[i - back]
-                if "Window" in up:
-                    single_part_window = True
-                    break
-                # Only sort/codegen chrome may sit between a Window and
-                # its exchange; anything else means this exchange feeds
-                # a different operator.
-                if not any(
-                    t in up
-                    for t in ("Sort", "WholeStageCodegen", "InputAdapter", "*(")
-                ):
-                    break
-            if single_part_window:
-                break
+        single_part_window = _has_global_window(plan)
         bnlj_types = [m.group(2) for m in _BNLJ_ANY.finditer(plan)]
         bnlj_noncross = [t for t in bnlj_types if t != "Cross"]
         metrics = {

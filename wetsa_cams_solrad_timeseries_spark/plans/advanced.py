@@ -2801,12 +2801,16 @@ def q184_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as _W
 
+    # localCheckpoint: the indexed spine feeds BOTH broadcast sides;
+    # without it each side re-executes bounds→sequence→window (2× the
+    # spine lineage, ~4 extra exchanges). Eager + ~2.5k rows → trivial
+    # cost, same GC-managed pattern as q161/q176's iteration state.
     cal_idx = cal.select(
         "day",
         F.sum("is_bus")
         .over(_W.orderBy("day").rowsBetween(_W.unboundedPreceding, 0))
         .alias("bidx"),
-    )
+    ).localCheckpoint(eager=True)
     c1 = cal_idx.select(F.col("day").alias("order_d"), F.col("bidx").alias("i0"))
     c2 = cal_idx.select(F.col("day").alias("first_ship"), F.col("bidx").alias("i1"))
     lat = (

@@ -45,36 +45,33 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 6 changed kernels/oracles — these need fresh driver rows:
-    # q126 flattened its array<double> output to q93's (pos, val)
-    # convention (the round-5 red row — driver canonicalizer cannot hash
-    # list cells); q50's bounded-k selection moved from mapInPandas to
-    # the JVM per-(group, spark_partition_id()) slice/sort_array partial
-    # agg (round-5 perf regression fix); q148's band bucket widened to
-    # 2*eps (FP-boundary robustness); q154's applyInPandas schema now
-    # derives the key type; q158's nearest_join carries one struct per
-    # direction (payload/ts row-mixing fix); q163's replay source made
-    # latestOffset idempotent between commits.
-    "q126_feature_assembly",
-    "q50_approx_sketches",
-    # Budget math: q126/q148/q154/q158/q163 are already in the
-    # never-driver-checked tier-1 set, so pinning them costs nothing —
-    # only q50 displaces one rotation slot. 2 explicit pins + 47
-    # never-checked (q132–q178, incl. the four touched above, which
-    # tier-1 front-loads regardless) ≈ 49 of the ~50-row budget, so the
-    # entire never-checked set closes this round. The round-5 pins all
-    # got green r5 rows and rotate normally now.
-    #
-    # NOT pinned despite round-6 review-pass touches (closing the 47-gap
-    # outranks re-rows for result-neutral changes): q39/q56 (ANN query-
-    # side broadcast narrowed to the predicate subset + a redundant
-    # distinct dropped — plan-only, results identical), q31–q35/q62/q64
-    # (shared tokenization module + pre-shuffle projection — expression-
-    # identical by construction), q41 (NULL-payload per-row isolation),
-    # q154/q187/q190 (fold partition count now from Catalyst's size
-    # estimate instead of an extra count() job), q17/q60/q158 (input-
-    # name guards only). All 21 affected queries were re-verified green
-    # against DuckDB at sf0.01 in-session after the changes.
+    # Round 7: the 11 round-6 additions are the only declared queries
+    # with no driver-authoritative CORRECTNESS row in any round (they
+    # have judge-run green verification only — VERDICT r6 item 1).
+    # Tier-1 auto-fronting would order them here anyway; the explicit
+    # pin makes the guarantee independent of which CORRECTNESS_r*.json
+    # files exist when the driver imports this module.
+    "q180_pit_feature_join",
+    "q181_dynamic_pivot",
+    "q182_stratified_split",
+    "q183_stream_dedup_watermark",
+    "q184_calendar_spine",
+    "q185_zorder_pruned_scan",
+    "q186_keyed_offset_stream",
+    "q187_sequence_packing",
+    "q188_negative_sampling",
+    "q189_unpivot_melt",
+    "q190_holt_smoothing",
+    # Round-7 new queries (never checked — tier-1 fronts them too, the
+    # pin just fixes their position in the budget):
+    "q191_quantile_sketch_merge",
+    "q192_pagerank_converged",
+    "q193_incremental_dedup",
+    "q194_hybrid_retrieval",
+    # Round-7 touched kernels needing fresh rows are appended here as
+    # they change. q126/q50 (round-6 pins) got green r6 rows and rotate
+    # normally now. Budget math: 15 pins + ~35 stalest tier-2 rows fit
+    # the ~50-row budget; every other query's latest row is r5/r6 green.
 )
 
 
