@@ -284,6 +284,36 @@ def minhash_signatures(
     return shingle_df.groupBy(id_col).agg(*salted)
 
 
+def lsh_band_rows(
+    sig_df: DataFrame,
+    id_col: str,
+    n_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) rows of the LSH banding — the persistable form
+    of the index (q193 writes these bucketed on ``bucket`` as the
+    cross-run dedup state table). The band id is hashed INTO the bucket
+    digest, so ``bucket`` alone is a complete join key: probing on the
+    single column lets a bucketed layout satisfy the join's distribution
+    requirement with zero history-side shuffle."""
+    if n_perm % bands != 0:
+        raise ValueError(
+            f"n_perm={n_perm} must divide evenly into bands={bands}; "
+            "trailing permutations would silently drop from the banding"
+        )
+    rows_per_band = n_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
+        digest = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), digest.alias("bucket"))
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, "__b.band", "__b.bucket")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -298,22 +328,7 @@ def lsh_candidate_pairs(
     bucket self-join is the only shuffle and its keys are uniform unless
     the corpus has boilerplate — AQE skew-join covers that.
     """
-    if n_perm % bands != 0:
-        raise ValueError(
-            f"n_perm={n_perm} must divide evenly into bands={bands}; "
-            "trailing permutations would silently drop from the banding"
-        )
-    rows_per_band = n_perm // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
-        digest = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), digest.alias("bucket"))
-        )
-    banded = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
-    ).select(id_col, "__b.band", "__b.bucket")
+    banded = lsh_band_rows(sig_df, id_col, n_perm=n_perm, bands=bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
