@@ -59,6 +59,10 @@ GLOBAL_WINDOW_OK = {
     "q21_shipping_priority",   # top-10 revenue orders
     "q65_returned_items",      # top-20 lost-revenue customers
     "q88_bigram_topk",         # top-25 bigrams
+    # grid-bounded digest frames: the window input is one row per
+    # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
+    # l_extendedprice / 1024), corpus-size independent:
+    "q191_quantile_sketch_merge",
 }
 
 

@@ -3393,6 +3393,156 @@ JOIN (SELECT event_type, max(rn) AS m FROM rec GROUP BY 1) last
 """
 
 
+# --------------------------------------------------------------------------
+# q191 — mergeable quantile sketch (fixed-centroid digest, q92 for quantiles)
+# --------------------------------------------------------------------------
+
+# Fixed centroid grid: bin = floor(price / 1024). The grid is a LITERAL
+# (q56's literalized-centroids precedent), so per-shard summaries are
+# deterministic regardless of partitioning and the DuckDB oracle can
+# replay the identical sketch. l_extendedprice spans ~[900, 105000] →
+# ≤ ~103 occupied bins at any SF.
+_Q191_BIN_W = 1024.0
+_Q191_LEVELS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q191_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-quantile sketch — the q92 (KMV merge)
+    pattern applied to quantiles, i.e. the operator SCALING.md promises
+    as q18's 100 TB replacement. Per shard (ship YEAR — stand-in for
+    "per ingest batch / executor"), build a bounded fixed-centroid
+    digest of l_extendedprice: for each grid bin, (weight = row count,
+    s = EXACT-decimal value sum). Digests then merge LOSSLESSLY into
+    the global digest by summing per-bin weights and sums — decimal
+    addition is associative-exact, so merge(shards) ≡ sketch(union)
+    bit-for-bit (tests/test_quantile_sketch.py proves it). Quantile
+    read-off: first bin whose cumulative weight reaches q·N, estimate =
+    that bin's centroid mean s/w. Engine-native sketches
+    (percentile_approx / DuckDB approx_quantile) are unverifiable
+    cross-engine by design (q50's reasoning), so the digest is built
+    from portable expressions and the output carries the EXACT
+    percentile alongside (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the q18 pairing) — each row shows
+    estimate-vs-truth in one look.
+
+    Scale shape: one map-side-combinable groupBy(shard, bin) over the
+    scan (the only data-sized stage), then all downstream work is on
+    ≤ shards·bins rows. The cumulative-weight window is partition-less
+    but GRID-bounded (≤ ~103 rows by the literal bin width, corpus-size
+    independent) — allow-listed in tools/plan_report.py. The exact
+    percentile runs at verification scale only; at 100 TB the digest IS
+    the answer and that column is dropped."""
+    li = table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.year("l_shipdate").alias("shard"),
+        F.floor(F.col("l_extendedprice") / F.lit(_Q191_BIN_W))
+        .cast("int")
+        .alias("bin"),
+        "l_extendedprice",
+    )
+    # Per-shard digest rows. NOTE: decimal sum kept AS DECIMAL (not
+    # _spec.exact_sum, which casts double) — the merge level must add
+    # decimals to stay associative-exact.
+    digests = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("s"),
+    )
+    merged = digests.groupBy("bin").agg(
+        F.sum("w").alias("mw"), F.sum("s").alias("ms")
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin",
+        "mw",
+        "ms",
+        F.sum("mw").over(wspec).alias("cumw"),
+        F.sum("mw").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    levels = F.array(*[F.lit(q) for q in _Q191_LEVELS])
+    picked = (
+        cum.select(F.explode(levels).alias("qlevel"), "bin", "mw", "ms", "cumw", "n")
+        .filter(F.col("cumw") >= F.col("qlevel") * F.col("n"))
+        .groupBy("qlevel")
+        .agg(F.min(F.struct("bin", "mw", "ms")).alias("p"))
+        .select(
+            "qlevel",
+            F.col("p.bin").alias("bin"),
+            round6(F.col("p.ms").cast("double") / F.col("p.mw")).alias(
+                "est_sketch"
+            ),
+        )
+    )
+    exact = li.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {q})") + F.lit(1e-9), 6
+            ).alias(f"e{i}")
+            for i, q in enumerate(_Q191_LEVELS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_Q191_LEVELS)
+    )
+    exact_long = exact.select(
+        F.expr(
+            f"stack({len(_Q191_LEVELS)}, {stack_args}) AS (qlevel, exact_pct)"
+        )
+    )
+    return picked.join(maybe_broadcast(exact_long), on="qlevel")
+
+
+_Q191_LEVELS_SQL = ", ".join(f"CAST({q} AS DOUBLE)" for q in _Q191_LEVELS)
+_Q191_EXACT_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS qlevel, "
+    f"{round6_sql(f'quantile_cont(l_extendedprice, {q})')} AS exact_pct "
+    "FROM lineitem"
+    for q in _Q191_LEVELS
+)
+
+Q191_ORACLE = f"""
+WITH binned AS (
+  SELECT year(l_shipdate) AS shard,
+         CAST(floor(l_extendedprice / {_Q191_BIN_W}) AS INTEGER) AS bin,
+         l_extendedprice
+  FROM lineitem
+),
+digests AS (
+  SELECT shard, bin, count(*) AS w,
+         sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS s
+  FROM binned GROUP BY 1, 2
+),
+merged AS (
+  SELECT bin, CAST(sum(w) AS BIGINT) AS mw, sum(s) AS ms
+  FROM digests GROUP BY 1
+),
+cum AS (
+  SELECT bin, mw, ms,
+         CAST(sum(mw) OVER (ORDER BY bin) AS BIGINT) AS cumw,
+         CAST(sum(mw) OVER () AS BIGINT) AS n
+  FROM merged
+),
+levels AS (SELECT unnest([{_Q191_LEVELS_SQL}]) AS qlevel),
+picked AS (
+  SELECT qlevel, min(bin) AS bin
+  FROM levels JOIN cum ON cumw >= qlevel * n
+  GROUP BY 1
+),
+ex AS ({_Q191_EXACT_SQL})
+SELECT p.qlevel, p.bin,
+       {round6_sql('CAST(m.ms AS DOUBLE) / m.mw')} AS est_sketch,
+       ex.exact_pct
+FROM picked p
+JOIN merged m ON m.bin = p.bin
+JOIN ex ON ex.qlevel = p.qlevel
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -3485,5 +3635,8 @@ SPECS = make_specs(
          "wide-to-long unpivot (single Expand, no multi-scan)"),
         ("q190_holt_smoothing", q190_holt_smoothing, Q190_ORACLE, (),
          "Holt double-exponential smoothing + 1-step forecast"),
+        ("q191_quantile_sketch_merge", q191_quantile_sketch_merge,
+         Q191_ORACLE, (),
+         "mergeable fixed-centroid quantile digest (lossless merge)"),
     ]
 )
