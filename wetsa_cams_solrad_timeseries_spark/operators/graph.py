@@ -128,3 +128,79 @@ def connected_components(
         return labels.select("node", "comp").localCheckpoint(eager=True)
     finally:
         spark.conf.set(conf_key, old_parts)
+
+
+def pagerank(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    damping: float = 0.85,
+    base: float = 0.15,
+    eps: float = 1.5e-6,
+    max_iters: int = 8,
+    resync=None,
+) -> tuple[DataFrame, int]:
+    """Power-method PageRank over an UNDIRECTED edge list, looped to
+    CONVERGENCE: iterate until the 1-row aggregate ``max|Δr|`` drops
+    below ``eps`` or ``max_iters`` is hit; returns ``(ranks, n_iters)``
+    with ranks = (node, r). The driver-side loop pattern every iterative
+    operator here shares: per round ONE edge-sized contribution shuffle
+    + one node-sized aggregate, lineage truncated per round via
+    localCheckpoint, and the only thing ever collected is the scalar
+    delta — rank state itself never leaves the executors.
+
+    ``resync`` (e.g. plans/_spec.round6) is applied to each round's
+    contribution sum and new rank so two engines iterating in lockstep
+    re-synchronize every round instead of compounding summation-order
+    ULP drift — the q161 convention; pass None for engine-local use.
+
+    The fixed-iteration form (q161) exists for oracle expressibility;
+    this is the production form: on a fast-converging graph it stops
+    early (tests/test_graph_convergence.py), on a slow one the cap
+    bounds the cost. Scale: identical per-round plan to GraphX/Pregel —
+    convergence adds one 1-row collect per round, nothing else."""
+    ident = resync if resync is not None else (lambda c: c)
+    b = edges.select(
+        F.col(u_col).alias("src"), F.col(v_col).alias("dst")
+    ).unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+    deg = (
+        b.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    bd = b.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    ).localCheckpoint(eager=True)
+    n_iters = 0
+    for i in range(1, max_iters + 1):
+        contrib = (
+            bd.join(ranks, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(ident(F.sum(F.col("r") / F.col("outdeg"))).alias("s"))
+        )
+        new_ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                ident(
+                    F.lit(base / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta_row = (
+            new_ranks.alias("a")
+            .join(ranks.alias("o"), on="node")
+            .agg(F.max(F.abs(F.col("a.r") - F.col("o.r"))).alias("d"))
+            .collect()
+        )
+        ranks = new_ranks
+        n_iters = i
+        delta = delta_row[0]["d"]
+        if delta is not None and delta < eps:
+            break
+    return ranks, n_iters
