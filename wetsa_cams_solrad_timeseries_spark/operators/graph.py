@@ -169,6 +169,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = deg.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list — no nodes to rank")
     bd = b.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")

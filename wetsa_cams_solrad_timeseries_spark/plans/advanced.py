@@ -3552,6 +3552,132 @@ JOIN ex ON ex.qlevel = p.qlevel
 """
 
 
+# --------------------------------------------------------------------------
+# q192 — PageRank looped to CONVERGENCE (early-stop iterative operator)
+# --------------------------------------------------------------------------
+
+# eps sits just above the round6 grid quantum: per-round resync rounds
+# ranks to the 1e-6 grid, so once true movement drops under ~5e-7 nodes
+# only toggle by one grid step and max|Δr| plateaus at exactly 1e-6
+# (measured: deltas 3.4e-4 → 2.3e-5 → 3e-6 → 1e-6 → 1e-6… at sf0.01).
+# 1.5e-6 therefore means "converged to the resolution the cross-engine
+# contract can even express", and the loop stops at round ~4 of the cap.
+_Q192_EPS = 1.5e-6
+_Q192_CAP = 6
+_Q192_TOPK = 20
+
+
+def q192_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank looped to CONVERGENCE over the part co-purchase graph —
+    the production form of q161's fixed-iteration power method: iterate
+    until the 1-row aggregate max|Δr| drops below eps or the cap hits,
+    and report the stop round (``n_iters``) with the final top-20 ranks.
+    The convergence-loop operator class itself is what's under test:
+    every iterative operator here (q72 components, q176 k-core, q161)
+    claims "loop until done" semantics; this query is the one whose
+    driver-checked oracle PROVES the early-stop predicate, because the
+    oracle replays the identical stopping rule (unrolled-to-cap CTEs
+    with per-round deltas, fixed-point selection of the first round
+    whose delta clears eps — q161's resync pairing extended with the
+    delta recurrence). tests/test_graph_convergence.py locks the two
+    loop behaviors (early stop on a fast-converging graph, cap bind on
+    a slow one) engine-side.
+
+    Cross-engine determinism: every round's contribution sum and new
+    rank pass through round6 on BOTH engines (q161's convention), so
+    per-round ranks are bit-identical, hence per-round deltas are
+    bit-identical, hence both engines stop at the SAME round.
+
+    Scale shape: per round ONE edge-sized shuffle + one node-sized
+    aggregate + one 1-row delta collect (operators/graph.py:pagerank);
+    rank state never leaves the executors, lineage truncated per round.
+    Convergence looping is strictly cheaper than a fixed cap at 100 TB:
+    the loop runs 4 rounds where the cap would run 6."""
+    from wetsa_cams_solrad_timeseries_spark.operators.graph import pagerank
+
+    e = _copurchase_edges(spark, sf_dir)
+    ranks, n_iters = pagerank(
+        e,
+        u_col="u",
+        v_col="v",
+        damping=_Q161_D,
+        base=_Q161_BASE,
+        eps=_Q192_EPS,
+        max_iters=_Q192_CAP,
+        resync=round6,
+    )
+    return (
+        ranks.select(
+            "node",
+            F.col("r").alias("pr"),
+            F.lit(int(n_iters)).cast("long").alias("n_iters"),
+        )
+        .orderBy(F.desc("pr"), "node")
+        .limit(_Q192_TOPK)
+    )
+
+
+def _q192_iteration_sql() -> str:
+    """Unrolled-to-cap rounds r1..r_cap plus per-round delta CTEs d1..d_cap
+    (max|Δr| vs the previous round) — q161's iteration fragment extended
+    with the delta recurrence the convergence predicate needs."""
+    base = f"(CAST({_Q161_BASE} AS DOUBLE) / (SELECT c FROM n))"
+    sql = ""
+    for i in range(1, _Q192_CAP + 1):
+        prev = f"r{i - 1}"
+        contrib = round6_sql(f"sum({prev}.r / deg.outdeg)")
+        newr = round6_sql(
+            f"{base} + CAST({_Q161_D} AS DOUBLE) * coalesce(c{i}.s, 0)"
+        )
+        sql += f""", c{i} AS (
+  SELECT b.dst, {contrib} AS s
+  FROM b JOIN {prev} ON b.src = {prev}.node
+         JOIN deg ON b.src = deg.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT deg.src AS node, {newr} AS r
+  FROM deg LEFT JOIN c{i} ON deg.src = c{i}.dst
+), d{i} AS (
+  SELECT max(abs(a.r - o.r)) AS d
+  FROM r{i} a JOIN {prev} o ON a.node = o.node
+)"""
+    return sql
+
+
+_Q192_DALL = " UNION ALL ".join(
+    f"SELECT {i} AS i, d FROM d{i}" for i in range(1, _Q192_CAP + 1)
+)
+_Q192_ALLR = " UNION ALL ".join(
+    f"SELECT {i} AS i, node, r FROM r{i}" for i in range(1, _Q192_CAP + 1)
+)
+
+Q192_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), b AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL SELECT v AS src, u AS dst FROM e
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM b GROUP BY 1
+), n AS (
+  SELECT count(*) AS c FROM deg
+), r0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS r FROM deg
+){_q192_iteration_sql()},
+dall AS ({_Q192_DALL}),
+stop AS (
+  SELECT coalesce(min(i), {_Q192_CAP}) AS it
+  FROM dall WHERE d < CAST({_Q192_EPS} AS DOUBLE)
+),
+allr AS ({_Q192_ALLR})
+SELECT a.node, a.r AS pr, CAST(s.it AS BIGINT) AS n_iters
+FROM allr a JOIN stop s ON a.i = s.it
+ORDER BY pr DESC, node ASC LIMIT {_Q192_TOPK}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -3647,5 +3773,7 @@ SPECS = make_specs(
         ("q191_quantile_sketch_merge", q191_quantile_sketch_merge,
          Q191_ORACLE, (),
          "mergeable fixed-centroid quantile digest (lossless merge)"),
+        ("q192_pagerank_converged", q192_pagerank_converged, Q192_ORACLE, (),
+         "PageRank looped to convergence (early-stop proof)"),
     ]
 )
