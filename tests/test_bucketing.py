@@ -40,6 +40,58 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
 
 
+def test_incremental_dedup_history_side_no_shuffle(spark, sf_dir):
+    # q193's scale property: probing a NEW shard's LSH band rows against
+    # the persisted history index (bucketed on `bucket`) shuffles ONLY
+    # the probe side — the history side's bucketed layout already
+    # satisfies the join distribution, so the plan contains exactly one
+    # Exchange and it sits above the probe scan, never the index scan.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+
+    def band_rows(part):
+        sh = word_shingles(part, "doc_id", "text", n=2)
+        return lsh_band_rows(
+            minhash_signatures(sh, "doc_id", n_perm=16),
+            "doc_id", n_perm=16, bands=4,
+        )
+
+    write_bucketed(
+        band_rows(docs.filter(~is_new)), "t_lsh_hist_b", "bucket",
+        n_buckets=8, sort_col="bucket",
+    )
+    # localCheckpoint cuts the probe pipeline's own lineage so the
+    # inspected plan is just the join — the property under test.
+    probe = band_rows(docs.filter(is_new)).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.hint("merge").join(spark.table("t_lsh_hist_b"), on="bucket")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, plan  # probe side only
+        # and the single Exchange is not above the index scan: the scan
+        # line for the bucketed table must not have an Exchange between
+        # it and the join (tree lines for its branch are Exchange-free).
+        tree = plan.split("(1) ")[0]
+        hist_branch = [
+            l for l in tree.splitlines() if "t_lsh_hist_b" in l
+        ]
+        assert hist_branch and all("Exchange" not in l for l in hist_branch)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_lsh_hist_b")
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"

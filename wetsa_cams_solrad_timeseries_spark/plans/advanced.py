@@ -3553,6 +3553,185 @@ JOIN ex ON ex.qlevel = p.qlevel
 
 
 # --------------------------------------------------------------------------
+# q193 — incremental (cross-run) dedup against a persisted LSH index
+# --------------------------------------------------------------------------
+
+_Q193_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q193_PERM, _Q193_BANDS, _Q193_BUCKETS = 16, 4, 16
+
+
+def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production LLM-ingestion form of
+    q33/q62: a NEW shard (doc_id % 10 == 7, the day's crawl) is deduped
+    against an ALREADY-INDEXED history corpus without ever re-shuffling
+    the history. The history's LSH band rows (operators/dedup.py:
+    lsh_band_rows — (doc_id, band, bucket) with the band id hashed INTO
+    the bucket digest, so ``bucket`` alone is a complete join key) are
+    persisted ONCE as a managed table bucketed on ``bucket``
+    (sinks/bucketed.py); each incremental run then MinHashes only the
+    new shard and probes the index with a join in which the history
+    side's bucketed layout already satisfies the join distribution —
+    the only Exchange in the plan is the (tiny) probe side
+    (tests/test_bucketing.py::test_incremental_dedup_history_side_no_shuffle
+    locks that). Candidates are verified with exact Jaccard computed
+    ONLY on candidate pairs (q62's verify stage).
+
+    Oracle: the equivalent BATCH computation — band rows over the full
+    corpus, split by the same predicate, joined on bucket, verified on
+    shingles — because incremental-vs-batch equivalence is exactly the
+    property a cross-run index must hold.
+
+    Scale shape: per ingest run, work is proportional to the NEW shard
+    (shingle → signature → band rows → bucket-join probe); history cost
+    is a bucketed-scan read of matching buckets only, paid shuffle-free
+    forever after the one write. At 100 TB the index table is also the
+    APPEND target: today's band rows insert into the same bucketed
+    layout, so tomorrow's probe sees them with no reorganization."""
+    import os
+
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    hist_sh = word_shingles(
+        docs.filter(~is_new), "doc_id", "text", n=2
+    ).localCheckpoint(eager=True)
+    new_sh = word_shingles(
+        docs.filter(is_new), "doc_id", "text", n=2
+    ).localCheckpoint(eager=True)
+
+    hist_band = lsh_band_rows(
+        minhash_signatures(hist_sh, "doc_id", n_perm=_Q193_PERM),
+        "doc_id",
+        n_perm=_Q193_PERM,
+        bands=_Q193_BANDS,
+    )
+    # Persist the index bucketed on the probe key (q81's artifact
+    # lifecycle: process-unique token, orphan sweep, atexit removal).
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    tname = f"wetsa_lshidx_{tag}_{_Q193_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_artifact_dir,
+        )
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        claim_artifact_dir(
+            os.path.join(wh, f"wetsa_lshidx_{tag}_*"),
+            _Q193_TOKEN,
+            os.path.join(wh, tname),
+        )
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(tname):
+            write_bucketed(
+                hist_band, tname, "bucket", n_buckets=_Q193_BUCKETS,
+                sort_col="bucket",
+            )
+        hist_idx = spark.table(tname)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frame
+        hist_idx = hist_band
+
+    probe = lsh_band_rows(
+        minhash_signatures(new_sh, "doc_id", n_perm=_Q193_PERM),
+        "doc_id",
+        n_perm=_Q193_PERM,
+        bands=_Q193_BANDS,
+    )
+    cand = (
+        probe.select(F.col("doc_id").alias("new_id"), "bucket")
+        .join(hist_idx.select(F.col("doc_id").alias("hist_id"), "bucket"),
+              on="bucket")
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    # Exact Jaccard verify on candidates only (q62's stage): candidate
+    # pairs sharing a band bucket can still share zero shingles (a
+    # minhash coincidence), so the common-count join is LEFT and nulls
+    # count as 0.
+    a = new_sh.select(F.col("doc_id").alias("new_id"),
+                      F.col("shingle_hash").alias("h"))
+    bsh = hist_sh.select(F.col("doc_id").alias("hist_id"),
+                         F.col("shingle_hash").alias("h"))
+    common = (
+        cand.join(a, on="new_id")
+        .join(bsh, on=["hist_id", "h"])
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_new = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sz_hist = hist_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_hist"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        cand.join(common, on=["new_id", "hist_id"], how="left")
+        .join(sz_new.withColumnRenamed("doc_id", "new_id"), on="new_id")
+        .join(sz_hist.withColumnRenamed("doc_id", "hist_id"), on="hist_id")
+        .select(
+            "new_id",
+            "hist_id",
+            round6(
+                nc / (F.col("sz_new") + F.col("sz_hist") - nc)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _q193_oracle() -> str:
+    # Batch-equivalence oracle over the same fragments q33 uses (shared
+    # shingle/minhash/banding SQL so the index and the oracle can never
+    # drift apart).
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BAND_LIST,
+        _MINHASH_COLS,
+        _SHINGLES_SQL,
+    )
+
+    return f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM banded n JOIN banded h ON n.bucket = h.bucket
+  WHERE n.doc_id % 10 = 7 AND h.doc_id % 10 <> 7
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT c.new_id, c.hist_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.hist_id AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.hist_id,
+       round(coalesce(co.n_common, 0) * 1.0
+             / (sn.sz + sh2.sz - coalesce(co.n_common, 0)) + 1e-9, 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN co ON co.new_id = c.new_id AND co.hist_id = c.hist_id
+JOIN sizes sn ON sn.doc_id = c.new_id
+JOIN sizes sh2 ON sh2.doc_id = c.hist_id
+"""
+
+
+Q193_ORACLE = _q193_oracle()
+
+
+# --------------------------------------------------------------------------
 # q192 — PageRank looped to CONVERGENCE (early-stop iterative operator)
 # --------------------------------------------------------------------------
 
@@ -3775,5 +3954,7 @@ SPECS = make_specs(
          "mergeable fixed-centroid quantile digest (lossless merge)"),
         ("q192_pagerank_converged", q192_pagerank_converged, Q192_ORACLE, (),
          "PageRank looped to convergence (early-stop proof)"),
+        ("q193_incremental_dedup", q193_incremental_dedup, Q193_ORACLE, (),
+         "incremental dedup vs persisted bucketed LSH index"),
     ]
 )
