@@ -39,6 +39,24 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     df.limit(5).collect()  # executes the plan
 
 
+def test_pins_name_declared_queries():
+    """Every _PIN_FIRST entry must be a declared query. _collect() now
+    raises at import on an unknown pin (a silent no-op pin is how round 7
+    shipped q192-q194 with no driver correctness row); this test keeps
+    the invariant visible and guards the assert itself from deletion."""
+    from wetsa_cams_solrad_timeseries_spark.plans import registry
+
+    assert set(registry._PIN_FIRST) <= set(QUERIES)
+    # And the enforcement is live: a fabricated unknown pin must raise.
+    real = registry._PIN_FIRST
+    registry._PIN_FIRST = real + ("q999_not_a_query",)
+    try:
+        with pytest.raises(AssertionError, match="q999_not_a_query"):
+            registry._collect()
+    finally:
+        registry._PIN_FIRST = real
+
+
 def test_worker_imports_survive_foreign_cwd():
     """Regression for the cwd trap: a driver process launched OUTSIDE the
     repo must still run worker-side kernels (cloudpickle references the

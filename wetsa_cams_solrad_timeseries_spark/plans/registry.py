@@ -45,33 +45,16 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 7: the 11 round-6 additions are the only declared queries
-    # with no driver-authoritative CORRECTNESS row in any round (they
-    # have judge-run green verification only — VERDICT r6 item 1).
-    # Tier-1 auto-fronting would order them here anyway; the explicit
-    # pin makes the guarantee independent of which CORRECTNESS_r*.json
-    # files exist when the driver imports this module.
-    "q180_pit_feature_join",
-    "q181_dynamic_pivot",
-    "q182_stratified_split",
-    "q183_stream_dedup_watermark",
-    "q184_calendar_spine",
-    "q185_zorder_pruned_scan",
-    "q186_keyed_offset_stream",
-    "q187_sequence_packing",
-    "q188_negative_sampling",
-    "q189_unpivot_melt",
-    "q190_holt_smoothing",
-    # Round-7 new queries (never checked — tier-1 fronts them too, the
-    # pin just fixes their position in the budget):
-    "q191_quantile_sketch_merge",
+    # Round 8: the three new queries (never driver-checked — tier-1
+    # fronts them too, the pin just fixes their budget position) plus
+    # q191, whose exact-percentile sidecar was rewritten this round and
+    # needs a fresh authoritative row on the new kernel.
     "q192_pagerank_converged",
     "q193_incremental_dedup",
     "q194_hybrid_retrieval",
-    # Round-7 touched kernels needing fresh rows are appended here as
-    # they change. q126/q50 (round-6 pins) got green r6 rows and rotate
-    # normally now. Budget math: 15 pins + ~35 stalest tier-2 rows fit
-    # the ~50-row budget; every other query's latest row is r5/r6 green.
+    "q191_quantile_sketch_merge",
+    # Budget math: 4 pins + ~46 stalest tier-2 rows fit the ~50-row
+    # budget; every other query's latest row is r5/r6/r7 green.
 )
 
 
@@ -128,7 +111,17 @@ def _collect() -> dict[str, QuerySpec]:
     ):
         merged.update(mod.SPECS)
     ever, latest = _coverage_sets()
-    ordered = [name for name in _PIN_FIRST if name in merged]
+    # Pins must name DECLARED queries. A pin that silently no-ops is how
+    # a query ships with no driver-authoritative correctness row (round
+    # 7 pinned q192-q194 before they existed; the 'in merged' filter hid
+    # it) — fail at import instead.
+    unknown = [name for name in _PIN_FIRST if name not in merged]
+    if unknown:
+        raise AssertionError(
+            f"_PIN_FIRST names undeclared queries: {unknown} — declare "
+            "them or trim the pins"
+        )
+    ordered = list(_PIN_FIRST)
     # Tier 1: never driver-checked in ANY round.
     ordered += [n for n in merged if n not in ever and n not in ordered]
     # Tier 2: checked before, but rotated out of the latest round.

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table, ts_fix_expr
+from wetsa_cams_solrad_timeseries_spark.plans._spec import maybe_broadcast
 
 _DIM = 64
 _N_PLANES, _BANDS = 16, 2
@@ -788,6 +789,180 @@ GROUP BY label
 """
 
 
+# --------------------------------------------------------------------------
+# q194 — hybrid retrieval: BM25 (inverted index) + vector rerank, RRF-fused
+# --------------------------------------------------------------------------
+
+_Q194_TERMS = ("vector", "stream", "merge")
+_Q194_QVEC = 0  # query embedding = vec_id 0 (vec_id ≡ doc_id in testdata)
+_Q194_CAND = 50  # per-list candidate depth
+_Q194_RRF_K = 60  # standard reciprocal-rank-fusion constant
+_Q194_TOPK = 10
+
+
+def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + vector retrieval with reciprocal-rank fusion — the
+    RAG-pipeline composition of q64 (lexical stats) and q38 (exact
+    cosine top-k). Lexical side: Okapi BM25 (k1=1.2, b=0.75) scored ONLY
+    over documents containing ≥1 query term (the inverted-index
+    semi-join: explode → filter term ∈ query → tf), ranked, truncated to
+    the top-50 candidates via orderBy+limit (distributed partial top-k —
+    TakeOrderedAndProject, never a corpus-wide single-partition window;
+    the row_number that assigns rank numbers runs AFTER the limit, over
+    ≤50 rows). Vector side: exact cosine top-50 for the query embedding
+    (operators/similarity.py:brute_force_topk — query side broadcast,
+    corpus streamed). Fusion: RRF score Σ 1/(60 + rank) over the two
+    candidate lists FULL-OUTER-joined on doc_id, so a document ranked by
+    either list can win; top-10 fused.
+
+    Cross-engine determinism: per-term BM25 scores and the per-doc sum
+    round6 on both engines (q64's ln-parity convention); ranks are then
+    integers, so the RRF arithmetic is exact and identical.
+
+    Scale shape: the rerank is candidate-bounded (2×50 rows) — no
+    corpus-sized broadcast, no all-pairs stage. At 100 TB the vector
+    side swaps brute-force for q56's IVF probe and the lexical side
+    reads a persisted postings table (q152), but the fusion plan — two
+    bounded top-k lists, one tiny outer join — is unchanged."""
+    from wetsa_cams_solrad_timeseries_spark.functions.tokenize import norm_words
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    words = docs.select(F.col("doc_id"), norm_words("text").alias("ws"))
+    dl = words.select("doc_id", F.size("ws").alias("dl"))
+    # Corpus stats stay lazy 1-row aggregates cross-joined in (broadcast
+    # of a single row) — the operators/text.py:tfidf convention.
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    tf = (
+        words.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_Q194_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("__avgdl")
+    )
+    scored = (
+        tf.join(maybe_broadcast(dfreq), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf * (F.col("tf") * F.lit(2.2)) / denom + F.lit(1e-9), 6
+            ).alias("s"),
+        )
+    )
+    bm = scored.groupBy("doc_id").agg(
+        F.round(F.sum("s") + F.lit(1e-9), 6).alias("bm25")
+    )
+    from pyspark.sql import Window
+
+    bm_top = bm.orderBy(F.desc("bm25"), "doc_id").limit(_Q194_CAND)
+    # Global window AFTER the limit: ≤ _Q194_CAND rows by construction.
+    bm_ranked = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    vec_ranked = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q194_CAND
+    ).select(F.col("neighbor_id").alias("doc_id"),
+             F.col("rank").alias("vec_rank"))
+
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_Q194_RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_Q194_RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        bm_ranked.join(vec_ranked, on="doc_id", how="full")
+        .select("doc_id", "bm25_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_Q194_TOPK)
+    )
+
+
+_Q194_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q194_TERMS)
+
+Q194_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+  WHERE term IN ({_Q194_TERMS_SQL})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(ln(1 + (n - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (0.25 + CAST(0.75 AS DOUBLE) * dl.dl / avgdl))
+               + 1e-9, 6) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id, round(sum(s) + 1e-9, 6) AS bm25 FROM scored GROUP BY 1
+),
+bm_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM bm QUALIFY bm25_rank <= {_Q194_CAND}
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+vscored AS (
+  SELECT c.vec_id AS doc_id, {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs c CROSS JOIN (SELECT v FROM vecs WHERE vec_id = {_Q194_QVEC}) q
+  WHERE c.vec_id <> {_Q194_QVEC}
+),
+vec_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+  FROM vscored QUALIFY vec_rank <= {_Q194_CAND}
+)
+SELECT doc_id,
+       bm25_rank,
+       vec_rank,
+       round(coalesce(1.0 / ({_Q194_RRF_K} + CAST(bm25_rank AS DOUBLE)), 0)
+             + coalesce(1.0 / ({_Q194_RRF_K} + CAST(vec_rank AS DOUBLE)), 0)
+             + 1e-9, 6) AS rrf
+FROM bm_ranked FULL JOIN vec_ranked USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT {_Q194_TOPK}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -812,6 +987,8 @@ SPECS = make_specs(
         ("q98_int8_quantization", q98_int8_quantization, Q98_ORACLE, (), "int8 quantization error stats"),
         ("q99_stream_stream_join", q99_stream_stream_join, Q99_ORACLE, (),
          "watermarked stream-stream interval join"),
+        ("q194_hybrid_retrieval", q194_hybrid_retrieval, Q194_ORACLE, (),
+         "hybrid BM25 + vector retrieval, reciprocal-rank fused"),
     ]
 )
 
