@@ -68,6 +68,42 @@ def test_global_window_detector_is_structural():
     )
 
 
+def test_checkpoint_hidden_window_is_captured(spark):
+    """A global Window whose frame is eagerly localCheckpoint-ed leaves
+    NO trace in the downstream plan (only Scan ExistingRDD) — the audit
+    must see it via the capture hook, or any scale-killer could hide
+    behind a checkpoint (ADVICE r7, q184)."""
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.plan_report import _has_global_window, capture_checkpoints
+
+    df = spark.range(100)
+    with capture_checkpoints() as cap:
+        inner = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        ).localCheckpoint(eager=True)
+        final = (
+            inner.groupBy()
+            .agg(F.sum("rn").alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    # the final plan alone is blind...
+    assert not _has_global_window(final)
+    # ...but the captured fragment carries the Window.
+    assert cap.fragments and any(
+        _has_global_window(p) for p in cap.fragments
+    )
+    # and the hook is gone after the context exits (no capture leak).
+    with capture_checkpoints() as cap2:
+        pass
+    df.localCheckpoint(eager=True)
+    assert cap2.fragments == []
+
+
 def test_plan_report_no_violations(spark, sf_dir):
     sys.path.insert(0, "/root/repo")
     import tools.plan_report as pr

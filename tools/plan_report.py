@@ -59,6 +59,7 @@ GLOBAL_WINDOW_OK = {
     "q21_shipping_priority",   # top-10 revenue orders
     "q65_returned_items",      # top-20 lost-revenue customers
     "q88_bigram_topk",         # top-25 bigrams
+    "q194_hybrid_retrieval",   # BM25 rank numbering AFTER orderBy.limit(50)
     # grid-bounded digest frames: the window input is one row per
     # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
     # l_extendedprice / 1024), corpus-size independent:
@@ -122,6 +123,59 @@ _BNLJ_CROSS = re.compile(r"BroadcastNestedLoopJoin Build(Left|Right), Cross")
 _BNLJ_ANY = re.compile(r"BroadcastNestedLoopJoin Build(Left|Right), (\w+)")
 
 
+class capture_checkpoints:
+    """Context manager that records the executed plan of every frame at
+    the moment it is localCheckpoint-ed.
+
+    A localCheckpoint TRUNCATES lineage: everything upstream of it shows
+    up in the final query plan only as ``Scan ExistingRDD``, so a
+    scale-killer pattern placed behind a checkpoint (q184's calendar
+    spine: the global Window runs inside an eagerly checkpointed
+    intermediate) would pass a final-plan-only audit silently. Hooking
+    the checkpoint call itself captures each truncated subplan — the
+    audit then scans final plan + all captured fragments. Capture is
+    plan-printing only; execution semantics are unchanged (the original
+    localCheckpoint still runs). Fragments never double-count: a
+    fragment built on an earlier checkpoint sees that earlier stage as
+    Scan ExistingRDD too, so each operator appears in exactly one
+    fragment."""
+
+    def __init__(self) -> None:
+        self.fragments: list[str] = []
+
+    @staticmethod
+    def _df_class():
+        # PySpark 4: pyspark.sql.DataFrame is the abstract facade; the
+        # session hands out classic.dataframe.DataFrame, which OVERRIDES
+        # localCheckpoint — patching the facade would never be hit.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pragma: no cover — older layout
+            from pyspark.sql import DataFrame
+        return DataFrame
+
+    def __enter__(self) -> "capture_checkpoints":
+        cls = self._df_class()
+        self._orig = cls.localCheckpoint
+        fragments = self.fragments
+        orig = self._orig
+
+        def capturing(df, eager: bool = True):
+            try:
+                fragments.append(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:  # noqa: BLE001 — capture must never break the query
+                pass
+            return orig(df, eager=eager)
+
+        cls.localCheckpoint = capturing
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._df_class().localCheckpoint = self._orig
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
@@ -132,17 +186,22 @@ def main() -> int:
     violations: list[str] = []
     for name, spec in QUERIES.items():
         try:
-            plan = (
-                spec.fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            with capture_checkpoints() as cap:
+                final_plan = (
+                    spec.fn(spark, sf_dir)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
         except Exception as ex:  # noqa: BLE001
             report[name] = {"error": str(ex)[:200]}
             violations.append(f"{name}: plan build failed: {ex}")
             continue
-        single_part_window = _has_global_window(plan)
+        # Audit final plan PLUS every checkpoint-truncated fragment —
+        # a pattern behind a localCheckpoint must not pass silently.
+        fragments = [final_plan] + cap.fragments
+        plan = "\n".join(fragments)
+        single_part_window = any(_has_global_window(p) for p in fragments)
         bnlj_types = [m.group(2) for m in _BNLJ_ANY.finditer(plan)]
         bnlj_noncross = [t for t in bnlj_types if t != "Cross"]
         metrics = {
@@ -156,6 +215,7 @@ def main() -> int:
             "python_kernels": plan.count("InPandas")
             + plan.count("ArrowEvalPython"),
             "codegen_spans": plan.count("WholeStageCodegen"),
+            "checkpoint_fragments": len(cap.fragments),
             "single_partition_window": single_part_window,
             "pushed_filters": "PushedFilters: [" in plan
             and "PushedFilters: []" not in plan,
