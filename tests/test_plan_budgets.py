@@ -72,6 +72,13 @@ BUDGETS = [
     ("q118_locf_imputation", 2, ["Window"], ["Join"]),
     # Repetition filter: explode is pipeline-local; 3 keyed agg shuffles.
     ("q103_repetition_score", 3, [], ["Join"]),
+    # Round-8 additions.
+    # Hybrid retrieval: BM25 candidates cut by distributed top-k (never a
+    # global sort), vector side broadcast-query only, fusion join tiny.
+    ("q194_hybrid_retrieval", 12, ["TakeOrderedAndProject"],
+     ["CartesianProduct"]),
+    # Quantile digest: one scan-stage groupBy then grid-sized stages.
+    ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
 ]
 
 
