@@ -92,6 +92,70 @@ def test_incremental_dedup_history_side_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_lsh_hist_b")
 
 
+def test_incremental_index_append_stays_shuffle_free(spark, sf_dir):
+    # q193's cross-RUN claim: today's band rows APPEND into the same
+    # bucketed index table (insertInto routes rows through the table's
+    # bucketing spec), so tomorrow's probe sees history + today with the
+    # same single-Exchange plan — no reorganization between runs.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+
+    def band_rows(pred):
+        sh = word_shingles(docs.filter(pred), "doc_id", "text", n=2)
+        return lsh_band_rows(
+            minhash_signatures(sh, "doc_id", n_perm=16),
+            "doc_id", n_perm=16, bands=4,
+        )
+
+    day1 = F.col("doc_id") % 10 < 5
+    day2 = (F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 != 7)
+    probe_pred = F.col("doc_id") % 10 == 7
+    write_bucketed(
+        band_rows(day1), "t_lsh_inc_b", "bucket", n_buckets=8,
+        sort_col="bucket",
+    )
+    band_rows(day2).select("doc_id", "band", "bucket").write.insertInto(
+        "t_lsh_inc_b"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table("t_lsh_inc_b")
+        # appended rows are visible...
+        both = band_rows(day1 | day2)
+        assert idx.count() == both.count()
+        # ...and the probe plan is still single-Exchange (probe side).
+        probe = band_rows(probe_pred).localCheckpoint(eager=True)
+        plan = _plan(probe.hint("merge").join(idx, on="bucket"))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        # candidate parity: probing the appended index equals probing a
+        # from-scratch index over the union.
+        inc = (
+            probe.select(F.col("doc_id").alias("new_id"), "bucket")
+            .join(idx.select(F.col("doc_id").alias("hist_id"), "bucket"),
+                  on="bucket")
+            .select("new_id", "hist_id").distinct()
+        )
+        full = (
+            probe.select(F.col("doc_id").alias("new_id"), "bucket")
+            .join(both.select(F.col("doc_id").alias("hist_id"), "bucket"),
+                  on="bucket")
+            .select("new_id", "hist_id").distinct()
+        )
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_lsh_inc_b")
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
