@@ -523,3 +523,172 @@ def neardup_pairs_blocked(
     return tagged.groupBy("ba", "bb").applyInPandas(
         kernel, schema="id_a long, id_b long, cosine double"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric distance (ADC)
+# --------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    emb_df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    max_train: int = 65536,
+):
+    """Deterministic PQ training: split each vector into ``m`` contiguous
+    subvectors of ``dim/m`` dims; per subspace run EUCLIDEAN k-means
+    (seeds = the subvectors of the first ``ksub`` sample rows, then
+    ``n_iter`` Lloyd iterations). Classic PQ (Jégou et al., TPAMI 2011)
+    trains on raw (unnormalized) vectors with L2 distance — kept here so
+    ADC approximates true squared-L2.
+
+    Sampling is the ``ivf_train_centroids`` discipline: min-k by
+    hash32(id) caps the driver pull at ``max_train`` rows (training is
+    sample-bounded even at 100 TB; FAISS trains PQ the same way), id
+    order after so seeding is stable — any engine reading the same rows
+    reproduces the codebooks bit-for-bit.
+
+    Returns ``codebooks[m][ksub][dim/m]`` floats."""
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    rows = (
+        emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
+        .withColumn("__hk", hash32(F.col(id_col).cast("string")))
+        .orderBy("__hk", id_col)
+        .limit(max_train)
+        .drop("__hk")
+        .orderBy(id_col)
+        .toPandas()
+    )
+    mat = np.array(list(rows["v"]), dtype=np.float64)
+    books = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iter):
+            # argmin over exact squared distance; ties -> lower code
+            # (np.argmin picks the first minimum).
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in cent])
+    return books
+
+
+def _pq_sub_dist(sub_col, cent_literals) -> "F.Column":
+    """round6(squared L2) from an array<double> subvector column to ONE
+    literal centroid — a sequential zip_with/aggregate fold, the same
+    order the DuckDB oracle's list comprehension folds in. Rounding
+    BEFORE the argmin/rank comparison is the cross-engine convention:
+    identical rounded keys + an index tie-break make code assignment
+    partition- and engine-invariant."""
+    cent = F.array(*[F.lit(c) for c in cent_literals])
+    d2 = F.aggregate(
+        F.zip_with(sub_col, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 + F.lit(1e-9), 6)
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding → LONG form ``(id, sub, code)``: for each
+    subspace, code = argmin over the codebook of round6(squared L2), ties
+    to the lower code. Pure JVM expressions (the codebooks ride along as
+    literals — m·ksub·dsub doubles, ~8 KB); no Python in the data-sized
+    pass. m rows per vector whose payload is one small int — the 16×
+    compression that lets a 100 TB corpus's index live in RAM."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = to_double_array(F.col(emb_col))
+    per_sub = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(*[_pq_sub_dist(sub, c) for c in book])
+        # argmin with first-match (lower-code) ties: array_position
+        # returns the 1-based FIRST index of the minimum.
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        per_sub.append(
+            F.struct(F.lit(s).alias("sub"), code.alias("code"))
+        )
+    return emb_df.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("__sc")
+    ).select(id_col, "__sc.sub", "__sc.code")
+
+
+def ann_topk_pq(
+    emb_df: DataFrame,
+    query_ids_pred,
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ + asymmetric distance (ADC) top-k: corpus vectors live as m
+    small-int codes; each query builds a lookup table LUT[sub][code] =
+    round6 squared-L2 from its RAW subvector to that centroid, and the
+    approximate distance to any corpus vector is the SUM of m LUT
+    entries selected by the vector's codes — 8 adds per candidate
+    instead of 64 multiplies, over 8 logical bytes instead of 256.
+
+    Plan shape: the data-sized side is the code table (m rows/vector);
+    the LUT (queries × m × ksub rows — bounded by the query set) joins
+    in as a BROADCAST on (sub, code); one groupBy (query, neighbor)
+    sums the m entries. No corpus broadcast, no pairwise vector math.
+    At 100 TB the code table is also the PERSISTED index (write it
+    bucketed like q193's band rows); re-encoding never re-touches raw
+    vectors."""
+    codebooks = pq_train_codebooks(
+        emb_df, m=m, ksub=ksub, id_col=id_col, emb_col=emb_col, dim=dim
+    )
+    codes = pq_encode(emb_df, codebooks, id_col, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    dsub = dim // m
+    v = to_double_array(F.col(emb_col))
+    q_src = emb_df.filter(query_ids_pred(F.col(id_col)))
+    lut_structs = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        for c_idx, cent in enumerate(book):
+            lut_structs.append(
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.lit(c_idx).cast("int").alias("code"),
+                    _pq_sub_dist(sub, cent).alias("d"),
+                )
+            )
+    luts = q_src.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array(*lut_structs)).alias("__l"),
+    ).select("query_id", "__l.sub", "__l.code", "__l.d")
+    adc = (
+        codes.join(F.broadcast(luts), on=["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d") + F.lit(1e-9), 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id"))
+    return adc.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

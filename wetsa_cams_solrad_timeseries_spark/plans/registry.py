@@ -52,8 +52,9 @@ _PIN_FIRST = (
     "q192_pagerank_converged",
     "q193_incremental_dedup",
     "q194_hybrid_retrieval",
+    "q195_pq_adc_topk",
     "q191_quantile_sketch_merge",
-    # Budget math: 4 pins + ~46 stalest tier-2 rows fit the ~50-row
+    # Budget math: 5 pins + ~45 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.
 )
 

@@ -790,6 +790,150 @@ GROUP BY label
 
 
 # --------------------------------------------------------------------------
+# q195 — product-quantization ANN (PQ codes + asymmetric distance)
+# --------------------------------------------------------------------------
+
+_Q195_M, _Q195_KSUB, _Q195_K = 8, 16, 3
+_Q195_DSUB = _DIM // _Q195_M
+_Q195_NQ = 8
+
+
+def q195_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN — the third standard scale path next to SRP-LSH
+    (q39) and IVF (q56), and the memory story the other two lack: each
+    64-float vector is stored as 8 small-int codes (16× compression), and
+    query-to-vector distance is approximated ASYMMETRICALLY as the sum
+    of 8 per-subspace lookup-table entries (Jégou et al.'s ADC) — the
+    corpus-sized pass touches codes only, never raw vectors.
+
+    Determinism: training (operators/similarity.py:pq_train_codebooks)
+    is the q56 discipline — hash-order-bounded sample, id-ordered numpy,
+    fixed seeds — so the oracle replays it bit-for-bit and inlines the
+    codebooks as SQL literals; encoding and LUTs round6 every distance
+    before any argmin/rank comparison, with code-index / neighbor-id
+    tie-breaks on both engines.
+
+    Scale shape: encode = one scan-stage expression pass (codebooks ride
+    as ~8 KB of literals); ADC = code table ⋈ BROADCAST LUT (queries ×
+    m × ksub rows, bounded by the query set) + one (query, neighbor)
+    groupBy summing m entries. No corpus broadcast, no pairwise vector
+    math; the code table is the persisted index at 100 TB (write it
+    bucketed, q193's pattern)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_pq,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_topk_pq(
+        emb,
+        query_ids_pred=lambda c: c < _Q195_NQ,
+        k=_Q195_K,
+        m=_Q195_M,
+        ksub=_Q195_KSUB,
+        dim=_DIM,
+    )
+
+
+def _pq_codebook_values(path: str) -> str | None:
+    """q195's trained codebooks as SQL VALUES rows ``(sub, code, c)``.
+    Replays ``pq_train_codebooks`` bit-for-bit (the _ivf_centroid_values
+    contract: same parquet → same float64 matrix → same numpy steps →
+    identical literals). None → rows-only fallback."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    try:
+        rows = duckdb.sql(
+            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    values = []
+    for s in range(_Q195_M):
+        sub = mat[:, s * _Q195_DSUB : (s + 1) * _Q195_DSUB]
+        cent = sub[:_Q195_KSUB].copy()
+        for _ in range(2):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(_Q195_KSUB):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        values.extend(
+            "({}, {}, [{}])".format(
+                s, c, ", ".join(repr(float(x)) for x in cent[c])
+            )
+            for c in range(_Q195_KSUB)
+        )
+    return ", ".join(values)
+
+
+# Sequential-fold round6 squared-L2 from the sub-th subvector of v to
+# the codebook row's centroid list c — the exact fold pq_encode runs.
+_Q195_SUBD = (
+    "round(list_sum([(v[b.sub * {d} + i] - b.c[i])"
+    " * (v[b.sub * {d} + i] - b.c[i]) FOR i IN range(1, {d} + 1)])"
+    " + 1e-9, 6)"
+).format(d=_Q195_DSUB)
+
+_Q195_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+books(sub, code, c) AS (VALUES __PQ_VALUES__),
+dists AS (
+  SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
+  FROM vecs CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d ASC, code ASC) AS r
+    FROM dists
+  ) WHERE r = 1
+),
+luts AS (
+  SELECT vec_id AS query_id, sub, code, d
+  FROM dists WHERE vec_id < {_Q195_NQ}
+),
+adc AS (
+  SELECT l.query_id, cd.neighbor_id,
+         round(sum(l.d) + 1e-9, 6) AS adc
+  FROM codes cd JOIN luts l ON l.sub = cd.sub AND l.code = cd.code
+  WHERE cd.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_Q195_K}
+"""
+
+
+def q195_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q195 oracle (the q56 pattern): codebooks trained on the
+    SF being checked, inlined as literals."""
+    values = _pq_codebook_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q195_ORACLE_TEMPLATE.replace(
+        "__PQ_VALUES__", values
+    )
+
+
+# LAZY for the same reason as Q56_ORACLE (oracle_fn resolved at call time).
+Q195_ORACLE = None
+
+
+# --------------------------------------------------------------------------
 # q194 — hybrid retrieval: BM25 (inverted index) + vector rerank, RRF-fused
 # --------------------------------------------------------------------------
 
@@ -989,6 +1133,8 @@ SPECS = make_specs(
          "watermarked stream-stream interval join"),
         ("q194_hybrid_retrieval", q194_hybrid_retrieval, Q194_ORACLE, (),
          "hybrid BM25 + vector retrieval, reciprocal-rank fused"),
+        ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
+         "product-quantization ANN (PQ codes + asymmetric distance)"),
     ]
 )
 
@@ -996,4 +1142,7 @@ import dataclasses as _dc
 
 SPECS["q56_ann_ivf_topk"] = _dc.replace(
     SPECS["q56_ann_ivf_topk"], oracle_fn=q56_oracle_for
+)
+SPECS["q195_pq_adc_topk"] = _dc.replace(
+    SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
 )
