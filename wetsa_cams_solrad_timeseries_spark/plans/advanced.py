@@ -3808,12 +3808,17 @@ def _q192_iteration_sql() -> str:
         newr = round6_sql(
             f"{base} + CAST({_Q161_D} AS DOUBLE) * coalesce(c{i}.s, 0)"
         )
+        # MATERIALIZED: each r{i} is consumed by THREE later CTEs
+        # (c{i+1}, d{i}, d{i+1}) and b/deg by every round — DuckDB
+        # inlines un-marked CTEs per reference, which re-ran the
+        # edge-list self-join 6x and spilled temp storage to disk
+        # exhaustion at sf0.1.
         sql += f""", c{i} AS (
   SELECT b.dst, {contrib} AS s
   FROM b JOIN {prev} ON b.src = {prev}.node
          JOIN deg ON b.src = deg.src
   GROUP BY 1
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT deg.src AS node, {newr} AS r
   FROM deg LEFT JOIN c{i} ON deg.src = c{i}.dst
 ), d{i} AS (
@@ -3831,14 +3836,14 @@ _Q192_ALLR = " UNION ALL ".join(
 )
 
 Q192_ORACLE = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-), b AS (
+), b AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM e
   UNION ALL SELECT v AS src, u AS dst FROM e
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, count(*) AS outdeg FROM b GROUP BY 1
 ), n AS (
   SELECT count(*) AS c FROM deg
