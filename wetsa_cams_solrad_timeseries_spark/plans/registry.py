@@ -53,8 +53,9 @@ _PIN_FIRST = (
     "q193_incremental_dedup",
     "q194_hybrid_retrieval",
     "q195_pq_adc_topk",
+    "q196_semantic_dedup",
     "q191_quantile_sketch_merge",
-    # Budget math: 5 pins + ~45 stalest tier-2 rows fit the ~50-row
+    # Budget math: 6 pins + ~44 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.
 )
 

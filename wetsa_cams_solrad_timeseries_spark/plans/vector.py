@@ -934,6 +934,152 @@ Q195_ORACLE = None
 
 
 # --------------------------------------------------------------------------
+# q196 — semantic dedup (SemDeDup): cluster, then dedup within clusters
+# --------------------------------------------------------------------------
+
+_Q196_TAU = 0.4
+_Q196_CELLS = 16
+
+
+def q196_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023) — the corpus-curation form of
+    embedding dedup actually used on LLM training data: coarse-cluster
+    every embedding (q56's deterministic spherical k-means, 1-probe
+    assignment), then look for near-duplicates ONLY within a cluster,
+    keeping the lowest-id member of each duplicate relation. Output: one
+    row per REMOVED vector with its kept representative (the minimum
+    lower id whose within-cell cosine ≥ τ), the shared cell, and that
+    pair's cosine.
+
+    This composes the two halves the inventory already proves separately
+    — q56's quantizer and q40's exact cosine verify — into the pipeline
+    whose point is the BOUND: the quadratic stage runs per cell
+    (Σ|cell|² work, ~n²/k for balanced cells) instead of n² corpus-wide,
+    and the cells are embarrassingly parallel across executors.
+
+    Determinism: centroids replayed bit-for-bit by the oracle (q56's
+    literalization — the SAME k=16/2-iter training, so the oracle_fn
+    reuses _ivf_centroid_values verbatim); cosines round6 before the
+    threshold; the representative is a lexicographic struct-min
+    (row_number twin in SQL). Scale: assignment is scan-stage
+    (mapInPandas over centroid literals); the pair join is an equi-join
+    on cell; survivor choice is one grouped min — no global stage
+    anywhere."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        dot_product,
+        l2_norm,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import to_double_array
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb, k=_Q196_CELLS)
+    assigned = ivf_assign(emb, centroids, n_probe=1).select("vec_id", "cell")
+
+    v = to_double_array(F.col("embedding"))
+    vecs = emb.select(
+        F.col("vec_id"), v.alias("__v"), l2_norm(v).alias("__n")
+    ).join(assigned, on="vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("cell"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b_ = vecs.select(
+        F.col("vec_id").alias("rm_id"),
+        F.col("cell"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    pairs = (
+        a.join(b_, on="cell")
+        .filter(F.col("kept_id") < F.col("rm_id"))
+        .select(
+            "cell",
+            "kept_id",
+            "rm_id",
+            F.round(cos + F.lit(1e-9), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _Q196_TAU)
+    )
+    # Canonical representative: the MINIMUM qualifying lower id (struct
+    # min is lexicographic on field order, so cosine rides along).
+    return (
+        pairs.groupBy("rm_id", "cell")
+        .agg(F.min(F.struct("kept_id", "cosine")).alias("k"))
+        .select(
+            F.col("rm_id").alias("vec_id"),
+            F.col("k.kept_id").alias("kept_id"),
+            "cell",
+            F.col("k.cosine").alias("cosine"),
+        )
+    )
+
+
+_Q196_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+    FROM sims
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT pa.cell, pa.vec_id AS kept_id, pb.vec_id AS rm_id,
+         {_cos('av.v', 'bv.v')} AS cosine
+  FROM assigned pa
+  JOIN assigned pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+  JOIN vecs av ON av.vec_id = pa.vec_id
+  JOIN vecs bv ON bv.vec_id = pb.vec_id
+),
+qual AS (SELECT * FROM pairs WHERE cosine >= {_Q196_TAU})
+SELECT rm_id AS vec_id, kept_id, cell, cosine FROM (
+  SELECT rm_id, kept_id, cell, cosine,
+         row_number() OVER (PARTITION BY rm_id
+                            ORDER BY kept_id ASC) AS r
+  FROM qual
+) WHERE r = 1
+"""
+
+
+def q196_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q196 oracle: reuses q56's trained-centroid literalization
+    verbatim (identical k/iteration training)."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        k=_Q196_CELLS,
+    )
+    return None if values is None else _Q196_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q196_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q194 — hybrid retrieval: BM25 (inverted index) + vector rerank, RRF-fused
 # --------------------------------------------------------------------------
 
@@ -1135,6 +1281,8 @@ SPECS = make_specs(
          "hybrid BM25 + vector retrieval, reciprocal-rank fused"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
+        ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
+         "SemDeDup: cluster-bounded embedding dedup with survivors"),
     ]
 )
 
@@ -1145,4 +1293,7 @@ SPECS["q56_ann_ivf_topk"] = _dc.replace(
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
+)
+SPECS["q196_semantic_dedup"] = _dc.replace(
+    SPECS["q196_semantic_dedup"], oracle_fn=q196_oracle_for
 )
