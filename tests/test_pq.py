@@ -97,3 +97,25 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(df, m=5, ksub=8, dim=16)
+
+
+def test_hash_bounded_sample_py_matches_spark_side(spark):
+    """The oracle-side training-sample replay must select EXACTLY the
+    rows the Spark-side trainer selects when the cap binds (gate corpora
+    sit under max_train, so this path is never exercised by the driver
+    — lock it here)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        hash_bounded_sample_py,
+    )
+
+    df, vecs = _emb_df(spark, n=120, dim=8)
+    capped_spark = hash_bounded_sample(df, max_train=30)
+    ids = list(range(120))
+    capped_py = hash_bounded_sample_py(ids, vecs[:, :8], max_train=30)
+    assert capped_spark.shape == capped_py.shape == (30, 8)
+    assert np.array_equal(capped_spark, capped_py)
+    # and the under-cap case is the identity
+    assert np.array_equal(
+        hash_bounded_sample_py(ids, vecs[:, :8], max_train=500), vecs[:, :8]
+    )

@@ -160,14 +160,17 @@ class capture_checkpoints:
         fragments = self.fragments
         orig = self._orig
 
-        def capturing(df, eager: bool = True):
+        def capturing(df, *args, **kwargs):
+            # Pass-through signature: PySpark 4's localCheckpoint also
+            # takes storageLevel — pinning (eager=True) here would make
+            # the audit TypeError on callers the engine accepts.
             try:
                 fragments.append(
                     df._jdf.queryExecution().executedPlan().toString()
                 )
             except Exception:  # noqa: BLE001 — capture must never break the query
                 pass
-            return orig(df, eager=eager)
+            return orig(df, *args, **kwargs)
 
         cls.localCheckpoint = capturing
         return self
@@ -217,8 +220,13 @@ def main() -> int:
             "codegen_spans": plan.count("WholeStageCodegen"),
             "checkpoint_fragments": len(cap.fragments),
             "single_partition_window": single_part_window,
-            "pushed_filters": "PushedFilters: [" in plan
-            and "PushedFilters: []" not in plan,
+            # From the FINAL plan only: "some fragment has an unfiltered
+            # scan" is normal (spine generators, state tables) and would
+            # mask real pushdown on the main scan if OR-ed across
+            # fragments (q184 flipped true->false when this metric first
+            # scanned the concatenation).
+            "pushed_filters": "PushedFilters: [" in final_plan
+            and "PushedFilters: []" not in final_plan,
         }
         report[name] = metrics
         if metrics["cartesian"]:

@@ -220,6 +220,51 @@ def ivf_assign(
     )
 
 
+def hash_bounded_sample(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_train: int = 65536,
+):
+    """Deterministic bounded training sample, shared by ALL index
+    trainers (IVF + PQ): min-``max_train`` by the portable hash32 of the
+    id — a uniform pseudo-random subset with a hard row bound (never
+    corpus-sized) — then id order so seeding is stable. Every engine and
+    every rerun selects the same rows regardless of corpus size or
+    partitioning; the oracle replays the identical selection in Python
+    via hash32_py. Returns the sample as an id-ordered float64 matrix."""
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    rows = (
+        emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
+        .withColumn("__hk", hash32(F.col(id_col).cast("string")))
+        .orderBy("__hk", id_col)
+        .limit(max_train)
+        .drop("__hk")
+        .orderBy(id_col)
+        .toPandas()
+    )
+    return np.array(list(rows["v"]), dtype=np.float64)
+
+
+def hash_bounded_sample_py(ids, mat, max_train: int = 65536):
+    """Python/numpy twin of :func:`hash_bounded_sample` for oracle
+    replays: given id-ordered ids + matrix (e.g. read via DuckDB), apply
+    the SAME hash32 min-k cap + id reorder. Bit-identical row selection
+    to the Spark side for any corpus size."""
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32_py
+
+    if len(ids) <= max_train:
+        return mat
+    order = sorted(range(len(ids)), key=lambda i: (hash32_py(str(ids[i])), ids[i]))
+    keep = sorted(order[:max_train])
+    return mat[np.array(keep)]
+
+
 def ivf_train_centroids(
     emb_df: DataFrame,
     k: int = 16,
@@ -232,29 +277,11 @@ def ivf_train_centroids(
     ``n_iter`` Lloyd iterations on normalized vectors (spherical k-means).
 
     Index TRAINING always runs on a bounded sample (even FAISS trains IVF
-    on ~1% of vectors): the driver pull is capped at ``max_train`` rows by
-    a deterministic hash-order sample — rank vectors by the portable
-    hash32 of their id and keep the first ``max_train``, so every engine
-    and every rerun selects the same subset regardless of corpus size or
-    partitioning. ASSIGNMENT (the data-sized pass) stays distributed
-    (``ivf_assign``)."""
+    on ~1% of vectors) — see :func:`hash_bounded_sample`. ASSIGNMENT (the
+    data-sized pass) stays distributed (``ivf_assign``)."""
     import numpy as np
 
-    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
-
-    # Deterministic sample: min-k by hash32(id) — a uniform pseudo-random
-    # subset with a hard row bound (never corpus-sized), then id order so
-    # seeding is stable.
-    rows = (
-        emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
-        .withColumn("__hk", hash32(F.col(id_col).cast("string")))
-        .orderBy("__hk", id_col)
-        .limit(max_train)
-        .drop("__hk")
-        .orderBy(id_col)
-        .toPandas()
-    )
-    mat = np.array(list(rows["v"]), dtype=np.float64)
+    mat = hash_bounded_sample(emb_df, id_col, emb_col, max_train)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0  # zero vectors stay zero instead of NaN-poisoning
     mat /= norms
@@ -547,37 +574,33 @@ def pq_train_codebooks(
     trains on raw (unnormalized) vectors with L2 distance — kept here so
     ADC approximates true squared-L2.
 
-    Sampling is the ``ivf_train_centroids`` discipline: min-k by
-    hash32(id) caps the driver pull at ``max_train`` rows (training is
-    sample-bounded even at 100 TB; FAISS trains PQ the same way), id
-    order after so seeding is stable — any engine reading the same rows
-    reproduces the codebooks bit-for-bit.
+    Sampling is :func:`hash_bounded_sample` (the shared trainer
+    discipline); the Lloyd loop is :func:`pq_lloyd` — ONE numpy core
+    that both this trainer and the q195 oracle replay call, so the two
+    can never drift.
 
     Returns ``codebooks[m][ksub][dim/m]`` floats."""
-    import numpy as np
-
-    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
-
     if dim % m:
         raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
-    dsub = dim // m
-    rows = (
-        emb_df.select(id_col, to_double_array(F.col(emb_col)).alias("v"))
-        .withColumn("__hk", hash32(F.col(id_col).cast("string")))
-        .orderBy("__hk", id_col)
-        .limit(max_train)
-        .drop("__hk")
-        .orderBy(id_col)
-        .toPandas()
-    )
-    mat = np.array(list(rows["v"]), dtype=np.float64)
+    mat = hash_bounded_sample(emb_df, id_col, emb_col, max_train)
+    return pq_lloyd(mat, m=m, ksub=ksub, n_iter=n_iter)
+
+
+def pq_lloyd(mat, m: int, ksub: int, n_iter: int):
+    """The PQ k-means core on an id-ordered sample matrix — shared
+    verbatim by the Spark-side trainer and the oracle's numpy replay
+    (same input matrix ⇒ bit-identical codebooks). Seeds = the first
+    ``ksub`` rows' subvectors; per iteration, assignment = argmin exact
+    squared L2 (ties → lower code: np.argmin picks the first minimum),
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
+    dsub = mat.shape[1] // m
     books = []
     for s in range(m):
         sub = mat[:, s * dsub : (s + 1) * dsub]
         cent = sub[:ksub].copy()
         for _ in range(n_iter):
-            # argmin over exact squared distance; ties -> lower code
-            # (np.argmin picks the first minimum).
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
             for c in range(ksub):

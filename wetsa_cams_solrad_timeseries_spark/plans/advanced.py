@@ -3541,7 +3541,7 @@ picked AS (
   FROM levels JOIN cum ON cumw >= qlevel * n
   GROUP BY 1
 ),
-ex0 AS ({_Q191_EXACT_SQL}),
+ex0 AS MATERIALIZED ({_Q191_EXACT_SQL}),
 ex AS ({_Q191_EXACT_UNPACK})
 SELECT p.qlevel, p.bin,
        {round6_sql('CAST(m.ms AS DOUBLE) / m.mw')} AS est_sketch,

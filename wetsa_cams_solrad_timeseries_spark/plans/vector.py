@@ -368,13 +368,13 @@ def _ivf_centroid_values(
     """The q56 trained centroids (for the embeddings parquet at ``path``)
     as a SQL ``VALUES`` list.
 
-    Replays ``operators/similarity.ivf_train_centroids`` bit-for-bit: the
-    hash-order training sample is the WHOLE corpus whenever it is under
-    ``max_train`` rows (driver gate corpora are), after which the trainer
-    is id-ordered numpy — reading the same parquet through DuckDB yields
-    the identical float64 matrix, so the same numpy steps yield identical
-    centroids. Returns None (oracle falls back to rows-only) when the
-    testdata or DuckDB is unavailable."""
+    Replays ``operators/similarity.ivf_train_centroids`` bit-for-bit:
+    the engine's hash32 min-k training cap is applied Python-side
+    (``hash_bounded_sample_py`` — a no-op under ``max_train`` rows, the
+    identical subset above it), then the same numpy steps on the same
+    id-ordered float64 matrix yield identical centroids. Returns None
+    (oracle falls back to rows-only) when the testdata or DuckDB is
+    unavailable."""
     try:
         import duckdb
         import numpy as np
@@ -382,14 +382,21 @@ def _ivf_centroid_values(
         return None
     if not os.path.exists(path):
         return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+    )
+
     try:
         rows = duckdb.sql(
-            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             f"FROM read_parquet('{path}') ORDER BY vec_id"
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = hash_bounded_sample_py(
+        [r[0] for r in rows],
+        np.array([r[1] for r in rows], dtype=np.float64),
+    )
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat /= norms
@@ -836,9 +843,11 @@ def q195_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_codebook_values(path: str) -> str | None:
     """q195's trained codebooks as SQL VALUES rows ``(sub, code, c)``.
-    Replays ``pq_train_codebooks`` bit-for-bit (the _ivf_centroid_values
-    contract: same parquet → same float64 matrix → same numpy steps →
-    identical literals). None → rows-only fallback."""
+    Replays ``pq_train_codebooks`` bit-for-bit by calling the SAME numpy
+    core (``pq_lloyd``) on the SAME row selection
+    (``hash_bounded_sample_py`` — the engine's hash32 min-k training cap
+    applied Python-side, so the replay matches on corpora ABOVE
+    max_train too, not just gate SFs). None → rows-only fallback."""
     try:
         import duckdb
         import numpy as np
@@ -846,32 +855,29 @@ def _pq_codebook_values(path: str) -> str | None:
         return None
     if not os.path.exists(path):
         return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+        pq_lloyd,
+    )
+
     try:
         rows = duckdb.sql(
-            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
             f"FROM read_parquet('{path}') ORDER BY vec_id"
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
-    mat = np.array([r[0] for r in rows], dtype=np.float64)
-    values = []
-    for s in range(_Q195_M):
-        sub = mat[:, s * _Q195_DSUB : (s + 1) * _Q195_DSUB]
-        cent = sub[:_Q195_KSUB].copy()
-        for _ in range(2):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(_Q195_KSUB):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        values.extend(
-            "({}, {}, [{}])".format(
-                s, c, ", ".join(repr(float(x)) for x in cent[c])
-            )
-            for c in range(_Q195_KSUB)
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = hash_bounded_sample_py(ids, mat)
+    books = pq_lloyd(mat, m=_Q195_M, ksub=_Q195_KSUB, n_iter=2)
+    return ", ".join(
+        "({}, {}, [{}])".format(
+            s, c, ", ".join(repr(float(x)) for x in books[s][c])
         )
-    return ", ".join(values)
+        for s in range(_Q195_M)
+        for c in range(_Q195_KSUB)
+    )
 
 
 # Sequential-fold round6 squared-L2 from the sub-th subvector of v to
@@ -968,12 +974,12 @@ def q196_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
         dot_product,
         l2_norm,
+        to_double_array,
     )
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         ivf_assign,
         ivf_train_centroids,
     )
-    from wetsa_cams_solrad_timeseries_spark.functions.arrays import to_double_array
 
     emb = table(spark, sf_dir, "embeddings")
     centroids = ivf_train_centroids(emb, k=_Q196_CELLS)
