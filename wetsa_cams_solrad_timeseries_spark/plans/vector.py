@@ -893,7 +893,9 @@ WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 books(sub, code, c) AS (VALUES __PQ_VALUES__),
-dists AS (
+dists AS MATERIALIZED (
+  -- referenced by BOTH codes and luts: un-marked, DuckDB inlines the
+  -- corpus x codebook distance computation twice (q192's lesson).
   SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
   FROM vecs CROSS JOIN books b
 ),
