@@ -611,20 +611,22 @@ def pq_lloyd(mat, m: int, ksub: int, n_iter: int):
     return books
 
 
-def _pq_sub_dist(sub_col, cent_literals) -> "F.Column":
-    """round6(squared L2) from an array<double> subvector column to ONE
-    literal centroid — a sequential zip_with/aggregate fold, the same
-    order the DuckDB oracle's list comprehension folds in. Rounding
-    BEFORE the argmin/rank comparison is the cross-engine convention:
-    identical rounded keys + an index tie-break make code assignment
-    partition- and engine-invariant."""
-    cent = F.array(*[F.lit(c) for c in cent_literals])
-    d2 = F.aggregate(
-        F.zip_with(sub_col, cent, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _pq_subdist_matrix(mat, cent):
+    """round6(squared L2) from every row of an (n, dsub) matrix to every
+    centroid of a (ksub, dsub) codebook — the kernel-side twin of the
+    DuckDB oracle's per-element fold. The reduction runs over the last
+    axis of an explicit difference tensor (np.add.reduce, sequential in
+    element order for these widths — never a BLAS matmul, whose blocked
+    summation order would diverge from the SQL fold at the ULP level);
+    the +1e-9 nudge before the 6-digit round keeps both engines off
+    rounding-grid ties, so np.round's half-even vs SQL's half-away can
+    never pick different digits on data-produced values (the
+    neardup_pairs_blocked precedent)."""
+    import numpy as np
+
+    return np.round(
+        ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) + 1e-9, 6
     )
-    return F.round(d2 + F.lit(1e-9), 6)
 
 
 def pq_encode(
@@ -634,27 +636,85 @@ def pq_encode(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Distributed PQ encoding → LONG form ``(id, sub, code)``: for each
-    subspace, code = argmin over the codebook of round6(squared L2), ties
-    to the lower code. Pure JVM expressions (the codebooks ride along as
-    literals — m·ksub·dsub doubles, ~8 KB); no Python in the data-sized
-    pass. m rows per vector whose payload is one small int — the 16×
-    compression that lets a 100 TB corpus's index live in RAM."""
+    subspace, code = argmin over the codebook of round6(squared L2),
+    ties to the lower code (np.argmin = first minimum ≡ the oracle's
+    row_number ORDER BY d, code). Arrow-batched numpy kernel, the
+    ivf_assign discipline — the codebooks ride in the closure (~8 KB).
+
+    Why a kernel and not codegen: the expression-tree spelling (m·ksub
+    = 128 fold subtrees per row) costs ~6 s of Janino compilation PER
+    ACTION at any data size (measured at sf0.1 — compile time, not
+    compute); the kernel is one vectorized distance tensor per batch.
+    Output is m rows per vector whose payload is one small int — the
+    16× compression that lets a 100 TB corpus's index live in RAM."""
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = to_double_array(F.col(emb_col))
-    per_sub = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(v, s * dsub + 1, dsub)
-        dists = F.array(*[_pq_sub_dist(sub, c) for c in book])
-        # argmin with first-match (lower-code) ties: array_position
-        # returns the 1-based FIRST index of the minimum.
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        per_sub.append(
-            F.struct(F.lit(s).alias("sub"), code.alias("code"))
-        )
-    return emb_df.select(
-        F.col(id_col), F.explode(F.array(*per_sub)).alias("__sc")
-    ).select(id_col, "__sc.sub", "__sc.code")
+    cents = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            for s in range(m):
+                d2 = _pq_subdist_matrix(mat[:, s * dsub : (s + 1) * dsub], cents[s])
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "sub": np.full(len(ids), s, dtype=np.int32),
+                        "code": np.argmin(d2, axis=1).astype(np.int32),
+                    }
+                )
+
+    src = emb_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(kernel, schema=f"{id_col} long, sub int, code int")
+
+
+def pq_query_luts(
+    q_df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup tables → ``(query_id, sub, code, d)``:
+    d = round6 squared-L2 from the query's RAW subvector to each
+    centroid. Same kernel math as ``pq_encode`` (shared
+    ``_pq_subdist_matrix``); runs only over the (bounded) query set."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    cents = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            for s in range(m):
+                d2 = _pq_subdist_matrix(mat[:, s * dsub : (s + 1) * dsub], cents[s])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, ksub),
+                        "sub": np.full(len(ids) * ksub, s, dtype=np.int32),
+                        "code": np.tile(
+                            np.arange(ksub, dtype=np.int32), len(ids)
+                        ),
+                        "d": d2.ravel(),
+                    }
+                )
+
+    src = q_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel, schema="query_id long, sub int, code int, d double"
+    )
 
 
 def ann_topk_pq(
@@ -687,24 +747,8 @@ def ann_topk_pq(
     codes = pq_encode(emb_df, codebooks, id_col, emb_col).select(
         F.col(id_col).alias("neighbor_id"), "sub", "code"
     )
-    dsub = dim // m
-    v = to_double_array(F.col(emb_col))
     q_src = emb_df.filter(query_ids_pred(F.col(id_col)))
-    lut_structs = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(v, s * dsub + 1, dsub)
-        for c_idx, cent in enumerate(book):
-            lut_structs.append(
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.lit(c_idx).cast("int").alias("code"),
-                    _pq_sub_dist(sub, cent).alias("d"),
-                )
-            )
-    luts = q_src.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.array(*lut_structs)).alias("__l"),
-    ).select("query_id", "__l.sub", "__l.code", "__l.d")
+    luts = pq_query_luts(q_src, codebooks, id_col, emb_col)
     adc = (
         codes.join(F.broadcast(luts), on=["sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
