@@ -3574,7 +3574,11 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only Exchange in the plan is the (tiny) probe side
     (tests/test_bucketing.py::test_incremental_dedup_history_side_no_shuffle
     locks that). Candidates are verified with exact Jaccard computed
-    ONLY on candidate pairs (q62's verify stage).
+    ONLY on candidate pairs (q62's verify stage), over shingles of ONLY
+    the candidate history documents — the history corpus is re-shingled
+    by a run ONLY when the index table must be (re)built; a steady-state
+    run's history-side work is the bucketed index read + a semi-joined
+    shingle pass over the candidate docs.
 
     Oracle: the equivalent BATCH computation — band rows over the full
     corpus, split by the same predicate, joined on bucket, verified on
@@ -3582,11 +3586,12 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     property a cross-run index must hold.
 
     Scale shape: per ingest run, work is proportional to the NEW shard
-    (shingle → signature → band rows → bucket-join probe); history cost
-    is a bucketed-scan read of matching buckets only, paid shuffle-free
-    forever after the one write. At 100 TB the index table is also the
-    APPEND target: today's band rows insert into the same bucketed
-    layout, so tomorrow's probe sees them with no reorganization."""
+    (shingle → signature → band rows → bucket-join probe) plus the
+    CANDIDATE set (verify); history cost is a bucketed-scan read of
+    matching buckets, paid shuffle-free forever after the one write. At
+    100 TB the index table is also the APPEND target: today's band rows
+    insert into the same bucketed layout, so tomorrow's probe sees them
+    with no reorganization."""
     import os
 
     from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
@@ -3598,19 +3603,25 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 7
-    hist_sh = word_shingles(
-        docs.filter(~is_new), "doc_id", "text", n=2
-    ).localCheckpoint(eager=True)
     new_sh = word_shingles(
         docs.filter(is_new), "doc_id", "text", n=2
     ).localCheckpoint(eager=True)
 
-    hist_band = lsh_band_rows(
-        minhash_signatures(hist_sh, "doc_id", n_perm=_Q193_PERM),
-        "doc_id",
-        n_perm=_Q193_PERM,
-        bands=_Q193_BANDS,
-    )
+    def hist_band():
+        # Full-history shingle → signature → band rows: executed ONLY
+        # when the index is absent (LAZY — an eager frame here would
+        # re-scan the whole history corpus on every steady-state run).
+        return lsh_band_rows(
+            minhash_signatures(
+                word_shingles(docs.filter(~is_new), "doc_id", "text", n=2),
+                "doc_id",
+                n_perm=_Q193_PERM,
+            ),
+            "doc_id",
+            n_perm=_Q193_PERM,
+            bands=_Q193_BANDS,
+        )
+
     # Persist the index bucketed on the probe key (q81's artifact
     # lifecycle: process-unique token, orphan sweep, atexit removal).
     tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
@@ -3632,12 +3643,12 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         if not spark.catalog.tableExists(tname):
             write_bucketed(
-                hist_band, tname, "bucket", n_buckets=_Q193_BUCKETS,
+                hist_band(), tname, "bucket", n_buckets=_Q193_BUCKETS,
                 sort_col="bucket",
             )
         hist_idx = spark.table(tname)
     except Exception:  # noqa: BLE001 — catalog unavailable: plain frame
-        hist_idx = hist_band
+        hist_idx = hist_band()
 
     probe = lsh_band_rows(
         minhash_signatures(new_sh, "doc_id", n_perm=_Q193_PERM),
@@ -3651,11 +3662,23 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               on="bucket")
         .select("new_id", "hist_id")
         .distinct()
+        # Reused by three verify joins below — checkpoint so the probe
+        # subtree executes once.
+        .localCheckpoint(eager=True)
     )
-    # Exact Jaccard verify on candidates only (q62's stage): candidate
-    # pairs sharing a band bucket can still share zero shingles (a
-    # minhash coincidence), so the common-count join is LEFT and nulls
-    # count as 0.
+    # Exact Jaccard verify on candidates only (q62's stage), shingling
+    # ONLY the candidate history docs: a semi-join on the (bounded)
+    # candidate id set bounds the explode, so steady-state verify cost
+    # scales with the day's near-dup rate, not the corpus.
+    hist_cand_docs = docs.filter(~is_new).join(
+        cand.select(F.col("hist_id").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="semi",
+    )
+    hist_sh = word_shingles(hist_cand_docs, "doc_id", "text", n=2)
+    # Candidate pairs sharing a band bucket can still share zero
+    # shingles (a minhash coincidence), so the common-count join is
+    # LEFT and nulls count as 0.
     a = new_sh.select(F.col("doc_id").alias("new_id"),
                       F.col("shingle_hash").alias("h"))
     bsh = hist_sh.select(F.col("doc_id").alias("hist_id"),
