@@ -1,0 +1,68 @@
+"""q197's cross-run index lifecycle: frozen codebooks mean a
+steady-state run never re-trains (and structurally never re-encodes —
+the history side is a catalog read of the persisted code table), and
+the code table's bucketed-by-id layout serves per-vector access with no
+Exchange."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _run_q197(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q197_incremental_pq_index,
+    )
+
+    return q197_incremental_pq_index(spark, sf_dir)
+
+
+def _codes_table(spark):
+    tabs = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("wetsa_pqcodes_")
+    ]
+    assert tabs, "q197 did not persist its code index"
+    return tabs[0]
+
+
+def test_steady_state_never_retrains(spark, sf_dir, monkeypatch):
+    first = sorted(tuple(r) for r in _run_q197(spark, sf_dir).collect())
+    assert first, "q197 returned no neighbors"
+
+    import wetsa_cams_solrad_timeseries_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("steady-state run re-trained the codebooks")
+
+    # The docstring's claim: once the index exists, history raw vectors
+    # are never touched for training again. With the trainer replaced by
+    # a bomb, the query must still run — off the persisted books — and
+    # return the identical result.
+    monkeypatch.setattr(sim, "pq_train_codebooks", boom)
+    second = sorted(tuple(r) for r in _run_q197(spark, sf_dir).collect())
+    assert second == first
+
+
+def test_code_index_bucketed_serves_id_grouping_shuffle_free(spark, sf_dir):
+    _run_q197(spark, sf_dir).collect()  # ensure the index exists
+    codes = spark.table(_codes_table(spark))
+    per_vec = codes.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("m_codes")
+    )
+    # Bucketed on neighbor_id: the grouped aggregate runs on the scan's
+    # own partitioning — no Exchange anywhere in the plan.
+    assert "Exchange" not in _plan(per_vec)
+    # And the index is complete: every indexed vector has exactly m rows.
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q195_M
+
+    assert per_vec.filter(F.col("m_codes") != _Q195_M).count() == 0

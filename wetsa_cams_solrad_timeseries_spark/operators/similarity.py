@@ -749,6 +749,16 @@ def ann_topk_pq(
     )
     q_src = emb_df.filter(query_ids_pred(F.col(id_col)))
     luts = pq_query_luts(q_src, codebooks, id_col, emb_col)
+    return adc_topk(codes, luts, k)
+
+
+def adc_topk(codes: DataFrame, luts: DataFrame, k: int) -> DataFrame:
+    """ADC search over an ALREADY-ENCODED code table — the stage shared
+    by q195 (encode-inline) and q197 (persisted incremental index):
+    code table ⋈ BROADCAST LUT on (sub, code), one (query, neighbor)
+    groupBy summing the m entries, per-query rank window. ``codes`` has
+    columns (neighbor_id, sub, code); ``luts`` has
+    (query_id, sub, code, d)."""
     adc = (
         codes.join(F.broadcast(luts), on=["sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

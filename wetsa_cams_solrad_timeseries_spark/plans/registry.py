@@ -54,6 +54,7 @@ _PIN_FIRST = (
     "q194_hybrid_retrieval",
     "q195_pq_adc_topk",
     "q196_semantic_dedup",
+    "q197_incremental_pq_index",
     "q191_quantile_sketch_merge",
     # Budget math: 6 pins + ~44 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.

@@ -841,13 +841,16 @@ def q195_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codebook_values(path: str) -> str | None:
+def _pq_codebook_values(path: str, id_filter=None) -> str | None:
     """q195's trained codebooks as SQL VALUES rows ``(sub, code, c)``.
     Replays ``pq_train_codebooks`` bit-for-bit by calling the SAME numpy
     core (``pq_lloyd``) on the SAME row selection
     (``hash_bounded_sample_py`` — the engine's hash32 min-k training cap
     applied Python-side, so the replay matches on corpora ABOVE
-    max_train too, not just gate SFs). None → rows-only fallback."""
+    max_train too, not just gate SFs). ``id_filter`` (a per-id predicate)
+    restricts the training corpus BEFORE the cap — q197 trains on the
+    history shard only, mirroring its engine-side
+    ``pq_train_codebooks(hist)``. None → rows-only fallback."""
     try:
         import duckdb
         import numpy as np
@@ -867,6 +870,8 @@ def _pq_codebook_values(path: str) -> str | None:
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
+    if id_filter is not None:
+        rows = [r for r in rows if id_filter(r[0])]
     ids = [r[0] for r in rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = hash_bounded_sample_py(ids, mat)
@@ -939,6 +944,179 @@ def q195_oracle_for(sf_dir: str) -> str | None:
 
 # LAZY for the same reason as Q56_ORACLE (oracle_fn resolved at call time).
 Q195_ORACLE = None
+
+
+# --------------------------------------------------------------------------
+# q197 — incremental PQ index: frozen codebooks + persisted code table
+# --------------------------------------------------------------------------
+
+_Q197_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q197_QBOUND = 100  # queries = new-shard ids below this bound (≤10 queries)
+_Q197_K = 3
+_Q197_BUCKETS = 16
+
+
+def q197_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ ANN index — q193's cross-run artifact lifecycle
+    applied to q195's compressed index: the HISTORY corpus (vec_id % 10
+    != 7) trains the codebooks ONCE and its PQ codes are persisted ONCE
+    as a managed table bucketed on ``neighbor_id`` (sinks/bucketed.py);
+    the tiny frozen codebooks (m·ksub rows, ~8 KB) persist beside it.
+    Every steady-state ingest run then (a) loads the frozen books — a
+    bounded 128-row collect, (b) encodes ONLY the new shard (vec_id %
+    10 == 7, "today's crawl") with them, and (c) ADC-searches today's
+    documents (new-shard ids below 100) against history ∪ today's
+    codes. History RAW vectors are never touched again — no retraining,
+    no re-encode (tests/test_pq_incremental.py locks this by failing
+    ``pq_train_codebooks`` after the index exists and re-running).
+
+    Freezing the codebooks is the production semantics (FAISS
+    ``IVF/PQ.add()``: train once, encode forever) and what makes
+    incremental ≡ batch PROVABLE: encoding is a pure function of
+    (vector, books), so split-encode must equal one-pass encode — which
+    is exactly what the oracle checks (one-pass SQL encode of the full
+    corpus against the SAME history-trained books, replayed bit-for-bit
+    via the shared ``pq_lloyd``/``hash_bounded_sample_py`` core).
+
+    Scale shape: per ingest run, work = new-shard encode (one Arrow
+    kernel scan-stage pass) + the ADC probe (code table ⋈ broadcast
+    LUT, one grouped sum). The persisted code table IS the 100 TB
+    serving index — 16× compressed, clustered by vector id so per-vector
+    code groups never straddle buckets and appends preserve the layout
+    (the q193 append discipline)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        adc_topk,
+        pq_encode,
+        pq_query_luts,
+        pq_train_codebooks,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+
+    def as_codes(df: DataFrame) -> DataFrame:
+        return df.select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    books_t = f"wetsa_pqbooks_{tag}_{_Q197_TOKEN}"
+    codes_t = f"wetsa_pqcodes_{tag}_{_Q197_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_artifact_dir,
+        )
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        for fam, tname in (
+            (f"wetsa_pqbooks_{tag}_*", books_t),
+            (f"wetsa_pqcodes_{tag}_*", codes_t),
+        ):
+            claim_artifact_dir(
+                os.path.join(wh, fam), _Q197_TOKEN, os.path.join(wh, tname)
+            )
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    books = None
+    try:
+        if not spark.catalog.tableExists(books_t):
+            # Index build (once per corpus generation): train on history,
+            # persist books + bucketed history codes.
+            books = pq_train_codebooks(
+                hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
+            )
+            spark.createDataFrame(
+                [
+                    (s, c, books[s][c])
+                    for s in range(_Q195_M)
+                    for c in range(_Q195_KSUB)
+                ],
+                "sub int, code int, c array<double>",
+            ).write.mode("overwrite").saveAsTable(books_t)
+            write_bucketed(
+                as_codes(pq_encode(hist, books)),
+                codes_t,
+                "neighbor_id",
+                n_buckets=_Q197_BUCKETS,
+                sort_col="neighbor_id",
+            )
+        if books is None:
+            # Steady state: the frozen books come off the catalog —
+            # m·ksub rows, a bounded (and documented) collect.
+            books = [
+                [None] * _Q195_KSUB for _ in range(_Q195_M)
+            ]
+            for r in spark.table(books_t).collect():
+                books[r["sub"]][r["code"]] = list(r["c"])
+        hist_codes = spark.table(codes_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if books is None:
+            books = pq_train_codebooks(
+                hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
+            )
+        hist_codes = as_codes(pq_encode(hist, books))
+
+    new_codes = as_codes(pq_encode(emb.filter(is_new), books))
+    index = hist_codes.unionByName(new_codes)
+    q_src = emb.filter(is_new & (F.col("vec_id") < _Q197_QBOUND))
+    return adc_topk(index, pq_query_luts(q_src, books), k=_Q197_K)
+
+
+_Q197_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+books(sub, code, c) AS (VALUES __PQ_VALUES__),
+dists AS MATERIALIZED (
+  -- referenced by BOTH codes and luts (q195's materialization lesson)
+  SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
+  FROM vecs CROSS JOIN books b
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d ASC, code ASC) AS r
+    FROM dists
+  ) WHERE r = 1
+),
+luts AS (
+  SELECT vec_id AS query_id, sub, code, d
+  FROM dists WHERE vec_id % 10 = 7 AND vec_id < {_Q197_QBOUND}
+),
+adc AS (
+  SELECT l.query_id, cd.neighbor_id,
+         round(sum(l.d) + 1e-9, 6) AS adc
+  FROM codes cd JOIN luts l ON l.sub = cd.sub AND l.code = cd.code
+  WHERE cd.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_Q197_K}
+"""
+
+
+def q197_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q197 oracle: books trained on the HISTORY shard only
+    (``id_filter`` applied before the sample cap — the exact corpus
+    ``pq_train_codebooks(hist)`` sees), then a ONE-PASS batch encode +
+    ADC of the full corpus: incremental-vs-batch equivalence is the
+    property a cross-run index must hold (q193's contract)."""
+    values = _pq_codebook_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    return None if values is None else _Q197_ORACLE_TEMPLATE.replace(
+        "__PQ_VALUES__", values
+    )
+
+
+Q197_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
@@ -1291,6 +1469,8 @@ SPECS = make_specs(
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
          "SemDeDup: cluster-bounded embedding dedup with survivors"),
+        ("q197_incremental_pq_index", q197_incremental_pq_index, Q197_ORACLE, (),
+         "incremental PQ index: frozen books + persisted code table"),
     ]
 )
 
@@ -1304,4 +1484,7 @@ SPECS["q195_pq_adc_topk"] = _dc.replace(
 )
 SPECS["q196_semantic_dedup"] = _dc.replace(
     SPECS["q196_semantic_dedup"], oracle_fn=q196_oracle_for
+)
+SPECS["q197_incremental_pq_index"] = _dc.replace(
+    SPECS["q197_incremental_pq_index"], oracle_fn=q197_oracle_for
 )
