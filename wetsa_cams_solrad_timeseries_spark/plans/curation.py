@@ -1629,6 +1629,131 @@ FROM combined
 
 
 
+# --------------------------------------------------------------------------
+# q198 — maximal cross-document repeated token spans (ExactSubstr dedup)
+# --------------------------------------------------------------------------
+
+_Q198_W = 4  # gram width in tokens (GPT-3 used 13; a dial, not structure)
+_Q198_MIN_DOCS = 2
+
+
+def q198_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token spans — the cut-and-remove
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove the repeated
+    SPAN, keep the document), at token-n-gram granularity instead of a
+    suffix array. q104 answers "is this document contaminated?"; q198
+    answers "WHICH token range is boilerplate?" — per document, every
+    maximal run of consecutive 4-grams that also appear in ≥1 OTHER
+    document, as (start_pos, end_pos, span_tokens) 1-based token
+    coordinates a downstream pass can splice out.
+
+    Composition: per-doc lead() window builds the grams (q104's
+    pattern); one grouped aggregate finds grams spanning ≥2 distinct
+    docs; a semi-join keeps the repeated positions; and a
+    gaps-and-islands window (pos − row_number, the q129 streak idiom)
+    merges adjacent gram hits into maximal spans. Intra-document-only
+    repeats are deliberately out of scope (count DISTINCT docs).
+
+    Scale shape: the gram aggregate is the only corpus-sized shuffle —
+    at 100 TB hash each gram to an 8-byte key (xxhash64) before the
+    shuffle and semi-join on the hash, so shuffle volume is fixed-width
+    per token, never gram-string-sized (the q33 banding discipline;
+    strings kept here for oracle readability at gate SFs). Everything
+    else is per-document windows bounded by document length and one
+    grouped min/max — no global stage, no collect."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")]
+    for i in range(1, _Q198_W):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    # grams feed BOTH the repeated-gram aggregate and the probe side —
+    # checkpoint the (tokenize + window) subtree once (q104 convention).
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat(*parts).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _Q198_MIN_DOCS)
+        .select("gram")
+    )
+    hits = grams.join(rep, "gram", "left_semi").select("doc_id", "pos")
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(wi))
+    last_tok = F.col("last_gram") + _Q198_W - 1
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("last_gram"))
+        .select(
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            last_tok.cast("long").alias("end_pos"),
+            (last_tok - F.col("start_pos") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def _q198_gram_sql() -> str:
+    parts = ["tok"]
+    for i in range(1, _Q198_W):
+        parts += ["' '", f"lead(tok, {i}) OVER w"]
+    return " || ".join(parts)
+
+
+Q198_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(arr, 1) AS pos,
+         unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM documents
+  )
+),
+g AS (
+  SELECT doc_id, pos, {_q198_gram_sql()} AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2 AS MATERIALIZED (
+  -- referenced by BOTH rep and hits (the q192 materialization lesson)
+  SELECT doc_id, pos, gram FROM g WHERE gram IS NOT NULL
+),
+rep AS (
+  SELECT gram FROM g2 GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= {_Q198_MIN_DOCS}
+),
+hits AS (
+  SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM rep)
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_pos,
+       CAST(max(pos) + {_Q198_W - 1} AS BIGINT) AS end_pos,
+       CAST(max(pos) + {_Q198_W - 1} - min(pos) + 1 AS BIGINT)
+         AS span_tokens
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1681,5 +1806,7 @@ SPECS = make_specs(
          "blocked edit-distance entity resolution"),
         ("q124_schema_evolution_union", q124_schema_evolution_union,
          Q124_ORACLE, (), "unionByName with schema evolution"),
+        ("q198_repeated_spans", q198_repeated_spans, Q198_ORACLE, (),
+         "maximal cross-doc repeated token spans (ExactSubstr dedup)"),
     ]
 )
