@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.catalog import table
+from wetsa_cams_solrad_timeseries_spark.functions.hashing import (
+    hash32,
+    hash32_sql_duckdb,
+)
 from wetsa_cams_solrad_timeseries_spark.plans._spec import (
     exact_sum,
     exact_sum_sql,
@@ -1754,6 +1758,126 @@ FROM isl GROUP BY doc_id, isl
 """
 
 
+# --------------------------------------------------------------------------
+# q199 — temperature mixture resampling: epochs + deterministic multiplicity
+# --------------------------------------------------------------------------
+
+_Q199_ALPHA = 0.5  # temperature exponent: target share ∝ tokens^α
+_Q199_CAP = 4.0  # max effective epochs per domain
+
+
+def q199_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture resampling — the step between
+    q101's "what weight should each domain get?" and the tokenizer:
+    flatten the natural token distribution with target share ∝ tokens^α
+    (the multilingual sampling rule of XLM-R/mT5, α=0.5), convert each
+    domain's target-vs-natural share ratio into EFFECTIVE EPOCHS capped
+    at 4 (the data-constrained-scaling guidance that up to ~4 repeats
+    behave like fresh data — Muennighoff et al. 2023), then assign every
+    document a DETERMINISTIC multiplicity: floor(epochs) copies plus one
+    more iff its portable-hash uniform draw falls under the fractional
+    part. Output per domain: corpus stats, shares, epochs, and the
+    sampled-plan totals (docs and tokens after multiplicity).
+
+    The hash-Bernoulli residual (hash32(doc_id)/2^32 < frac) is what
+    makes the sampled corpus a reproducible PLAN rather than an RNG
+    draw: every engine, run, and executor picks the same copies, so the
+    materialization step — explode(sequence(1, mult)), scan-stage, no
+    shuffle — can run independently per partition at 100 TB and still
+    compose into exactly this accounting.
+
+    Scale shape: two grouped aggregates (per-doc token count → domain
+    stats), one 1-row totals broadcast, one small-dim broadcast join
+    back to docs, one final grouped sum. No window, no collect; the
+    epochs ratio is computed on raw doubles and round6'd ONCE, and the
+    rounded value drives the multiplicity compare on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    wt = F.pow(F.col("n_tokens").cast("double"), F.lit(_Q199_ALPHA))
+    tot = dom.agg(
+        F.sum("n_tokens").cast("double").alias("__tot"),
+        F.sum(wt).alias("__wsum"),
+    )
+    nat = F.col("n_tokens") / F.col("__tot")
+    tgt = wt / F.col("__wsum")
+    sh = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round6(nat).alias("natural_share"),
+        round6(tgt).alias("target_share"),
+        round6(F.least(tgt / nat, F.lit(_Q199_CAP))).alias("epochs"),
+    )
+    u = hash32(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+    mult = F.floor(F.col("epochs")).cast("long") + F.when(
+        u < F.col("epochs") - F.floor(F.col("epochs")), F.lit(1)
+    ).otherwise(F.lit(0))
+    magg = (
+        per_doc.join(maybe_broadcast(sh.select("source", "epochs")), "source")
+        .select("source", "n_tok", mult.alias("mult"))
+        .groupBy("source")
+        .agg(
+            F.sum("mult").cast("long").alias("n_sampled_docs"),
+            F.sum(F.col("mult") * F.col("n_tok")).cast("long").alias(
+                "n_sampled_tokens"
+            ),
+        )
+    )
+    return sh.join(magg, "source")
+
+
+Q199_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+dom AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         sum(power(CAST(n_tokens AS DOUBLE), {_Q199_ALPHA})) AS wsum
+  FROM dom
+),
+sh AS MATERIALIZED (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / tot + 1e-9, 6) AS natural_share,
+         round(power(CAST(n_tokens AS DOUBLE), {_Q199_ALPHA}) / wsum
+               + 1e-9, 6) AS target_share,
+         round(least((power(CAST(n_tokens AS DOUBLE), {_Q199_ALPHA}) / wsum)
+                     / (n_tokens / tot), {_Q199_CAP}) + 1e-9, 6) AS epochs
+  FROM dom CROSS JOIN tot
+),
+m AS (
+  SELECT p.source, p.n_tok,
+         CAST(floor(s.epochs) AS BIGINT)
+         + CASE WHEN {hash32_sql_duckdb("CAST(p.doc_id AS VARCHAR)")}
+                     / 4294967296.0 < s.epochs - floor(s.epochs)
+                THEN 1 ELSE 0 END AS mult
+  FROM per_doc p JOIN sh s USING (source)
+),
+magg AS (
+  SELECT source,
+         CAST(sum(mult) AS BIGINT) AS n_sampled_docs,
+         CAST(sum(mult * n_tok) AS BIGINT) AS n_sampled_tokens
+  FROM m GROUP BY source
+)
+SELECT s.source, s.n_docs, s.n_tokens, s.natural_share, s.target_share,
+       s.epochs, magg.n_sampled_docs, magg.n_sampled_tokens
+FROM sh s JOIN magg USING (source)
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1808,5 +1932,7 @@ SPECS = make_specs(
          Q124_ORACLE, (), "unionByName with schema evolution"),
         ("q198_repeated_spans", q198_repeated_spans, Q198_ORACLE, (),
          "maximal cross-doc repeated token spans (ExactSubstr dedup)"),
+        ("q199_mixture_epochs", q199_mixture_epochs, Q199_ORACLE, (),
+         "temperature mixture resampling with deterministic multiplicity"),
     ]
 )

@@ -56,6 +56,7 @@ _PIN_FIRST = (
     "q196_semantic_dedup",
     "q197_incremental_pq_index",
     "q198_repeated_spans",
+    "q199_mixture_epochs",
     "q191_quantile_sketch_merge",
     # Budget math: 6 pins + ~44 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.
