@@ -1120,6 +1120,94 @@ Q197_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q200 — hard-negative mining for contrastive retrieval training
+# --------------------------------------------------------------------------
+
+_Q200_NQ = 8
+_Q200_K = 5
+
+
+def q200_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data builder
+    (DPR, Karpukhin et al. 2020; the same loop trains E5/SimCSE-style
+    embedders): for each query vector, the top-k most-similar corpus
+    vectors whose LABEL differs from the query's. Same-label vectors
+    are presumed positives and excluded — what remains is exactly the
+    "semantically close but wrong" set whose gradients do the work in
+    a contrastive batch.
+
+    Plan shape: q38's exact-cosine discipline — the bounded query side
+    (with its label) broadcasts, the corpus streams through one scan
+    with the label inequality applied BEFORE scoring output, and the
+    per-query top-k window runs as partial top-k. At 100 TB swap the
+    brute-force scorer for q56's IVF probe and apply the same label
+    anti-filter to the candidate set — the mining semantics and this
+    oracle are unchanged."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        dot_product,
+        l2_norm,
+        to_double_array,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    base = emb.select(
+        "vec_id", "label", v.alias("__v"), l2_norm(v).alias("__n")
+    )
+    q = base.filter(F.col("vec_id") < _Q200_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__ql"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("__ql"))
+        .select(
+            "query_id",
+            "negative_id",
+            "neg_label",
+            F.round(cos + F.lit(1e-9), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q200_K)
+
+
+Q200_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+         c.label AS neg_label, {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c ON c.label <> q.label
+  WHERE q.vec_id < {_Q200_NQ}
+)
+SELECT query_id, negative_id, neg_label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= {_Q200_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # q196 — semantic dedup (SemDeDup): cluster, then dedup within clusters
 # --------------------------------------------------------------------------
 
@@ -1471,6 +1559,8 @@ SPECS = make_specs(
          "SemDeDup: cluster-bounded embedding dedup with survivors"),
         ("q197_incremental_pq_index", q197_incremental_pq_index, Q197_ORACLE, (),
          "incremental PQ index: frozen books + persisted code table"),
+        ("q200_hard_negatives", q200_hard_negatives, Q200_ORACLE, (),
+         "hard-negative mining (top-k cross-label cosine)"),
     ]
 )
 
