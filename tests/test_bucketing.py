@@ -181,3 +181,52 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_incremental_postings_history_side_no_shuffle(spark, sf_dir):
+    # q201's scale property: merging the NEW shard's postings stats into
+    # the persisted history table (bucketed on `token`) shuffles ONLY
+    # the delta side — the history side's bucketed layout already
+    # satisfies the full-outer join distribution.
+    import re
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+
+    def stats(part):
+        tok = part.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        ).where(F.col("token") != "")
+        tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        return tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.max(F.struct("tf", "doc_id")).alias("top"),
+        )
+
+    write_bucketed(
+        stats(docs.filter(~is_new)), "t_post_hist_b", "token",
+        n_buckets=8, sort_col="token",
+    )
+    # localCheckpoint cuts the delta pipeline's own lineage so the
+    # inspected plan is just the merge join — the property under test.
+    delta = stats(docs.filter(is_new)).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = delta.hint("merge").join(
+            spark.table("t_post_hist_b"), on="token", how="full"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, plan  # delta side only
+        tree = plan.split("(1) ")[0]
+        hist_branch = [
+            l for l in tree.splitlines() if "t_post_hist_b" in l
+        ]
+        assert hist_branch and all("Exchange" not in l for l in hist_branch)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_post_hist_b")

@@ -3755,6 +3755,125 @@ Q193_ORACLE = _q193_oracle()
 
 
 # --------------------------------------------------------------------------
+# q201 — incrementally-maintained postings index (mergeable BM25 stats)
+# --------------------------------------------------------------------------
+
+_Q201_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q201_BUCKETS = 16
+
+
+def q201_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained postings-statistics table — the LEXICAL
+    index member of the cross-run index trio (q193 dedup index, q197
+    vector index, this one feeds q194's BM25): history per-token stats
+    (df, total_tf, top-document struct) persisted ONCE as a managed
+    table bucketed on ``token``; each ingest run computes the NEW
+    shard's stats (delta-sized) and MERGES them additively — df and
+    total_tf add because the shards partition documents (a doc lives in
+    exactly one shard), and the top-doc struct-max is itself mergeable
+    (max is algebraic, q122's decomposition). The merge join's history
+    side is the bucketed scan, so the only Exchanges in the plan hang
+    off the delta (tests/test_bucketing.py::
+    test_incremental_postings_history_side_no_shuffle).
+
+    Output = q152's exact top-50 statistics table, and the oracle IS
+    q152's batch SQL over the whole corpus: additive maintenance must
+    land on exactly the answer a full recompute gives — the invariance
+    that defines incremental view maintenance, here proven for the
+    index that serves BM25 (q194 reads df/total_tf shaped stats).
+
+    Scale shape: per run, everything is delta-sized (tokenize → two
+    partial-aggregated shuffles → merge join keyed by token); history
+    cost is a bucketed ordered scan, shuffle-free forever after the one
+    write. At 100 TB the merged stats write back through the same
+    bucketed layout, touching only tokens the delta contained."""
+    import os
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+
+    def stats(part: DataFrame) -> DataFrame:
+        tok = part.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+        ).where(F.col("token") != "")
+        tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        return tf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.max(F.struct("tf", "doc_id")).alias("top"),
+        )
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    tname = f"wetsa_postidx_{tag}_{_Q201_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_artifact_dir,
+        )
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        claim_artifact_dir(
+            os.path.join(wh, f"wetsa_postidx_{tag}_*"),
+            _Q201_TOKEN,
+            os.path.join(wh, tname),
+        )
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(tname):
+            write_bucketed(
+                stats(docs.filter(~is_new)), tname, "token",
+                n_buckets=_Q201_BUCKETS, sort_col="token",
+            )
+        hist = spark.table(tname)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frame
+        hist = stats(docs.filter(~is_new))
+
+    delta = stats(docs.filter(is_new))
+    h = hist.select(
+        "token",
+        F.col("df").alias("df_h"),
+        F.col("total_tf").alias("tt_h"),
+        F.col("top").alias("top_h"),
+    )
+    d = delta.select(
+        "token",
+        F.col("df").alias("df_n"),
+        F.col("total_tf").alias("tt_n"),
+        F.col("top").alias("top_n"),
+    )
+    zero = F.lit(0).cast("long")
+    merged = h.join(d, "token", "full").select(
+        "token",
+        (F.coalesce("df_h", zero) + F.coalesce("df_n", zero)).alias("df"),
+        (F.coalesce("tt_h", zero) + F.coalesce("tt_n", zero)).alias(
+            "total_tf"
+        ),
+        # greatest() skips nulls, so a token present on one side only
+        # keeps that side's top document unchanged.
+        F.greatest("top_h", "top_n").alias("top"),
+    )
+    return (
+        merged.select(
+            "token",
+            "df",
+            "total_tf",
+            F.col("top.doc_id").alias("top_doc"),
+            F.col("top.tf").alias("top_tf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(_Q152_TOPK)
+    )
+
+
+# Incremental == batch invariance: the oracle is q152's full recompute.
+Q201_ORACLE = Q152_ORACLE
+
+
+# --------------------------------------------------------------------------
 # q192 — PageRank looped to CONVERGENCE (early-stop iterative operator)
 # --------------------------------------------------------------------------
 
@@ -3984,5 +4103,8 @@ SPECS = make_specs(
          "PageRank looped to convergence (early-stop proof)"),
         ("q193_incremental_dedup", q193_incremental_dedup, Q193_ORACLE, (),
          "incremental dedup vs persisted bucketed LSH index"),
+        ("q201_incremental_postings", q201_incremental_postings,
+         Q201_ORACLE, (),
+         "incrementally-maintained postings index (mergeable BM25 stats)"),
     ]
 )
