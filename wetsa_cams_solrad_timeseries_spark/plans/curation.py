@@ -1878,6 +1878,139 @@ FROM sh s JOIN magg USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# q202 — bigram-LM perplexity scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+
+
+def q202_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering — the CCNet recipe (Wenzek et
+    al. 2020: score every document with an LM trained on a trusted
+    corpus, gate on perplexity) with the KenLM stand-in this engine can
+    train DISTRIBUTED: an add-1-smoothed bigram model. The history
+    shard (doc_id % 10 != 7) supplies unigram counts, bigram counts and
+    vocabulary size; each NEW-shard document is scored with the average
+    per-pair log-probability ln((C(w1,w2)+1)/(C(w1)+V)) and its
+    pseudo-perplexity exp(−avg). Unseen words/pairs fall through the
+    smoothing via left joins + coalesce(0).
+
+    The same two-count-table scaffold is the DSIR importance-resampling
+    backbone (Xie et al. 2023): score each doc under a TARGET-domain
+    model and a SOURCE model, and the weight is the likelihood ratio —
+    one more copy of these joins.
+
+    Determinism: per-pair logp round6 before the sum (the engine-wide
+    float-lockstep convention), doc aggregate round6 again; ln on both
+    engines (q64's parity).
+
+    Scale shape: training is two grouped counts over the history scan;
+    scoring is delta-sized — the new shard's pairs LEFT-join the count
+    tables on (w1,w2) and w1 (corpus-linear shuffles, partial-agg
+    combinable), plus one 1-row vocab broadcast. The count tables are
+    the persistable artifact: bucket them on their join keys (q201's
+    layout) and steady-state scoring shuffles only the day's shard."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    raw = F.split(F.lower("text"), "[^a-z0-9]+")
+    ws = F.filter(raw, lambda x: x != "")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    pairs_col = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("ws", F.lit(1), n - 1).alias("w1"),
+            F.slice("ws", F.lit(2), n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = toks.select(
+        "doc_id", F.explode(pairs_col).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    hist_toks = toks.filter(~is_new)
+    uni = (
+        hist_toks.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bi = (
+        pairs.filter(~is_new)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+
+    logp = round6(
+        F.log(
+            (F.coalesce("cb", F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.coalesce("cu", F.lit(0)).cast("double") + F.col("__v"))
+        )
+    )
+    scored = (
+        pairs.filter(is_new)
+        .join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("lp"))
+    )
+    avg_lp = F.round(F.sum("lp") / F.count(F.lit(1)) + F.lit(1e-9), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        avg_lp.alias("avg_logp"),
+    ).select(
+        "doc_id",
+        "n_pairs",
+        "avg_logp",
+        round6(F.exp(-F.col("avg_logp"))).alias("pseudo_ppl"),
+    )
+
+
+Q202_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+pairs AS (
+  -- parallel unnest of two aligned slices (range() cannot lateral-join)
+  SELECT doc_id,
+         unnest(ws[1:len(ws) - 1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM toks
+  WHERE len(ws) >= 2
+),
+uni AS (
+  SELECT w1, count(*) AS cu FROM (
+    SELECT unnest(ws) AS w1 FROM toks WHERE doc_id % 10 <> 7
+  ) GROUP BY w1
+),
+bi AS (
+  SELECT w1, w2, count(*) AS cb FROM pairs
+  WHERE doc_id % 10 <> 7 GROUP BY w1, w2
+),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+scored AS (
+  SELECT p.doc_id,
+         round(ln((CAST(coalesce(bi.cb, 0) AS DOUBLE) + 1.0)
+                  / (CAST(coalesce(uni.cu, 0) AS DOUBLE) + vocab.v))
+               + 1e-9, 6) AS lp
+  FROM pairs p
+  LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+  LEFT JOIN uni ON uni.w1 = p.w1
+  CROSS JOIN vocab
+  WHERE p.doc_id % 10 = 7
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_pairs,
+         round(sum(lp) / count(*) + 1e-9, 6) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_pairs, avg_logp,
+       round(exp(-avg_logp) + 1e-9, 6) AS pseudo_ppl
+FROM agg
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1934,5 +2067,7 @@ SPECS = make_specs(
          "maximal cross-doc repeated token spans (ExactSubstr dedup)"),
         ("q199_mixture_epochs", q199_mixture_epochs, Q199_ORACLE, (),
          "temperature mixture resampling with deterministic multiplicity"),
+        ("q202_bigram_perplexity", q202_bigram_perplexity, Q202_ORACLE, (),
+         "bigram-LM perplexity scoring (CCNet-style quality filter)"),
     ]
 )
