@@ -79,6 +79,20 @@ BUDGETS = [
      ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
+    # Incremental PQ index: encode kernels are scan-stage; ADC join is
+    # broadcast-LUT; no corpus-wide exchange beyond the grouped sum.
+    ("q197_incremental_pq_index", 5, [], ["CartesianProduct"]),
+    # Repeated spans: gram agg + semi-join + island windows — bounded.
+    ("q198_repeated_spans", 6, [], ["CartesianProduct", "Python"]),
+    # Mixture epochs: grouped aggs + 1-row totals + small-dim joins.
+    ("q199_mixture_epochs", 12, [], ["Python"]),
+    # Hard negatives: query side broadcast, corpus streamed — the only
+    # exchanges serve the per-query top-k window.
+    ("q200_hard_negatives", 3, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Incremental postings: delta-sized aggs + merge join.
+    ("q201_incremental_postings", 5, [], ["CartesianProduct", "Python"]),
+    # Bigram LM: count-table joins stay hash/broadcast, no cartesian.
+    ("q202_bigram_perplexity", 9, [], ["CartesianProduct", "Python"]),
 ]
 
 
