@@ -60,6 +60,7 @@ _PIN_FIRST = (
     "q200_hard_negatives",
     "q201_incremental_postings",
     "q202_bigram_perplexity",
+    "q203_streaming_pq_encode",
     "q191_quantile_sketch_merge",
     # Budget math: 12 pins + ~38 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.

@@ -1189,6 +1189,100 @@ def q200_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= _Q200_K)
 
 
+# --------------------------------------------------------------------------
+# q203 — streaming PQ encode (compress shards as they arrive)
+# --------------------------------------------------------------------------
+
+
+def _split_embeddings(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+    """Embeddings twin of :func:`_split_events` (same artifact
+    discipline: process-unique token, _SUCCESS gate, sweep + atexit)."""
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_emb_split_*_{sf_tag}*"),
+        _SPLIT_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"wetsa_emb_split_{_SPLIT_TOKEN}_{sf_tag}_f{n_files}",
+        ),
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            n_files
+        ).write.mode("overwrite").parquet(split_dir)
+    return split_dir
+
+
+def q203_streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ encode — the STREAMING member of the
+    index-maintenance lifecycle (q193 band rows, q197 frozen-book PQ,
+    q201 postings): embedding shards arrive as micro-batches
+    (multi-file replay, maxFilesPerTrigger=1) and foreachBatch
+    Arrow-encodes each with FROZEN codebooks, appending a per-batch
+    generation to the code index. The at-least-once hazard is handled
+    with batchId-gated generation dirs (streaming/pq_encode_stream.py);
+    the fn asserts >1 micro-batch committed.
+
+    Because encode is a pure per-row function of (vector, books), the
+    drained index must equal the one-pass BATCH encode — the oracle
+    replays the training bit-for-bit (shared pq_lloyd core, q195's
+    literalization) and computes exactly that, so arrival order and
+    batch boundaries provably cannot change the index.
+
+    Scale shape: per micro-batch, one scan-stage Arrow kernel pass and
+    one append write — no shuffle, no state store, no global stage; the
+    accumulated index stays a distributed scan (never collected). This
+    is how a 100 TB corpus's serving index keeps up with ingest: encode
+    rides the ingest stream, and q197's searcher reads the same table."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.pq_encode_stream import (
+        streaming_pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM)
+    split_dir = _split_embeddings(spark, sf_dir)
+    return streaming_pq_encode(spark, split_dir, books)
+
+
+_Q203_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+books(sub, code, c) AS (VALUES __PQ_VALUES__),
+dists AS (
+  SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
+  FROM vecs CROSS JOIN books b
+)
+SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d ASC, code ASC) AS r
+  FROM dists
+) WHERE r = 1
+"""
+
+
+def q203_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q203 oracle: the one-pass batch encode of the full
+    corpus under the same full-corpus-trained books as the stream."""
+    values = _pq_codebook_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q203_ORACLE_TEMPLATE.replace(
+        "__PQ_VALUES__", values
+    )
+
+
+Q203_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 Q200_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1561,6 +1655,8 @@ SPECS = make_specs(
          "incremental PQ index: frozen books + persisted code table"),
         ("q200_hard_negatives", q200_hard_negatives, Q200_ORACLE, (),
          "hard-negative mining (top-k cross-label cosine)"),
+        ("q203_streaming_pq_encode", q203_streaming_pq_encode, Q203_ORACLE, (),
+         "streaming PQ encode: foreachBatch append to the code index"),
     ]
 )
 
@@ -1577,4 +1673,7 @@ SPECS["q196_semantic_dedup"] = _dc.replace(
 )
 SPECS["q197_incremental_pq_index"] = _dc.replace(
     SPECS["q197_incremental_pq_index"], oracle_fn=q197_oracle_for
+)
+SPECS["q203_streaming_pq_encode"] = _dc.replace(
+    SPECS["q203_streaming_pq_encode"], oracle_fn=q203_oracle_for
 )
