@@ -3874,6 +3874,116 @@ Q201_ORACLE = Q152_ORACLE
 
 
 # --------------------------------------------------------------------------
+# q204 — CUSUM changepoint detection (drift QC over daily series)
+# --------------------------------------------------------------------------
+
+_Q204_K = 0.5  # CUSUM slack (in σ units)
+_Q204_H = 4.0  # alarm threshold (in σ units)
+
+
+def q204_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection (Page 1954) over each event
+    type's daily-mean series — the sequential QC screen a sensor
+    platform (the reference's domain) or a data pipeline runs to catch
+    level shifts that per-point z-score filters miss: standardize each
+    day against the series' own mean/σ, then fold
+    ``S_t = max(0, S_{t−1} + z_t − k)`` through time and flag days where
+    S crosses h. The recurrence is a NON-associative ordered fold
+    (q154/q187/q190's class), so the plan is: distributed daily
+    aggregate + per-type stats join (the data-sized work), then a keyed
+    applyInPandas scan over the tiny per-type series.
+
+    Cross-engine float lockstep: the daily mean, the per-type mean/σ,
+    the z-scores, AND every fold step round6 (q190's per-step resync —
+    a zero-σ series short-circuits to z = 0 on both engines). The
+    oracle replays the identical recurrence as a recursive CTE.
+
+    Scale shape: fold input is one row per (type, day) — aggregate-
+    sized, not event-sized; millions of independent series spread the
+    folds across the cluster (the q154 keyed-fold shape)."""
+    import math
+
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        round6(F.avg("value")).alias("y")
+    )
+    stats = daily.groupBy("event_type").agg(
+        round6(F.avg("y")).alias("__mu"),
+        round6(F.stddev_samp("y")).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd").isNull() | (F.col("__sd") == 0.0), F.lit(0.0)
+    ).otherwise(round6((F.col("y") - F.col("__mu")) / F.col("__sd")))
+    zdf = daily.join(maybe_broadcast(stats), "event_type").select(
+        "event_type", "day", z.alias("z")
+    )
+
+    k, h = _Q204_K, _Q204_H
+
+    def r6(x: float) -> float:
+        # Half-away-from-zero with the repo's +1e-9 nudge (q190's twin).
+        y = x + 1e-9
+        return math.copysign(math.floor(abs(y) * 1e6 + 0.5), y) / 1e6
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        s, out = 0.0, []
+        for zt in pdf["z"].to_numpy(dtype=float):
+            s = r6(max(0.0, s + zt - k))
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].to_numpy(),
+                "day": pdf["day"].to_numpy(),
+                "cusum": out,
+                "alarm": [int(v > h) for v in out],
+            }
+        )
+
+    from wetsa_cams_solrad_timeseries_spark.operators.sequential import (
+        _fold_by_key,
+    )
+
+    return _fold_by_key(
+        zdf, "event_type", fold,
+        "event_type string, day date, cusum double, alarm int",
+    )
+
+
+Q204_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         round(avg(value) + 1e-9, 6) AS y
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, round(avg(y) + 1e-9, 6) AS mu,
+         round(stddev_samp(y) + 1e-9, 6) AS sd
+  FROM daily GROUP BY 1
+), ordered AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+              ELSE round((d.y - s.mu) / s.sd + 1e-9, 6) END AS z,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN stats s USING (event_type)
+), rec AS (
+  SELECT event_type, day, rn,
+         round(greatest(0.0, z - {_Q204_K}) + 1e-9, 6) AS s
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.rn,
+         round(greatest(0.0, r.s + o.z - {_Q204_K}) + 1e-9, 6)
+  FROM ordered o JOIN rec r
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, day, s AS cusum,
+       CAST(s > {_Q204_H} AS INTEGER) AS alarm
+FROM rec
+"""
+
+
+# --------------------------------------------------------------------------
 # q192 — PageRank looped to CONVERGENCE (early-stop iterative operator)
 # --------------------------------------------------------------------------
 
@@ -4106,5 +4216,7 @@ SPECS = make_specs(
         ("q201_incremental_postings", q201_incremental_postings,
          Q201_ORACLE, (),
          "incrementally-maintained postings index (mergeable BM25 stats)"),
+        ("q204_cusum_changepoints", q204_cusum_changepoints, Q204_ORACLE, (),
+         "CUSUM changepoint detection (keyed non-associative fold)"),
     ]
 )
