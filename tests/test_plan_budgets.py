@@ -93,6 +93,9 @@ BUDGETS = [
     ("q201_incremental_postings", 5, [], ["CartesianProduct", "Python"]),
     # Bigram LM: count-table joins stay hash/broadcast, no cartesian.
     ("q202_bigram_perplexity", 9, [], ["CartesianProduct", "Python"]),
+    # CUSUM: daily agg + stats agg + keyed fold — aggregate-sized fold.
+    ("q204_cusum_changepoints", 4, ["FlatMapGroupsInPandas"],
+     ["CartesianProduct"]),
 ]
 
 
