@@ -290,3 +290,68 @@ def test_skyline_matches_quadratic_reference(spark, pdf):
         if not dominated:
             want.add(p.pid)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# q198's repeated_spans vs a brute-force reference (random tiny-vocab
+# corpora maximize repeated grams and adjacency edge cases: multiple
+# islands per doc, spans at doc boundaries, intra-doc-only repeats).
+# --------------------------------------------------------------------------
+@st.composite
+def _doc_corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=5))
+    return [
+        (
+            i,
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(["a", "b", "c"]),
+                        min_size=0,
+                        max_size=12,
+                    )
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+def _ref_spans(docs, w, min_docs):
+    grams, per_doc = {}, {}
+    for did, text in docs:
+        toks = [t for t in text.strip().split() if t]
+        gs = [
+            (i + 1, " ".join(toks[i : i + w]))
+            for i in range(len(toks) - w + 1)
+        ]
+        per_doc[did] = gs
+        for _, g in gs:
+            grams.setdefault(g, set()).add(did)
+    rep = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    spans = []
+    for did, gs in per_doc.items():
+        pos = sorted(p for p, g in gs if g in rep)
+        start = prev = None
+        for p in pos:
+            if prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                spans.append((did, start, prev + w - 1, prev + w - 1 - start + 1))
+            start = prev = p
+        if prev is not None:
+            spans.append((did, start, prev + w - 1, prev + w - 1 - start + 1))
+    return sorted(spans)
+
+
+@given(docs=_doc_corpus())
+@SET
+def test_repeated_spans_match_reference(spark, docs):
+    from wetsa_cams_solrad_timeseries_spark.operators.text import repeated_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in repeated_spans(df, "doc_id", "text", w=2).collect()
+    )
+    assert got == _ref_spans(docs, w=2, min_docs=2)

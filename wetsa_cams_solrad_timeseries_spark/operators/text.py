@@ -126,3 +126,70 @@ def fingerprints(
         F.array_max(hashes).alias("fp_max_shingle"),
         F.size(hashes).cast("long").alias("n_shingles"),
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans (q198's operator —
+    the cut-and-remove ExactSubstr dedup form at n-gram granularity):
+    per document, every maximal run of consecutive ``w``-grams that also
+    appear in ≥ ``min_docs`` distinct documents, as 1-based token
+    coordinates ``(start_pos, end_pos, span_tokens)``.
+
+    Plan: per-doc lead() windows build the grams (doc-length-bounded
+    sorts); ONE grouped aggregate finds repeated grams (the only
+    corpus-sized shuffle — hash grams to 8-byte keys before it at
+    100 TB); a semi-join keeps repeated positions; a gaps-and-islands
+    window (pos − row_number) merges adjacent hits into maximal spans.
+    Property-tested against a brute-force reference on random corpora
+    (tests/test_properties.py::test_repeated_spans_match_reference)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos0", "tok"
+        ),
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos0")
+    parts = [F.col("tok")]
+    for i in range(1, w):
+        parts += [F.lit(" "), F.lead("tok", i).over(wd)]
+    # grams feed BOTH the repeated-gram aggregate and the probe side —
+    # checkpoint the (tokenize + window) subtree once (q104 convention).
+    grams = (
+        toks.select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat(*parts).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(rep, "gram", "left_semi").select(id_col, "pos")
+    wi = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(wi))
+    last_tok = F.col("last_gram") + w - 1
+    return (
+        isl.groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("last_gram"))
+        .select(
+            id_col,
+            F.col("start_pos").cast("long").alias("start_pos"),
+            last_tok.cast("long").alias("end_pos"),
+            (last_tok - F.col("start_pos") + 1).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+    )

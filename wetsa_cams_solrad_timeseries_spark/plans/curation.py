@@ -1666,48 +1666,13 @@ def q198_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings kept here for oracle readability at gate SFs). Everything
     else is per-document windows bounded by document length and one
     grouped min/max — no global stage, no collect."""
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-            "pos0", "tok"
-        ),
+    from wetsa_cams_solrad_timeseries_spark.operators.text import (
+        repeated_spans,
     )
-    w = Window.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("tok")]
-    for i in range(1, _Q198_W):
-        parts += [F.lit(" "), F.lead("tok", i).over(w)]
-    # grams feed BOTH the repeated-gram aggregate and the probe side —
-    # checkpoint the (tokenize + window) subtree once (q104 convention).
-    grams = (
-        toks.select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.concat(*parts).alias("gram"),
-        )
-        .filter(F.col("gram").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= _Q198_MIN_DOCS)
-        .select("gram")
-    )
-    hits = grams.join(rep, "gram", "left_semi").select("doc_id", "pos")
-    wi = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn("isl", F.col("pos") - F.row_number().over(wi))
-    last_tok = F.col("last_gram") + _Q198_W - 1
-    return (
-        isl.groupBy("doc_id", "isl")
-        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("last_gram"))
-        .select(
-            "doc_id",
-            F.col("start_pos").cast("long").alias("start_pos"),
-            last_tok.cast("long").alias("end_pos"),
-            (last_tok - F.col("start_pos") + 1).cast("long").alias(
-                "span_tokens"
-            ),
-        )
+
+    return repeated_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        w=_Q198_W, min_docs=_Q198_MIN_DOCS,
     )
 
 
