@@ -96,6 +96,8 @@ BUDGETS = [
     # CUSUM: daily agg + stats agg + keyed fold — aggregate-sized fold.
     ("q204_cusum_changepoints", 4, ["FlatMapGroupsInPandas"],
      ["CartesianProduct"]),
+    # IVF-PQ: scan-stage encode kernels + broadcast-LUT ADC join.
+    ("q205_ivfpq_topk", 5, [], ["CartesianProduct", "SortMergeJoin"]),
 ]
 
 

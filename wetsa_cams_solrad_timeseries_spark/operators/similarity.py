@@ -769,3 +769,125 @@ def adc_topk(codes: DataFrame, luts: DataFrame, k: int) -> DataFrame:
     return adc.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_train(mat, cells: int, m: int, ksub: int, n_iter: int = 2):
+    """IVF-PQ training core (Jégou et al.'s IVFADC), shared verbatim by
+    the Spark trainer and the oracle replay (same sample matrix ⇒
+    bit-identical artifacts): the coarse quantizer is plain L2 k-means
+    over the FULL vector — exactly ``pq_lloyd`` with one subspace — and
+    the product codebooks are trained on the RESIDUALS v − c[assign(v)]
+    of the same sample. Returns ``(coarse[cells][dim],
+    books[m][ksub][dim/m])``."""
+    import numpy as np
+
+    coarse = pq_lloyd(mat, m=1, ksub=cells, n_iter=n_iter)[0]
+    ca = np.array(coarse, dtype=np.float64)
+    assign = np.argmin(_pq_subdist_matrix(mat, ca), axis=1)
+    books = pq_lloyd(mat - ca[assign], m=m, ksub=ksub, n_iter=n_iter)
+    return coarse, books
+
+
+def ivfpq_encode(
+    emb_df: DataFrame,
+    coarse,
+    books,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distributed IVF-PQ encoding → ``(id, cell, sub, code)``: coarse
+    cell = argmin round6 squared-L2 over the coarse centroids (ties →
+    lower cell, matching the oracle's row_number), then PQ codes of the
+    RESIDUAL v − c[cell]. One Arrow kernel pass; both codebooks ride in
+    the closure (~40 KB)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    dsub = len(books[0][0])
+    ca = np.array(coarse, dtype=np.float64)
+    cents = [np.array(b, dtype=np.float64) for b in books]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            cell = np.argmin(_pq_subdist_matrix(mat, ca), axis=1)
+            resid = mat - ca[cell]
+            for s in range(m):
+                d2 = _pq_subdist_matrix(
+                    resid[:, s * dsub : (s + 1) * dsub], cents[s]
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cell": cell.astype(np.int32),
+                        "sub": np.full(len(ids), s, dtype=np.int32),
+                        "code": np.argmin(d2, axis=1).astype(np.int32),
+                    }
+                )
+
+    src = emb_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, cell int, sub int, code int"
+    )
+
+
+def ivfpq_query_luts(
+    q_df: DataFrame,
+    coarse,
+    books,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query IVF-PQ ADC lookup tables → ``(query_id, cell, sub,
+    code, d)``: for each of the query's ``n_probe`` nearest coarse cells
+    (round6 distance, (d, cell) tie order — the oracle's row_number),
+    d = round6 squared-L2 from the query's residual IN THAT CELL to each
+    product centroid. Runs only over the (bounded) query set; the LUT
+    row count is queries × n_probe × m × ksub."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    dsub = len(books[0][0])
+    ksub = len(books[0])
+    ca = np.array(coarse, dtype=np.float64)
+    cents = [np.array(b, dtype=np.float64) for b in books]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            dc = _pq_subdist_matrix(mat, ca)
+            # stable (d asc, cell asc) order — np.lexsort's last key is
+            # primary, ties broken by the cell index key before it.
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(dc.shape[1]), dc.shape), dc),
+                axis=1,
+            )[:, :n_probe]
+            rows = {"query_id": [], "cell": [], "sub": [], "code": [], "d": []}
+            for qi in range(len(ids)):
+                for cell in order[qi]:
+                    resid = mat[qi] - ca[cell]
+                    for s in range(m):
+                        d2 = _pq_subdist_matrix(
+                            resid[None, s * dsub : (s + 1) * dsub], cents[s]
+                        )[0]
+                        rows["query_id"].extend([ids[qi]] * ksub)
+                        rows["cell"].extend([int(cell)] * ksub)
+                        rows["sub"].extend([s] * ksub)
+                        rows["code"].extend(range(ksub))
+                        rows["d"].extend(d2)
+            yield pd.DataFrame(rows)
+
+    src = q_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel,
+        schema="query_id long, cell int, sub int, code int, d double",
+    )

@@ -45,7 +45,7 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 8: the thirteen new queries (never driver-checked — tier-1
+    # Round 8: the fourteen new queries (never driver-checked — tier-1
     # fronts them too, the pin just fixes their budget position) plus
     # q191, whose exact-percentile sidecar was rewritten this round and
     # needs a fresh authoritative row on the new kernel.
@@ -62,8 +62,9 @@ _PIN_FIRST = (
     "q202_bigram_perplexity",
     "q203_streaming_pq_encode",
     "q204_cusum_changepoints",
+    "q205_ivfpq_topk",
     "q191_quantile_sketch_merge",
-    # Budget math: 14 pins + ~36 stalest tier-2 rows fit the ~50-row
+    # Budget math: 15 pins + ~35 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.
 )
 

@@ -1283,6 +1283,218 @@ def q203_oracle_for(sf_dir: str) -> str | None:
 Q203_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q205 — IVF-PQ with residual encoding (the FAISS IVFADC composite index)
+# --------------------------------------------------------------------------
+
+_Q205_CELLS, _Q205_M, _Q205_KSUB = 16, 8, 16
+_Q205_NPROBE, _Q205_NQ, _Q205_K = 2, 8, 3
+_Q205_DSUB = _DIM // _Q205_M
+
+
+def q205_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composite index (Jégou et al.'s IVFADC) that
+    production vector stores (FAISS IVFxPQy) actually deploy at
+    billion-vector scale, composing the inventory's two quantizers: a
+    COARSE L2 k-means partitions the corpus into cells (pruning: a
+    query touches only its n_probe nearest cells), and PQ encodes each
+    vector's RESIDUAL v − c[cell] (residuals are smaller-normed than raw
+    vectors, so the same code budget quantizes finer — the reason
+    IVF+PQ beats flat PQ at equal bytes). Search: per (query, probed
+    cell) ADC lookup tables over the QUERY's residual in that cell;
+    candidate set = codes in probed cells, selected by the (cell, sub,
+    code) equi-join itself.
+
+    Determinism: ONE shared numpy core (similarity.ivfpq_train — coarse
+    = pq_lloyd with one subspace, books = pq_lloyd on residuals of the
+    same hash-bounded sample) is called by the trainer AND the oracle
+    replay, so both artifacts are bit-identical; every distance (coarse
+    assignment, code argmin, LUT entries, ADC sums) rounds6 with
+    (d, index) tie order on both engines.
+
+    Scale shape: encode = one Arrow kernel scan pass (both codebooks
+    ride in the closure); the corpus-sized artifact is (cell + m codes)
+    per vector; search joins the code table against a BROADCAST LUT of
+    queries × n_probe × m × ksub rows and prunes non-probed cells for
+    free in the join. At 100 TB, persist the code table bucketed (or
+    partitioned) BY CELL — probe reads touch only matching cells, the
+    file-level twin of the in-memory inverted list."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        ivfpq_encode,
+        ivfpq_query_luts,
+        ivfpq_train,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mat = hash_bounded_sample(emb)
+    coarse, books = ivfpq_train(
+        mat, cells=_Q205_CELLS, m=_Q205_M, ksub=_Q205_KSUB
+    )
+    codes = ivfpq_encode(emb, coarse, books).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "sub", "code"
+    )
+    q_src = emb.filter(F.col("vec_id") < _Q205_NQ)
+    luts = ivfpq_query_luts(q_src, coarse, books, n_probe=_Q205_NPROBE)
+    adc = (
+        codes.join(F.broadcast(luts), on=["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d") + F.lit(1e-9), 6).alias("adc"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return adc.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q205_K)
+
+
+def _ivfpq_values(path: str) -> tuple[str, str] | None:
+    """q205's trained artifacts as SQL VALUES rows: ``(cell, c)`` for the
+    coarse centroids and ``(sub, code, bc)`` for the residual product
+    codebooks — the SAME ``ivfpq_train`` numpy core on the SAME
+    hash-bounded sample the engine trains on."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+        ivfpq_train,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = hash_bounded_sample_py(ids, mat)
+    coarse, books = ivfpq_train(
+        mat, cells=_Q205_CELLS, m=_Q205_M, ksub=_Q205_KSUB
+    )
+    coarse_vals = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(x)) for x in coarse[c]))
+        for c in range(_Q205_CELLS)
+    )
+    book_vals = ", ".join(
+        "({}, {}, [{}])".format(
+            s, c, ", ".join(repr(float(x)) for x in books[s][c])
+        )
+        for s in range(_Q205_M)
+        for c in range(_Q205_KSUB)
+    )
+    return coarse_vals, book_vals
+
+
+# round6 squared-L2 folds: full-dim to a coarse centroid, and from the
+# sub-th residual subvector to a product-codebook row.
+_Q205_CDIST = (
+    "round(list_sum([(v[i] - c[i]) * (v[i] - c[i])"
+    f" FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6)"
+)
+_Q205_RDIST = (
+    "round(list_sum([(rv[b.sub * {d} + i] - b.bc[i])"
+    " * (rv[b.sub * {d} + i] - b.bc[i]) FOR i IN range(1, {d} + 1)])"
+    " + 1e-9, 6)"
+).format(d=_Q205_DSUB)
+
+_Q205_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+coarse(cell, c) AS (VALUES __COARSE__),
+books(sub, code, bc) AS (VALUES __BOOKS__),
+cdist AS MATERIALIZED (
+  -- referenced by assigned AND probe (the q192 materialization lesson)
+  SELECT vecs.vec_id, coarse.cell, {_Q205_CDIST} AS d
+  FROM vecs CROSS JOIN coarse
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cell ASC) AS r
+    FROM cdist
+  ) WHERE r = 1
+),
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         [vecs.v[i] - coarse.c[i] FOR i IN range(1, {_DIM} + 1)] AS rv
+  FROM assigned a
+  JOIN vecs ON vecs.vec_id = a.vec_id
+  JOIN coarse ON coarse.cell = a.cell
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, cell, sub, code FROM (
+    SELECT r.vec_id, r.cell, b.sub, b.code,
+           row_number() OVER (PARTITION BY r.vec_id, b.sub
+                              ORDER BY {_Q205_RDIST} ASC, b.code ASC) AS rn
+    FROM resid r CROSS JOIN books b
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cell ASC) AS r
+    FROM cdist WHERE vec_id < {_Q205_NQ}
+  ) WHERE r <= {_Q205_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         [vecs.v[i] - coarse.c[i] FOR i IN range(1, {_DIM} + 1)] AS rv
+  FROM probe p
+  JOIN vecs ON vecs.vec_id = p.query_id
+  JOIN coarse ON coarse.cell = p.cell
+),
+luts AS (
+  SELECT q.query_id, q.cell, b.sub, b.code, {_Q205_RDIST} AS d
+  FROM qres q CROSS JOIN books b
+),
+adc AS (
+  SELECT l.query_id, cd.neighbor_id,
+         round(sum(l.d) + 1e-9, 6) AS adc
+  FROM codes cd
+  JOIN luts l ON l.cell = cd.cell AND l.sub = cd.sub AND l.code = cd.code
+  WHERE cd.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_Q205_K}
+"""
+
+
+def q205_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q205 oracle: coarse + residual codebooks trained on the
+    SF being checked via the shared ivfpq_train core, inlined as SQL
+    literals (the q56/q195 discipline, two artifacts instead of one)."""
+    vals = _ivfpq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if vals is None:
+        return None
+    coarse_vals, book_vals = vals
+    return _Q205_ORACLE_TEMPLATE.replace("__COARSE__", coarse_vals).replace(
+        "__BOOKS__", book_vals
+    )
+
+
+Q205_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 Q200_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1657,6 +1869,8 @@ SPECS = make_specs(
          "hard-negative mining (top-k cross-label cosine)"),
         ("q203_streaming_pq_encode", q203_streaming_pq_encode, Q203_ORACLE, (),
          "streaming PQ encode: foreachBatch append to the code index"),
+        ("q205_ivfpq_topk", q205_ivfpq_topk, Q205_ORACLE, (),
+         "IVF-PQ residual-encoded ANN (cell-probed ADC)"),
     ]
 )
 
@@ -1676,4 +1890,7 @@ SPECS["q197_incremental_pq_index"] = _dc.replace(
 )
 SPECS["q203_streaming_pq_encode"] = _dc.replace(
     SPECS["q203_streaming_pq_encode"], oracle_fn=q203_oracle_for
+)
+SPECS["q205_ivfpq_topk"] = _dc.replace(
+    SPECS["q205_ivfpq_topk"], oracle_fn=q205_oracle_for
 )
