@@ -119,3 +119,22 @@ def test_hash_bounded_sample_py_matches_spark_side(spark):
     assert np.array_equal(
         hash_bounded_sample_py(ids, vecs[:, :8], max_train=500), vecs[:, :8]
     )
+
+
+def test_ivfpq_probe_tie_breaks_to_lower_cell(spark):
+    # q205's probe order contract: round6 coarse distances tie → the
+    # LOWER cell index is probed (np.lexsort in ivfpq_query_luts must
+    # match the oracle's ORDER BY d ASC, cell ASC). All three centroids
+    # here sit at distance 1 from the query, so n_probe=2 must pick
+    # cells {0, 1}.
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivfpq_query_luts,
+    )
+
+    coarse = [[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]]
+    books = [[[0.0, 0.0], [1.0, 1.0]]]  # m=1, ksub=2, dsub=2
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    luts = ivfpq_query_luts(df, coarse, books, n_probe=2)
+    assert sorted({r.cell for r in luts.collect()}) == [0, 1]
