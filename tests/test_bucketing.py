@@ -190,20 +190,15 @@ def test_incremental_postings_history_side_no_shuffle(spark, sf_dir):
     # satisfies the full-outer join distribution.
     import re
 
+    from wetsa_cams_solrad_timeseries_spark.operators.text import (
+        postings_stats,
+    )
+
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 7
 
     def stats(part):
-        tok = part.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
-        ).where(F.col("token") != "")
-        tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-        return tf.groupBy("token").agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("total_tf"),
-            F.max(F.struct("tf", "doc_id")).alias("top"),
-        )
+        return postings_stats(part, "doc_id", "text")
 
     write_bucketed(
         stats(docs.filter(~is_new)), "t_post_hist_b", "token",

@@ -122,3 +122,20 @@ def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
     _REGISTERED.add(path)
     _REGISTERED.add(owner)
     return path
+
+
+def claim_warehouse_table(spark, family_glob: str, token: str, table_name: str) -> None:
+    """Claim a managed TABLE's directory as this process's generation of
+    a warehouse artifact family — the shared scaffold of the cross-run
+    index queries (q193 LSH band rows, q197 PQ books + codes, q201
+    postings stats): resolve the session warehouse dir (stripping the
+    file: scheme Spark sometimes reports), sweep dead prior generations
+    of ``family_glob``, and register ``table_name``'s dir for atexit
+    removal. Raises on a missing/odd catalog config — callers wrap in
+    try/except and treat failure as "catalog unavailable" (their query
+    then falls back to unpersisted frames)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    claim_artifact_dir(
+        os.path.join(wh, family_glob), token, os.path.join(wh, table_name)
+    )

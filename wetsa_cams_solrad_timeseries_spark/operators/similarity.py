@@ -874,25 +874,34 @@ def ivfpq_query_luts(
             mat = np.array(list(pdf[emb_col]), dtype=np.float64)
             dc = _pq_subdist_matrix(mat, ca)
             # stable (d asc, cell asc) order — np.lexsort's last key is
-            # primary, ties broken by the cell index key before it.
+            # primary, ties broken by the cell index key before it
+            # (tests/test_pq.py::test_ivfpq_probe_tie_breaks_to_lower_cell).
             order = np.lexsort(
                 (np.broadcast_to(np.arange(dc.shape[1]), dc.shape), dc),
                 axis=1,
             )[:, :n_probe]
-            rows = {"query_id": [], "cell": [], "sub": [], "code": [], "d": []}
-            for qi in range(len(ids)):
-                for cell in order[qi]:
-                    resid = mat[qi] - ca[cell]
-                    for s in range(m):
-                        d2 = _pq_subdist_matrix(
-                            resid[None, s * dsub : (s + 1) * dsub], cents[s]
-                        )[0]
-                        rows["query_id"].extend([ids[qi]] * ksub)
-                        rows["cell"].extend([int(cell)] * ksub)
-                        rows["sub"].extend([s] * ksub)
-                        rows["code"].extend(range(ksub))
-                        rows["d"].extend(d2)
-            yield pd.DataFrame(rows)
+            # Flatten the (query, probed cell) pairs and run each
+            # subspace as ONE batched distance tensor — the same
+            # np.repeat/np.tile assembly as pq_query_luts.
+            qidx = np.repeat(np.arange(len(ids)), n_probe)
+            cells = order.ravel()
+            resid = mat[qidx] - ca[cells]
+            n_pairs = len(qidx)
+            for s in range(m):
+                d2 = _pq_subdist_matrix(
+                    resid[:, s * dsub : (s + 1) * dsub], cents[s]
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[qidx], ksub),
+                        "cell": np.repeat(cells.astype(np.int32), ksub),
+                        "sub": np.full(n_pairs * ksub, s, dtype=np.int32),
+                        "code": np.tile(
+                            np.arange(ksub, dtype=np.int32), n_pairs
+                        ),
+                        "d": d2.ravel(),
+                    }
+                )
 
     src = q_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
     return src.mapInPandas(

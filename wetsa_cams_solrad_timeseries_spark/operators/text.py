@@ -193,3 +193,24 @@ def repeated_spans(
             ),
         )
     )
+
+
+def postings_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-token posting-list statistics — the build step of an inverted
+    index / BM25 stats table, shared by q152 (batch build), q201 (the
+    incrementally-maintained form: history and delta shards each run
+    this, then merge additively), and the q201 no-shuffle plan test.
+    One pipeline so the three can never drift from the oracle they all
+    answer to (Q152_ORACLE). Output: ``(token, df, total_tf,
+    top struct<tf, doc_id>)`` — count/sum/struct-max, all algebraic, so
+    stats of disjoint document shards MERGE to the whole-corpus stats."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), "[^a-z0-9]+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max(F.struct("tf", "doc_id")).alias("top"),
+    )

@@ -386,17 +386,11 @@ def q152_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top document per token rides the same aggregate as a struct-max
     (no window); the final top-k is TakeOrderedAndProject (no global
     sort materialization)."""
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
-    ).where(F.col("token") != "")
-    tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    st = tf.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("total_tf"),
-        F.max(F.struct("tf", "doc_id")).alias("top"),
+    from wetsa_cams_solrad_timeseries_spark.operators.text import (
+        postings_stats,
     )
+
+    st = postings_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
     return (
         st.select(
             "token",
@@ -3628,16 +3622,10 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tname = f"wetsa_lshidx_{tag}_{_Q193_TOKEN}"
     try:
         from wetsa_cams_solrad_timeseries_spark._artifacts import (
-            claim_artifact_dir,
+            claim_warehouse_table,
         )
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh = wh.removeprefix("file://").removeprefix("file:")
-        claim_artifact_dir(
-            os.path.join(wh, f"wetsa_lshidx_{tag}_*"),
-            _Q193_TOKEN,
-            os.path.join(wh, tname),
-        )
+        claim_warehouse_table(spark, f"wetsa_lshidx_{tag}_*", _Q193_TOKEN, tname)
     except Exception:  # noqa: BLE001 — cleanup is best-effort only
         pass
     try:
@@ -3789,36 +3777,26 @@ def q201_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed layout, touching only tokens the delta contained."""
     import os
 
+    from wetsa_cams_solrad_timeseries_spark.operators.text import (
+        postings_stats,
+    )
     from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
 
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 7
 
     def stats(part: DataFrame) -> DataFrame:
-        tok = part.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
-        ).where(F.col("token") != "")
-        tf = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-        return tf.groupBy("token").agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("total_tf"),
-            F.max(F.struct("tf", "doc_id")).alias("top"),
-        )
+        return postings_stats(part, "doc_id", "text")
 
     tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
     tname = f"wetsa_postidx_{tag}_{_Q201_TOKEN}"
     try:
         from wetsa_cams_solrad_timeseries_spark._artifacts import (
-            claim_artifact_dir,
+            claim_warehouse_table,
         )
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh = wh.removeprefix("file://").removeprefix("file:")
-        claim_artifact_dir(
-            os.path.join(wh, f"wetsa_postidx_{tag}_*"),
-            _Q201_TOKEN,
-            os.path.join(wh, tname),
+        claim_warehouse_table(
+            spark, f"wetsa_postidx_{tag}_*", _Q201_TOKEN, tname
         )
     except Exception:  # noqa: BLE001 — cleanup is best-effort only
         pass

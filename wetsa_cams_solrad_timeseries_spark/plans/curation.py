@@ -1878,7 +1878,11 @@ def q202_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 10 == 7
     raw = F.split(F.lower("text"), "[^a-z0-9]+")
     ws = F.filter(raw, lambda x: x != "")
-    toks = docs.select("doc_id", ws.alias("ws"))
+    # toks feeds uni AND vocab AND (via pairs) bi AND scored — four
+    # consumers with different filters, which ReuseExchange cannot merge;
+    # checkpoint the tokenize once (the q104/q198 shared-subtree
+    # convention), and the pair build once for its two consumers.
+    toks = docs.select("doc_id", ws.alias("ws")).localCheckpoint(eager=True)
     n = F.size("ws")
     pairs_col = F.when(
         n >= 2,
@@ -1887,9 +1891,11 @@ def q202_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ws", F.lit(2), n - 1).alias("w2"),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = toks.select(
-        "doc_id", F.explode(pairs_col).alias("p")
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = (
+        toks.select("doc_id", F.explode(pairs_col).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
 
     hist_toks = toks.filter(~is_new)
     uni = (

@@ -1004,18 +1004,14 @@ def q197_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes_t = f"wetsa_pqcodes_{tag}_{_Q197_TOKEN}"
     try:
         from wetsa_cams_solrad_timeseries_spark._artifacts import (
-            claim_artifact_dir,
+            claim_warehouse_table,
         )
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh = wh.removeprefix("file://").removeprefix("file:")
         for fam, tname in (
             (f"wetsa_pqbooks_{tag}_*", books_t),
             (f"wetsa_pqcodes_{tag}_*", codes_t),
         ):
-            claim_artifact_dir(
-                os.path.join(wh, fam), _Q197_TOKEN, os.path.join(wh, tname)
-            )
+            claim_warehouse_table(spark, fam, _Q197_TOKEN, tname)
     except Exception:  # noqa: BLE001 — cleanup is best-effort only
         pass
 
