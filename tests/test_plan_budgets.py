@@ -98,6 +98,10 @@ BUDGETS = [
      ["CartesianProduct"]),
     # IVF-PQ: scan-stage encode kernels + broadcast-LUT ADC join.
     ("q205_ivfpq_topk", 5, [], ["CartesianProduct", "SortMergeJoin"]),
+    # KL drift: ONE conditional-sum token aggregate + 1-row broadcast +
+    # TakeOrdered — no join of two count tables, no window, no Python.
+    ("q206_vocab_kl_drift", 3, ["TakeOrderedAndProject"],
+     ["SortMergeJoin", "Python"]),
 ]
 
 

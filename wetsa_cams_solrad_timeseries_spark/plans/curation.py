@@ -1982,6 +1982,94 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# q206 — vocabulary KL drift (pre-append distribution-shift monitor)
+# --------------------------------------------------------------------------
+
+_Q206_TOPK = 20
+
+
+def q206_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary distribution drift between today's shard and the
+    history corpus — the pre-append monitor an ingestion pipeline runs
+    before q193/q197/q201 commit the shard to their indexes: smoothed
+    token distributions p (new shard) and q (history) over the UNION
+    vocabulary (add-1 smoothing, so both are proper distributions on
+    the same support and unseen-on-one-side tokens contribute finitely),
+    and the top-20 tokens by KL contribution p·ln(p/q) — the per-token
+    ATTRIBUTION of the drift, which is what an operator actually reads
+    (q131 answers "how much vocabulary is shared"; this answers "which
+    tokens changed frequency enough to matter").
+
+    Determinism: p and q round6 BEFORE the ln (identical inputs ⇒
+    identical ln up to ULP, absorbed by the outer round6 + nudge);
+    top-k ordering has the token tiebreak.
+
+    Scale shape: ONE grouped aggregate over the token scan computes
+    both shards' counts (conditional sums — no second scan, no join of
+    two count tables), one 1-row totals broadcast, TakeOrdered top-k.
+    Shuffle keys are tokens; hash them to 8 bytes at 100 TB (q33's
+    discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("c_new"),
+        F.sum(F.when(~is_new, 1).otherwise(0)).cast("long").alias("c_hist"),
+    )
+    tot = counts.agg(
+        F.sum("c_new").cast("double").alias("__nn"),
+        F.sum("c_hist").cast("double").alias("__nh"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    p = round6((F.col("c_new") + 1) / (F.col("__nn") + F.col("__v")))
+    q_ = round6((F.col("c_hist") + 1) / (F.col("__nh") + F.col("__v")))
+    sc = counts.crossJoin(F.broadcast(tot)).select(
+        "token", "c_new", "c_hist", p.alias("p"), q_.alias("q")
+    )
+    kl = round6(F.col("p") * F.log(F.col("p") / F.col("q")))
+    return (
+        sc.select("token", "c_new", "c_hist", "p", "q", kl.alias("kl_term"))
+        .orderBy(F.desc("kl_term"), "token")
+        .limit(_Q206_TOPK)
+    )
+
+
+Q206_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_new,
+         CAST(sum(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_hist
+  FROM tok WHERE token <> '' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_new) AS DOUBLE) AS nn,
+         CAST(sum(c_hist) AS DOUBLE) AS nh,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+),
+sc AS (
+  SELECT token, c_new, c_hist,
+         round((c_new + 1) / (nn + v) + 1e-9, 6) AS p,
+         round((c_hist + 1) / (nh + v) + 1e-9, 6) AS q
+  FROM counts CROSS JOIN tot
+)
+SELECT token, c_new, c_hist, p, q,
+       round(p * ln(p / q) + 1e-9, 6) AS kl_term
+FROM sc ORDER BY kl_term DESC, token LIMIT {_Q206_TOPK}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2040,5 +2128,7 @@ SPECS = make_specs(
          "temperature mixture resampling with deterministic multiplicity"),
         ("q202_bigram_perplexity", q202_bigram_perplexity, Q202_ORACLE, (),
          "bigram-LM perplexity scoring (CCNet-style quality filter)"),
+        ("q206_vocab_kl_drift", q206_vocab_kl_drift, Q206_ORACLE, (),
+         "vocabulary KL drift with per-token attribution"),
     ]
 )

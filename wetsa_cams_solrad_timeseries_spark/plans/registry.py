@@ -45,7 +45,7 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # row stays no older than two rounds. Queries whose kernels changed since
 # their last driver row can be pinned ahead of the automatic rotation.
 _PIN_FIRST = (
-    # Round 8: the fourteen new queries (never driver-checked — tier-1
+    # Round 8: the fifteen new queries (never driver-checked — tier-1
     # fronts them too, the pin just fixes their budget position) plus
     # q191, whose exact-percentile sidecar was rewritten this round and
     # needs a fresh authoritative row on the new kernel.
@@ -63,8 +63,9 @@ _PIN_FIRST = (
     "q203_streaming_pq_encode",
     "q204_cusum_changepoints",
     "q205_ivfpq_topk",
+    "q206_vocab_kl_drift",
     "q191_quantile_sketch_merge",
-    # Budget math: 15 pins + ~35 stalest tier-2 rows fit the ~50-row
+    # Budget math: 16 pins + ~34 stalest tier-2 rows fit the ~50-row
     # budget; every other query's latest row is r5/r6/r7 green.
 )
 
