@@ -355,3 +355,34 @@ def test_repeated_spans_match_reference(spark, docs):
         tuple(r) for r in repeated_spans(df, "doc_id", "text", w=2).collect()
     )
     assert got == _ref_spans(docs, w=2, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# q201's merge algebra at the operator level: postings stats of ANY
+# disjoint doc split, merged additively (+ struct-max), equal the
+# whole-corpus stats — the invariance that makes the postings index
+# incrementally maintainable.
+# --------------------------------------------------------------------------
+@given(docs=_doc_corpus(), pivot=st.integers(min_value=0, max_value=5))
+@SET
+def test_postings_stats_merge_equals_whole(spark, docs, pivot):
+    from wetsa_cams_solrad_timeseries_spark.operators.text import postings_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    whole = {
+        r["token"]: (r["df"], r["total_tf"], tuple(r["top"]))
+        for r in postings_stats(df, "doc_id", "text").collect()
+    }
+    a = postings_stats(df.filter(F.col("doc_id") < pivot), "doc_id", "text")
+    b = postings_stats(df.filter(F.col("doc_id") >= pivot), "doc_id", "text")
+    merged = {}
+    for part in (a.collect(), b.collect()):
+        for r in part:
+            df_, tt, top = merged.get(r["token"], (0, 0, None))
+            cand = tuple(r["top"])
+            merged[r["token"]] = (
+                df_ + r["df"],
+                tt + r["total_tf"],
+                cand if top is None else max(top, cand),
+            )
+    assert merged == whole
