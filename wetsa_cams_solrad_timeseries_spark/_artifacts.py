@@ -136,6 +136,11 @@ def claim_warehouse_table(spark, family_glob: str, token: str, table_name: str) 
     then falls back to unpersisted frames)."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file://").removeprefix("file:")
+    # Spark resolves a RELATIVE warehouse conf against its own working
+    # dir at session start; resolve ours to an absolute path too so the
+    # sweep glob / atexit removal can't target a different ./spark-
+    # warehouse when the process cwd moved after session creation.
+    wh = os.path.abspath(wh)
     claim_artifact_dir(
         os.path.join(wh, family_glob), token, os.path.join(wh, table_name)
     )

@@ -192,6 +192,14 @@ def ivf_assign(
     with the centroid matrix in the closure — one BLAS matmul per Arrow
     batch, no shuffle, the same pattern as the blocked similarity ops.
     Output: one row per (vector, probed cell), ``probe_rank`` 0-based.
+
+    The similarity matrix round6s BEFORE the argmax (the repo's
+    cross-engine resync): the oracles replay this assignment with DuckDB
+    list-fold cosines, and near a centroid tie a ULP flip in the
+    unrounded BLAS-vs-fold comparison would silently change cell
+    membership (and with it the whole probed row set). Rounding both
+    engines to the same nudged 1e-6 grid makes the argmax ordering —
+    including its (sim, cell) tie-break — identical by construction.
     """
     import numpy as np
     import pandas as pd
@@ -204,7 +212,7 @@ def ivf_assign(
             mat = np.array(list(pdf[emb_col]), dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            sims = (mat / norms) @ cent.T
+            sims = np.round((mat / norms) @ cent.T + 1e-9, 6)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
             n = len(pdf)
             yield pd.DataFrame(

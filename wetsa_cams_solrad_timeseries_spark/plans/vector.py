@@ -417,8 +417,11 @@ def _ivf_centroid_values(
 
 
 # Assignment replicates ivf_assign's argsort(-sims, stable): ORDER BY
-# sim DESC, cell — ties (never observed; requires exactly equal dots)
-# break toward the lower cell id on both engines.
+# sim DESC, cell — and both engines round6 the similarity BEFORE the
+# ordering (ivf_assign's kernel nudge-rounds its BLAS matmul, the CTE
+# below nudge-rounds the list fold), so a ULP flip near a centroid tie
+# can never split cell membership across engines; rounded ties break
+# toward the lower cell id on both.
 _Q56_ORACLE_TEMPLATE = f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -431,8 +434,8 @@ unit AS (
 cents(cell, c) AS (VALUES __IVF_VALUES__),
 sims AS (
   SELECT u.vec_id, ct.cell,
-         list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
-                   FOR i IN range(1, {_DIM} + 1)]) AS sim
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
   FROM unit u CROSS JOIN cents ct
 ),
 ranked AS (
@@ -1023,6 +1026,19 @@ def q197_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             books = pq_train_codebooks(
                 hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
             )
+            # Codes FIRST, books LAST: tableExists(books_t) is the
+            # steady-state gate, so the gate table must be the final
+            # write of the generation — the reverse order left a
+            # committed books_t beside a failed codes write, and every
+            # later run then silently fell into the full-re-encode
+            # except-branch (correct output, incremental contract lost).
+            write_bucketed(
+                as_codes(pq_encode(hist, books)),
+                codes_t,
+                "neighbor_id",
+                n_buckets=_Q197_BUCKETS,
+                sort_col="neighbor_id",
+            )
             spark.createDataFrame(
                 [
                     (s, c, books[s][c])
@@ -1031,13 +1047,6 @@ def q197_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 "sub int, code int, c array<double>",
             ).write.mode("overwrite").saveAsTable(books_t)
-            write_bucketed(
-                as_codes(pq_encode(hist, books)),
-                codes_t,
-                "neighbor_id",
-                n_buckets=_Q197_BUCKETS,
-                sort_col="neighbor_id",
-            )
         if books is None:
             # Steady state: the frozen books come off the catalog —
             # m·ksub rows, a bounded (and documented) collect.
@@ -1610,9 +1619,11 @@ unit AS (
 ),
 cents(cell, c) AS (VALUES __IVF_VALUES__),
 sims AS (
+  -- round6 BEFORE the argmax: ivf_assign's kernel rounds its BLAS
+  -- matmul the same way, so cell membership can't flip on a ULP.
   SELECT u.vec_id, ct.cell,
-         list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
-                   FOR i IN range(1, {_DIM} + 1)]) AS sim
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
   FROM unit u CROSS JOIN cents ct
 ),
 assigned AS (

@@ -96,6 +96,12 @@ def streaming_pq_encode(
                 f"streaming PQ encode drained in {len(committed)} "
                 "micro-batch(es) — the append lifecycle was not exercised"
             )
-        return spark.read.parquet(os.path.join(root, "batch_*"))
+        # Read EXACTLY the committed generations, not a batch_* glob: a
+        # crash between the executor write and the _SUCCESS marker
+        # (followed by an external restart against the same root) leaves
+        # an uncommitted batch dir that the glob would read as data.
+        return spark.read.parquet(
+            *(os.path.join(root, name) for name in sorted(committed))
+        )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
