@@ -225,3 +225,28 @@ def test_incremental_postings_history_side_no_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_post_hist_b")
+
+
+def test_hybrid_serve_reads_only_the_index(spark, sf_dir):
+    # q207's scale property: the steady-state serving plan's lexical
+    # side is a bucket-PRUNED scan of the persisted postings table — the
+    # `term IN (...)` probe touches <=|terms| of the 16 buckets
+    # (SelectedBucketsCount in the scan) — and the raw documents table
+    # is never scanned at serve time (no per-query re-tokenization).
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q207_hybrid_from_index,
+    )
+
+    q207_hybrid_from_index(spark, sf_dir).count()  # build generation
+    serve = q207_hybrid_from_index(spark, sf_dir)  # steady state
+    plan = _plan(serve)
+    assert "documents" not in plan, "serve plan re-tokenizes the corpus"
+    picked = [
+        int(m.group(1))
+        for m in re.finditer(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    ]
+    assert picked, "postings scan lost its bucket pruning:\n" + plan
+    assert all(n <= 3 for n in picked), plan  # 3 query terms -> <=3 buckets
+    assert serve.count() > 0

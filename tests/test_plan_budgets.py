@@ -77,6 +77,14 @@ BUDGETS = [
     # global sort), vector side broadcast-query only, fusion join tiny.
     ("q194_hybrid_retrieval", 12, ["TakeOrderedAndProject"],
      ["CartesianProduct"]),
+    # Round-9 additions.
+    # Hybrid retrieval FROM the index: the lexical side is a bucket-
+    # pruned scan of the persisted postings table (SelectedBucketsCount
+    # <= |query terms|), never a documents re-tokenize; measured steady
+    # state is 4 exchanges (dfreq agg + doc agg + fusion join sides).
+    ("q207_hybrid_from_index", 8,
+     ["TakeOrderedAndProject", "SelectedBucketsCount"],
+     ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

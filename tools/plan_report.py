@@ -60,11 +60,56 @@ GLOBAL_WINDOW_OK = {
     "q65_returned_items",      # top-20 lost-revenue customers
     "q88_bigram_topk",         # top-25 bigrams
     "q194_hybrid_retrieval",   # BM25 rank numbering AFTER orderBy.limit(50)
+    "q207_hybrid_from_index",  # same k-bounded rank window as q194
     # grid-bounded digest frames: the window input is one row per
     # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
     # l_extendedprice / 1024), corpus-size independent:
     "q191_quantile_sketch_merge",
 }
+
+
+def row_staleness(declared: list[str]) -> dict:
+    """Per-round distribution of each declared query's LATEST
+    driver-authoritative correctness row, from the repo-root
+    CORRECTNESS_r*.json reports. Surfaces the rotation's real freshness
+    ("stalest authoritative row: rN (qXX)") instead of leaving it to
+    docstring arithmetic — the driver budget covers ~50 of the declared
+    queries per round, so the honest staleness bound is the rotation
+    cycle length, and this metric makes drift beyond it visible."""
+    import os
+
+    latest: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in sorted(os.listdir(root)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, fname)) as f:
+                names = json.load(f).keys()
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    by_round: dict[str, int] = {}
+    stalest_round, stalest_example = None, None
+    never = 0
+    for name in declared:
+        rnd = latest.get(name)
+        if rnd is None:
+            never += 1
+            continue
+        key = f"r{rnd}"
+        by_round[key] = by_round.get(key, 0) + 1
+        if stalest_round is None or rnd < stalest_round:
+            stalest_round, stalest_example = rnd, name
+    return {
+        "rows_by_round": dict(sorted(by_round.items())),
+        "never_checked": never,
+        "stalest_round": f"r{stalest_round}" if stalest_round else None,
+        "stalest_example": stalest_example,
+    }
 
 
 def _has_global_window(plan: str) -> bool:
@@ -246,15 +291,22 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n_queries": len(report),
         "violations": violations,
+        "row_staleness": row_staleness(list(QUERIES)),
         "queries": report,
     }
     with open("PLANS.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     n_bad = len(violations)
+    stale = out["row_staleness"]
     print(
         f"plan report: {len(report)} queries, "
         f"{sum(m.get('exchanges', 0) for m in report.values())} exchanges "
         f"total, {n_bad} violations -> PLANS.json"
+    )
+    print(
+        "row staleness: stalest authoritative row "
+        f"{stale['stalest_round']} ({stale['stalest_example']}); "
+        f"distribution {stale['rows_by_round']}"
     )
     for v in violations:
         print("VIOLATION:", v)

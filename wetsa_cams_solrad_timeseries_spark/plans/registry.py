@@ -41,32 +41,32 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # The driver's correctness pass runs registry order under a ~50-query
 # budget, so with >50 declared queries some get no row each round. The
 # rotation below front-loads whatever the MOST RECENT correctness report
-# did not cover, so coverage alternates and every query's authoritative
-# row stays no older than two rounds. Queries whose kernels changed since
-# their last driver row can be pinned ahead of the automatic rotation.
+# did not cover, so coverage rotates through the inventory on a
+# ⌈n_queries / 50⌉-round cycle (~4 rounds at ~200 queries) — a query's
+# authoritative row can therefore be up to one full cycle old, which is
+# why tools/plan_report.py surfaces the stalest row age into PLANS.json
+# each round. Queries whose kernels changed since their last driver row
+# MUST be pinned ahead of the automatic rotation so their fresh row
+# lands on the changed code.
 _PIN_FIRST = (
-    # Round 8: the fifteen new queries (never driver-checked — tier-1
-    # fronts them too, the pin just fixes their budget position) plus
-    # q191, whose exact-percentile sidecar was rewritten this round and
-    # needs a fresh authoritative row on the new kernel.
-    "q192_pagerank_converged",
-    "q193_incremental_dedup",
-    "q194_hybrid_retrieval",
-    "q195_pq_adc_topk",
+    # Round 9: queries whose shared kernels changed this round — q56 and
+    # q196 ride ivf_assign (cell-assign now round6s before the argmax,
+    # and their oracles' sims CTEs round identically), q197 had its
+    # generation-commit order fixed, q203 its committed-batch read,
+    # q194 shares the refactored hybrid-fusion tail with the new q207 —
+    # plus the round-8 verdict's stale-row sweep: q56's latest row was
+    # r3 but its trainer was refactored through hash_bounded_sample in
+    # r8, and q73/q87/q92 sat on r4 rows while neighboring operators
+    # churned.
+    "q207_hybrid_from_index",
+    "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",
-    "q198_repeated_spans",
-    "q199_mixture_epochs",
-    "q200_hard_negatives",
-    "q201_incremental_postings",
-    "q202_bigram_perplexity",
     "q203_streaming_pq_encode",
-    "q204_cusum_changepoints",
-    "q205_ivfpq_topk",
-    "q206_vocab_kl_drift",
-    "q191_quantile_sketch_merge",
-    # Budget math: 16 pins + ~34 stalest tier-2 rows fit the ~50-row
-    # budget; every other query's latest row is r5/r6/r7 green.
+    "q194_hybrid_retrieval",
+    "q73_neardup_lsh",
+    "q87_stratified_sample",
+    "q92_sketch_merge",
 )
 
 

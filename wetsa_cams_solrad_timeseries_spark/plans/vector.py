@@ -1702,9 +1702,6 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads a persisted postings table (q152), but the fusion plan — two
     bounded top-k lists, one tiny outer join — is unchanged."""
     from wetsa_cams_solrad_timeseries_spark.functions.tokenize import norm_words
-    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
-        brute_force_topk,
-    )
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
@@ -1723,7 +1720,18 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _hybrid_fuse(_bm25_scores(tf.join(dl, on="doc_id"), stats), emb)
+
+
+def _bm25_scores(tfdl: DataFrame, stats: DataFrame) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) per-document scores from query-term
+    posting rows ``(doc_id, term, tf, dl)`` plus a 1-row ``(__avgdl,
+    __n)`` corpus-stats frame — the scoring spelling shared by q194
+    (postings recomputed from raw text) and q207 (postings read from the
+    persisted index). ``df`` per term comes from the posting rows
+    themselves (count of docs containing the term), so the index and the
+    recompute score identically by construction."""
+    dfreq = tfdl.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         1
         + (F.col("__n") - F.col("df") + F.lit(0.5))
@@ -1733,8 +1741,7 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("__avgdl")
     )
     scored = (
-        tf.join(maybe_broadcast(dfreq), on="term")
-        .join(dl, on="doc_id")
+        tfdl.join(maybe_broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1743,10 +1750,23 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    bm = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.round(F.sum("s") + F.lit(1e-9), 6).alias("bm25")
     )
+
+
+def _hybrid_fuse(bm: DataFrame, emb: DataFrame) -> DataFrame:
+    """The fusion tail shared by q194 (BM25 recomputed from raw text) and
+    q207 (BM25 served from the persisted postings index) — ONE spelling
+    so the two can never drift from the oracle they both answer to:
+    distributed orderBy+limit(50) lexical top-k (TakeOrderedAndProject,
+    the rank window then runs over ≤50 rows), exact cosine top-50 for
+    the query embedding, RRF over a 2×50-row full outer join, top-10."""
     from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk,
+    )
 
     bm_top = bm.orderBy(F.desc("bm25"), "doc_id").limit(_Q194_CAND)
     # Global window AFTER the limit: ≤ _Q194_CAND rows by construction.
@@ -1840,6 +1860,95 @@ ORDER BY rrf DESC, doc_id LIMIT {_Q194_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q207 — hybrid retrieval SERVED from the persisted postings index
+# --------------------------------------------------------------------------
+
+_Q207_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q207_BUCKETS = 16
+
+
+def q207_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q194's hybrid retrieval with its lexical side served FROM the
+    persisted inverted index instead of re-tokenizing the corpus per
+    query — the capstone composition of the index-maintenance trio: the
+    FULL postings table ``(term, doc_id, tf, dl)`` (document length
+    denormalized onto each posting, the Lucene norm trick — scoring
+    needs no doc-length join) is written ONCE as a managed table
+    bucketed+sorted on ``term``, beside a 1-row corpus-stats table
+    (``__avgdl``, ``__n``). Serving then probes the index with the query
+    terms: the ``term IN (...)`` filter prunes to ≤|terms| of the 16
+    buckets (the plan shows ``SelectedBucketsCount`` — locked by
+    tests/test_bucketing.py::test_hybrid_serve_reads_only_the_index,
+    which also asserts the serve plan never scans the documents table),
+    per-term ``df`` comes from the probed posting rows themselves, and
+    the BM25 scoring + RRF fusion are the exact q194 spellings
+    (_bm25_scores/_hybrid_fuse — one implementation, two feeders).
+
+    Oracle: Q194's full-recompute SQL verbatim — index ≡ recompute is
+    q201's incremental-view invariance, here proven for the SERVING
+    path, not just the stats table.
+
+    Scale shape: at 100 TB the per-query lexical cost is a bucket-pruned
+    ordered scan of the probed terms' posting lists plus a
+    candidate-sized aggregate — the corpus is never re-tokenized and
+    never fully scanned; appends ride the bucketed layout exactly like
+    q201's stats merge."""
+    from wetsa_cams_solrad_timeseries_spark.functions.tokenize import norm_words
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        words = docs.select(F.col("doc_id"), norm_words("text").alias("ws"))
+        dl = words.select("doc_id", F.size("ws").alias("dl"))
+        postings = (
+            words.select("doc_id", F.explode("ws").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, on="doc_id")
+        )
+        stats = dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        return postings, stats
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    post_t = f"wetsa_postfull_{tag}_{_Q207_TOKEN}"
+    stats_t = f"wetsa_poststats_{tag}_{_Q207_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_postfull_{tag}_*", post_t),
+            (f"wetsa_poststats_{tag}_*", stats_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q207_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(stats_t):
+            postings, stats = build()
+            # Postings FIRST, the 1-row stats gate table LAST, so
+            # tableExists(stats_t) implies a complete generation (the
+            # q197 commit-order lesson).
+            write_bucketed(
+                postings, post_t, "term",
+                n_buckets=_Q207_BUCKETS, sort_col="term",
+            )
+            stats.write.mode("overwrite").saveAsTable(stats_t)
+        post, stats = spark.table(post_t), spark.table(stats_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        post, stats = build()
+
+    probed = post.filter(F.col("term").isin(*_Q194_TERMS))
+    return _hybrid_fuse(_bm25_scores(probed, stats), emb)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1866,6 +1975,9 @@ SPECS = make_specs(
          "watermarked stream-stream interval join"),
         ("q194_hybrid_retrieval", q194_hybrid_retrieval, Q194_ORACLE, (),
          "hybrid BM25 + vector retrieval, reciprocal-rank fused"),
+        ("q207_hybrid_from_index", q207_hybrid_from_index, Q194_ORACLE, (),
+         "hybrid retrieval served from the persisted bucketed postings "
+         "index (index ≡ recompute: the oracle is q194's SQL verbatim)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
