@@ -224,3 +224,83 @@ def test_streaming_twin_equals_batch(spark, sf_dir):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def _dhash_reference(payload: bytes) -> list[int]:
+    # Independent pure-Python spelling of the dHash band packing: 8x9
+    # byte grid tiled modulo payload length, bit k = p[r][c] < p[r][c+1]
+    # (k = r*8+c), bands pack 16 bits little-endian.
+    n = len(payload)
+    p = [(payload[j % n] if n else 0) for j in range(72)]
+    bits = [
+        1 if p[r * 9 + c] < p[r * 9 + c + 1] else 0
+        for r in range(8)
+        for c in range(8)
+    ]
+    return [
+        sum(bits[b * 16 + i] << i for i in range(16)) for b in range(4)
+    ]
+
+
+def test_dhash_bands_matches_reference(spark):
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+
+    texts = ["hello world, this is payload zero", "abc", "", "aaaaaaaaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: [r[f"band{b}"] for b in range(4)]
+        for r in dhash_bands(attach_payload(df, "doc_id", "text")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _dhash_reference(t.encode()), t
+    # constant payload -> no rising gradients -> all-zero hash; empty too
+    assert got[2] == [0, 0, 0, 0] and got[3] == [0, 0, 0, 0]
+
+
+def test_dhash_hamming_pairs_exact_dup_and_pigeonhole(spark):
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+        dhash_hamming_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog 0123456789"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0 -> hamming 0
+        (2, base[:-1] + "X"),  # near dup: few pixels differ
+        (3, "completely different content with other words entirely!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dhash_bands(attach_payload(df, "doc_id", "text"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_hamming_pairs(sigs, max_hamming=64).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # Pigeonhole: any candidate the band join emits shares >=1 band, and
+    # every pair with hamming <= 3 MUST be emitted (4 bands, <=3 flipped
+    # bits cannot touch all four). Verify against the full O(n^2) check.
+    sig_map = {
+        r["doc_id"]: [r[f"band{b}"] for b in range(4)] for r in sigs.collect()
+    }
+    for a in sig_map:
+        for b in sig_map:
+            if a >= b:
+                continue
+            ham = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(sig_map[a], sig_map[b])
+            )
+            if ham <= 3:
+                assert (a, b) in pairs, (a, b, ham)
+            if (a, b) in pairs:
+                assert pairs[(a, b)] == ham
+                assert any(
+                    x == y for x, y in zip(sig_map[a], sig_map[b])
+                )

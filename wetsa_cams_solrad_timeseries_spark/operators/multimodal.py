@@ -179,3 +179,112 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             F.transform(idx, lambda i: ((i - 1) * every_n_bytes + 1))
         ).alias("frame_offset"),
     )
+
+
+DHASH_GRID = 8  # 8x8 comparison grid -> 64-bit difference hash
+DHASH_BANDS = 4  # 4 x 16-bit bands for Hamming-LSH candidate pairing
+
+
+def dhash_bands(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual difference hash (dHash, Krawetz 2013) over a binary
+    payload, emitted as 4 x 16-bit band integers — the image-dedup twin
+    of the q33/q34 signature discipline: the 64-bit gradient hash is
+    split into bands so near-duplicates (small Hamming distance) collide
+    on >=1 band by pigeonhole, and candidate pairing becomes a plain
+    band-value equi-join instead of an all-pairs Hamming scan.
+
+    Pixel source: a real image pipeline resizes the decoded image to a
+    (GRID x GRID+1) grayscale thumbnail; this environment has no image
+    corpus or codec libs, so the deterministic stand-in samples the
+    payload BYTES into the 8x9 grid (pixel[r][c] = byte[(r*9+c) mod n],
+    zero for empty payloads) — the hash algebra, banding, Arrow batch
+    shape, and join plan are exactly the production ones, and swapping
+    in a thumbnail resize is one kernel line. Bit k (k = r*8+c) is
+    1 iff pixel[r][c] < pixel[r][c+1]; band b packs bits b*16..b*16+15
+    little-endian, so every value fits untruncated in an int64.
+
+    One Arrow kernel pass, no shuffle — signatures are 4 ints per
+    payload regardless of payload size, which is the 100 TB point.
+    """
+    import numpy as np
+
+    grid, bands = DHASH_GRID, DHASH_BANDS
+    cols, bits_per_band = grid + 1, grid * grid // bands
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for pdf in batches:
+            out_bands = np.zeros((len(pdf), bands), dtype=np.int64)
+            for i, payload in enumerate(pdf[payload_col]):
+                arr = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                )
+                if len(arr):
+                    p = arr[np.arange(grid * cols) % len(arr)].astype(np.int64)
+                else:
+                    p = np.zeros(grid * cols, dtype=np.int64)
+                P = p.reshape(grid, cols)
+                bits = (P[:, :grid] < P[:, 1:]).astype(np.int64).ravel()
+                out_bands[i] = bits.reshape(bands, bits_per_band) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    **{f"band{b}": out_bands[:, b] for b in range(bands)},
+                }
+            )
+
+    band_schema = ", ".join(f"band{b} long" for b in range(bands))
+    return df.mapInPandas(kernel, schema=f"{id_col} long, {band_schema}")
+
+
+def dhash_hamming_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate pairs from dHash band signatures: candidates =
+    distinct id pairs sharing >=1 band value (the banded equi-join —
+    guaranteed recall for Hamming <= DHASH_BANDS-1 by pigeonhole, the
+    documented LSH trade-off above it), then the EXACT 64-bit Hamming
+    distance verified on candidates only (sum of per-band popcounts of
+    XOR) and thresholded. Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: band self-join keys are 16-bit values + band index —
+    corpus-linear candidate generation; the verify join touches only
+    candidate rows (q62's candidates-then-verify discipline)."""
+    bands = [c for c in sig_df.columns if c.startswith("band")]
+    stacked = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(c).alias("val"))
+                for b, c in enumerate(bands)
+            ])
+        ).alias("__b"),
+    ).select(id_col, "__b.band", "__b.val")
+    cand = (
+        stacked.select(F.col(id_col).alias("id_a"), "band", "val")
+        .join(
+            stacked.select(F.col(id_col).alias("id_b"), "band", "val"),
+            on=["band", "val"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in bands]
+    )
+    b_ = sig_df.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in bands]
+    )
+    hamming = None
+    for c in bands:
+        term = F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(a, on="id_a")
+        .join(b_, on="id_b")
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -59,6 +59,7 @@ _PIN_FIRST = (
     # r8, and q73/q87/q92 sat on r4 rows while neighboring operators
     # churned.
     "q207_hybrid_from_index",
+    "q208_phash_neardup",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",

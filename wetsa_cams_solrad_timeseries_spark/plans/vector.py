@@ -1949,6 +1949,99 @@ def q207_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid_fuse(_bm25_scores(probed, stats), emb)
 
 
+# --------------------------------------------------------------------------
+# q208 — perceptual-hash (dHash) near-dup over the multimodal payload
+# --------------------------------------------------------------------------
+
+_Q208_MAX_HAMMING = 6
+
+
+def q208_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the BINARY payload column
+    — the image-dedup member of the dedup family (q33 MinHash text, q34
+    SimHash text, this one payload bytes): attach the canonical
+    multimodal payload (q41's shape), Arrow-kernel each payload to a
+    64-bit dHash split into 4 x 16-bit bands
+    (operators/multimodal.py:dhash_bands), band-collision candidate
+    pairs (pigeonhole: Hamming <= 3 always collides; above it the
+    documented LSH recall trade-off), exact 64-bit Hamming verified on
+    candidates only, threshold 6.
+
+    The hash is a deterministic integer function of the payload bytes,
+    so the oracle replays pixel sampling, bit packing, banding, and the
+    popcount verify in plain SQL — bit-exact, no floats anywhere.
+
+    Scale shape: signature pass is scan-stage (4 int64s per payload,
+    size-independent); candidate generation is a band-value equi-join
+    (corpus-linear); the quadratic Hamming verify touches candidate rows
+    only. No all-pairs stage anywhere — the q62 discipline on bytes."""
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+        dhash_hamming_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = dhash_bands(attach_payload(docs, "doc_id", "text"))
+    return dhash_hamming_pairs(sigs, max_hamming=_Q208_MAX_HAMMING)
+
+
+_Q208_BAND_COLS = ",\n         ".join(
+    "CAST(list_sum([b[{lo} + i + 1] * (1 << i) FOR i IN range(0, 16)]) "
+    "AS BIGINT) AS band{b}".format(lo=b * 16, b=b)
+    for b in range(4)
+)
+_Q208_HAMMING = " + ".join(
+    f"bit_count(xor(sa.band{b}, sb.band{b}))" for b in range(4)
+)
+
+# Pixel replay: payload = UTF-8 bytes of text (ASCII corpus, so byte j ==
+# unicode(substr(text, j+1, 1))); the 8x9 grid tiles the bytes modulo the
+# length; bit k (k = r*8+c) compares grid cells k+k//8 and k+k//8+1 (the
+# row-major flattening of pixel[r][c] < pixel[r][c+1]).
+Q208_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+pix AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN [0 FOR j IN range(0, 72)]
+              ELSE [unicode(substr(text, CAST(j % n AS INT) + 1, 1))
+                    FOR j IN range(0, 72)]
+         END AS p
+  FROM src
+),
+bits AS (
+  SELECT doc_id,
+         [CASE WHEN p[k + (k // 8) + 1] < p[k + (k // 8) + 2]
+               THEN 1 ELSE 0 END FOR k IN range(0, 64)] AS b
+  FROM pix
+),
+sig AS (
+  SELECT doc_id,
+         {_Q208_BAND_COLS}
+  FROM bits
+),
+stacked AS (
+  SELECT doc_id,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([band0, band1, band2, band3]) AS val
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM stacked a
+  JOIN stacked b ON a.band = b.band AND a.val = b.val
+                AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({_Q208_HAMMING} AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE {_Q208_HAMMING} <= {_Q208_MAX_HAMMING}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1978,6 +2071,9 @@ SPECS = make_specs(
         ("q207_hybrid_from_index", q207_hybrid_from_index, Q194_ORACLE, (),
          "hybrid retrieval served from the persisted bucketed postings "
          "index (index ≡ recompute: the oracle is q194's SQL verbatim)"),
+        ("q208_phash_neardup", q208_phash_neardup, Q208_ORACLE, (),
+         "perceptual-hash (dHash) near-dup over the binary payload: "
+         "Hamming-banded candidates, exact popcount verify"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
