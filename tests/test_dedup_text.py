@@ -244,3 +244,90 @@ def test_lang_scores_pred(spark):
     assert got[1]["lang_pred"] == "en"
     assert got[2]["lang_pred"] == "es"
     assert got[3]["lang_pred"] == "und"
+
+
+def test_bucket_cap_retention_math_matches_enumeration():
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        bucket_cap_pair_retention,
+    )
+
+    sizes = [1, 2, 3, 4, 7, 1, 5]
+    for cap in (1, 2, 3, 8, 100):
+        kept = 0
+        total = 0
+        for n in sizes:
+            ids = list(range(n))
+            total += len(list(itertools.combinations(ids, 2)))
+            kept += len(list(itertools.combinations(ids[:cap], 2)))
+        assert bucket_cap_pair_retention(sizes, cap) == (
+            kept / total if total else 1.0
+        )
+    assert bucket_cap_pair_retention([1, 1], 5) == 1.0  # pairless
+    assert bucket_cap_pair_retention([], 5) == 1.0
+
+
+def test_cap_bucket_occupancy_deterministic_and_plan_free(spark):
+    # Correctness: keep the cap lowest ids per bucket; pairs from the
+    # capped index are a SUBSET of the uncapped pairs. Scale (asserted
+    # under the corpus-scale SMJ shape, broadcast disabled): the cap's
+    # window partitions by the join's own shuffle key, so the capped
+    # candidate plan spends NO additional Exchange over the uncapped
+    # one, and the cap itself runs map-side via WindowGroupLimit
+    # pre-shuffle pruning.
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        cap_bucket_occupancy,
+    )
+
+    rows = [(i, f"b{i % 3}") for i in range(12)]  # buckets of 4
+    banded = spark.createDataFrame(rows, "doc_id long, bucket string")
+    capped = cap_bucket_occupancy(banded, "doc_id", cap=2)
+    got = sorted((r["bucket"], r["doc_id"]) for r in capped.collect())
+    exp = sorted(
+        (f"b{b}", i)
+        for b in range(3)
+        for i in sorted(x for x in range(12) if x % 3 == b)[:2]
+    )
+    assert got == exp
+
+    def pairs(src):
+        a = src.select(F.col("doc_id").alias("id_a"), "bucket")
+        b_ = src.select(F.col("doc_id").alias("id_b"), "bucket")
+        return (
+            a.join(b_, on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    def n_exchanges(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+    capped_pairs = {tuple(r) for r in pairs(capped).collect()}
+    uncapped_pairs = {tuple(r) for r in pairs(banded).collect()}
+    assert capped_pairs < uncapped_pairs  # strict subset: the cap binds
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cp, up = pairs(capped), pairs(banded)
+        assert n_exchanges(cp) == n_exchanges(up)  # cap is shuffle-free
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cp.explain("formatted")
+        plan = buf.getvalue()
+        # map-side pre-pruning: a WindowGroupLimit sits BELOW the
+        # window's Exchange, so hot buckets never ship their full
+        # occupancy across the wire.
+        assert "WindowGroupLimit" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

@@ -85,6 +85,10 @@ BUDGETS = [
     ("q207_hybrid_from_index", 8,
      ["TakeOrderedAndProject", "SelectedBucketsCount"],
      ["CartesianProduct"]),
+    # LSH hot-bucket cap: q33's shape + one bucket-keyed window whose
+    # WindowGroupLimit pre-prunes map-side; no extra corpus shuffle.
+    ("q209_lsh_bucket_cap", 8, ["WindowGroupLimit"],
+     ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

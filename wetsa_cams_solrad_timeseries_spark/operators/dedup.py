@@ -26,7 +26,7 @@ for a pure-production deployment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wetsa_cams_solrad_timeseries_spark.functions.tokenize import (
@@ -402,3 +402,55 @@ def simhash(
         )
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def cap_bucket_occupancy(
+    band_df: DataFrame,
+    id_col: str,
+    bucket_col: str = "bucket",
+    cap: int = 8,
+) -> DataFrame:
+    """Hot-bucket occupancy cap for the LSH index — the boilerplate-skew
+    lever SCALING.md names beside AQE skew-join: web corpora have
+    buckets holding millions of near-identical boilerplate documents,
+    and the within-bucket pair join is quadratic in occupancy, so ONE
+    hot bucket can dominate the whole candidate stage. Keep the ``cap``
+    LOWEST-id rows per bucket (deterministic retention — the survivor
+    convention every dedup operator here uses), turning the worst-case
+    per-bucket work from O(n²) into O(cap²).
+
+    Recall trade-off is explicit, not folklore: a capped bucket of size
+    n keeps C(min(n,cap),2) of its C(n,2) candidate pairs — see
+    :func:`bucket_cap_pair_retention` (pytest-verified against direct
+    enumeration). Duplicates lost here are still caught by any OTHER
+    band the pair collides in (the q33 banding), which is why capping
+    beats sampling: retention is deterministic and replayable.
+
+    Scale shape: the cap's row_number window partitions BY BUCKET — the
+    same key the candidate join shuffles on — so under the corpus-scale
+    sort-merge join the window's hash partitioning satisfies the join
+    distribution and the capped plan spends ZERO extra Exchanges over
+    the uncapped one (pytest-locked in tests/test_dedup_text.py with
+    broadcast disabled). Better still, Catalyst plants a
+    ``WindowGroupLimit`` BEFORE the window's shuffle: each map partition
+    pre-prunes to its local top-``cap`` per bucket, so a 10M-row hot
+    bucket ships at most ``cap``·n_map_partitions rows across the wire
+    instead of 10M — the cap executes mostly map-side.
+    """
+    w = Window.partitionBy(bucket_col).orderBy(id_col)
+    return (
+        band_df.withColumn("__occ", F.row_number().over(w))
+        .filter(F.col("__occ") <= cap)
+        .drop("__occ")
+    )
+
+
+def bucket_cap_pair_retention(bucket_sizes, cap: int) -> float:
+    """Fraction of within-bucket candidate pairs a ``cap`` retains over
+    the given bucket-occupancy histogram: Σ C(min(n,cap),2) / Σ C(n,2).
+    Pure math (no Spark) — the tuning companion to
+    :func:`cap_bucket_occupancy`, the same way lsh_br_sweep tunes the
+    banding itself. Returns 1.0 for a pairless histogram."""
+    kept = sum(min(n, cap) * (min(n, cap) - 1) // 2 for n in bucket_sizes)
+    total = sum(n * (n - 1) // 2 for n in bucket_sizes)
+    return kept / total if total else 1.0

@@ -262,6 +262,81 @@ FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 
 # --------------------------------------------------------------------------
+# q209 — LSH candidate pairs under a hot-bucket occupancy cap
+# --------------------------------------------------------------------------
+
+_Q209_CAP = 2
+
+
+def q209_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q33's LSH candidate generation with the HOT-BUCKET CAP applied —
+    the boilerplate-skew lever for web-scale corpora: buckets holding
+    millions of near-identical boilerplate pages make the within-bucket
+    pair join quadratic in occupancy, so the index keeps only the
+    ``cap`` lowest-id rows per bucket (deterministic retention,
+    operators/dedup.py:cap_bucket_occupancy) before pairing. cap=2 here
+    so the cap BINDS on this corpus (its occupancy histogram tops out at
+    3–4); production sets it orders of magnitude higher. The recall
+    trade-off is closed-form (bucket_cap_pair_retention, pytest-verified)
+    and capped pairs remain a SUBSET of q33's — a dropped pair can still
+    surface via any other band the two documents share.
+
+    Scale shape: identical to q33 plus one row_number window partitioned
+    by the SAME bucket key the join shuffles on — under the corpus-scale
+    sort-merge join the capped plan's Exchange count EQUALS the uncapped
+    q33 plan's (7 = 7, pytest-locked with broadcast disabled), and the
+    cap itself executes mostly map-side via WindowGroupLimit pre-shuffle
+    pruning (a hot bucket ships ≤ cap rows per map partition, never its
+    full occupancy). The oracle replays the cap as a QUALIFY over the
+    identical banding SQL."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        cap_bucket_occupancy,
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    sigs = minhash_signatures(sh, "doc_id", n_perm=_N_PERM)
+    banded = lsh_band_rows(sigs, "doc_id", n_perm=_N_PERM, bands=_BANDS)
+    capped = cap_bucket_occupancy(banded, "doc_id", cap=_Q209_CAP)
+    # Band id is hashed into the bucket digest (lsh_band_rows), so the
+    # bucket alone is the complete join key — q193's probe convention.
+    a = capped.select(F.col("doc_id").alias("id_a"), "bucket")
+    b_ = capped.select(F.col("doc_id").alias("id_b"), "bucket")
+    return (
+        a.join(b_, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+Q209_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+capped AS (
+  SELECT doc_id, bucket FROM (
+    SELECT doc_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+    FROM banded
+  ) WHERE rn <= {_Q209_CAP}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # q62 — full MinHash-LSH dedup pipeline: candidates → exact verify
 # --------------------------------------------------------------------------
 def q62_minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +711,9 @@ SPECS = make_specs(
         ("q31_dedup_exact", q31_dedup_exact, Q31_ORACLE, (), "exact hash dedup"),
         ("q32_ngram_jaccard", q32_ngram_jaccard, Q32_ORACLE, (), "n-gram Jaccard near-dup pairs"),
         ("q33_minhash_lsh", q33_minhash_lsh, Q33_ORACLE, (), "MinHash+LSH candidate pairs"),
+        ("q209_lsh_bucket_cap", q209_lsh_bucket_cap, Q209_ORACLE, (),
+         "LSH candidates under a hot-bucket occupancy cap (boilerplate-"
+         "skew lever; deterministic lowest-id retention)"),
         ("q62_minhash_dedup_verified", q62_minhash_dedup_verified, Q62_ORACLE, (), "LSH candidates + exact verify"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),

@@ -60,6 +60,7 @@ _PIN_FIRST = (
     # churned.
     "q207_hybrid_from_index",
     "q208_phash_neardup",
+    "q209_lsh_bucket_cap",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",
