@@ -250,3 +250,51 @@ def test_hybrid_serve_reads_only_the_index(spark, sf_dir):
     assert picked, "postings scan lost its bucket pruning:\n" + plan
     assert all(n <= 3 for n in picked), plan  # 3 query terms -> <=3 buckets
     assert serve.count() > 0
+
+
+def test_incremental_phash_history_side_no_shuffle(spark, sf_dir):
+    # q210's scale property: probing the NEW shard's dHash band rows
+    # against the persisted history index (bucketed on `bkey`) shuffles
+    # ONLY the probe side, and because the full signature is
+    # denormalized onto every index row, the verify needs NO further
+    # history access at all — the single Exchange hangs off the probe.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _dhash_index_rows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+
+    def rows(part):
+        return _dhash_index_rows(dhash_bands(attach_payload(part, "doc_id", "text")))
+
+    write_bucketed(
+        rows(docs.filter(~is_new)), "t_phash_hist_b", "bkey",
+        n_buckets=8, sort_col="bkey",
+    )
+    probe = rows(docs.filter(is_new)).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.hint("merge").join(
+            spark.table("t_phash_hist_b").withColumnRenamed("doc_id", "hist_id")
+            .withColumnRenamed("band0", "b0h").withColumnRenamed("band1", "b1h")
+            .withColumnRenamed("band2", "b2h").withColumnRenamed("band3", "b3h"),
+            on="bkey",
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, plan  # probe side only
+        tree = plan.split("(1) ")[0]
+        hist_branch = [l for l in tree.splitlines() if "t_phash_hist_b" in l]
+        assert hist_branch and all("Exchange" not in l for l in hist_branch)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_phash_hist_b")

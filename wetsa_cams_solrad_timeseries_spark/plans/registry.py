@@ -61,6 +61,7 @@ _PIN_FIRST = (
     "q207_hybrid_from_index",
     "q208_phash_neardup",
     "q209_lsh_bucket_cap",
+    "q210_incremental_phash",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",

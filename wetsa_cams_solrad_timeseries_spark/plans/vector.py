@@ -2042,6 +2042,158 @@ WHERE {_Q208_HAMMING} <= {_Q208_MAX_HAMMING}
 """
 
 
+# --------------------------------------------------------------------------
+# q210 — incremental perceptual-hash index (cross-run image dedup)
+# --------------------------------------------------------------------------
+
+_Q210_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q210_BUCKETS = 8
+
+
+def _dhash_index_rows(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, bkey, band0..band3) rows — one per band, the FULL
+    signature denormalized onto every row (the q207 dl trick), with the
+    single-column probe key ``bkey = band·2¹⁶ + value`` (band folded
+    into the key the way q193 hashes the band into its bucket digest, so
+    a bucketed layout on one column satisfies the probe join)."""
+    bands = [c for c in sig_df.columns if c.startswith("band")]
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                (F.lit(b * 65536) + F.col(c)).alias("k")
+                for b, c in enumerate(bands)
+            ])
+        ).alias("bkey"),
+        *bands,
+    )
+
+
+def q210_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run PERCEPTUAL dedup — q193's index lifecycle
+    applied to q208's image signatures, completing the incremental index
+    family (q193 text LSH, q197 PQ codes, q201 postings, this one
+    payloads): history payloads are dHashed ONCE and their band rows
+    persisted as a managed table bucketed on ``bkey``, with the full
+    4-band signature DENORMALIZED onto every index row — so unlike q193
+    (which must re-shingle candidate history docs to verify), the
+    steady-state probe verifies ENTIRELY from the index: exact 64-bit
+    Hamming popcounts compute from the band columns already sitting on
+    the joined row. A steady-state run touches the new shard + the
+    index, and history payloads are NEVER re-read (the probe plan's only
+    Exchanges hang off the new-shard side —
+    tests/test_bucketing.py::test_incremental_phash_history_side_no_shuffle).
+
+    Output: (new_id, hist_id, hamming ≤ 6) — which of today's payloads
+    perceptually duplicate the already-ingested corpus. Oracle: the
+    equivalent BATCH computation over q208's bit-exact SQL fragments
+    (incremental ≡ batch, the cross-run index invariance).
+
+    Scale shape: per run, work = new-shard Arrow hash pass (4 int64s
+    per payload) + a bucket-colocated probe join + candidate-sized
+    popcounts. Appends ride the bucketed layout (q193's discipline)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+
+    def sigs(part: DataFrame) -> DataFrame:
+        return dhash_bands(attach_payload(part, "doc_id", "text"))
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    tname = f"wetsa_phashidx_{tag}_{_Q210_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        claim_warehouse_table(
+            spark, f"wetsa_phashidx_{tag}_*", _Q210_TOKEN, tname
+        )
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(tname):
+            write_bucketed(
+                _dhash_index_rows(sigs(docs.filter(~is_new))), tname,
+                "bkey", n_buckets=_Q210_BUCKETS, sort_col="bkey",
+            )
+        hist_idx = spark.table(tname)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frame
+        hist_idx = _dhash_index_rows(sigs(docs.filter(~is_new)))
+
+    probe = _dhash_index_rows(sigs(docs.filter(is_new)))
+    bands = [f"band{b}" for b in range(4)]
+    joined = probe.select(
+        F.col("doc_id").alias("new_id"), "bkey",
+        *[F.col(c).alias(f"{c}_n") for c in bands],
+    ).join(
+        hist_idx.select(
+            F.col("doc_id").alias("hist_id"), "bkey",
+            *[F.col(c).alias(f"{c}_h") for c in bands],
+        ),
+        on="bkey",
+    )
+    hamming = None
+    for c in bands:
+        term = F.bit_count(F.col(f"{c}_n").bitwiseXOR(F.col(f"{c}_h")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        joined.select(
+            "new_id", "hist_id", hamming.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _Q208_MAX_HAMMING)
+        .distinct()
+    )
+
+
+Q210_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+pix AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN [0 FOR j IN range(0, 72)]
+              ELSE [unicode(substr(text, CAST(j % n AS INT) + 1, 1))
+                    FOR j IN range(0, 72)]
+         END AS p
+  FROM src
+),
+bits AS (
+  SELECT doc_id,
+         [CASE WHEN p[k + (k // 8) + 1] < p[k + (k // 8) + 2]
+               THEN 1 ELSE 0 END FOR k IN range(0, 64)] AS b
+  FROM pix
+),
+sig AS (
+  SELECT doc_id,
+         {_Q208_BAND_COLS}
+  FROM bits
+),
+stacked AS (
+  SELECT doc_id,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([band0, band1, band2, band3]) AS val
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM stacked n
+  JOIN stacked h ON n.band = h.band AND n.val = h.val
+  WHERE n.doc_id % 10 = 7 AND h.doc_id % 10 <> 7
+)
+SELECT new_id, hist_id, CAST({_Q208_HAMMING} AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.new_id
+JOIN sig sb ON sb.doc_id = c.hist_id
+WHERE {_Q208_HAMMING} <= {_Q208_MAX_HAMMING}
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2074,6 +2226,10 @@ SPECS = make_specs(
         ("q208_phash_neardup", q208_phash_neardup, Q208_ORACLE, (),
          "perceptual-hash (dHash) near-dup over the binary payload: "
          "Hamming-banded candidates, exact popcount verify"),
+        ("q210_incremental_phash", q210_incremental_phash, Q210_ORACLE, (),
+         "incremental perceptual-hash index: signatures denormalized "
+         "onto the bucketed band rows, steady state verifies from the "
+         "index alone (history payloads never re-read)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
