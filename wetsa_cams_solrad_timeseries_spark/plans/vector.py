@@ -421,9 +421,10 @@ def _ivf_centroid_values(
 # ordering (ivf_assign's kernel nudge-rounds its BLAS matmul, the CTE
 # below nudge-rounds the list fold), so a ULP flip near a centroid tie
 # can never split cell membership across engines; rounded ties break
-# toward the lower cell id on both.
-_Q56_ORACLE_TEMPLATE = f"""
-WITH vecs AS (
+# toward the lower cell id on both. The CTE chain is shared by the q56
+# oracle (final top-k select) and the q211 recall-gate oracle (which
+# joins it against the brute-force list).
+_Q56_CTES = f"""vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 unit AS (
@@ -456,7 +457,10 @@ scored AS (
   FROM cand c
   JOIN vecs qv ON qv.vec_id = c.query_id
   JOIN vecs nv ON nv.vec_id = c.neighbor_id
-)
+)"""
+
+_Q56_ORACLE_TEMPLATE = f"""
+WITH {_Q56_CTES}
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2194,6 +2198,118 @@ WHERE {_Q208_HAMMING} <= {_Q208_MAX_HAMMING}
 """
 
 
+# --------------------------------------------------------------------------
+# q211 — ANN recall gate: IVF probe quality measured against brute force
+# --------------------------------------------------------------------------
+
+_Q211_K = 3
+
+
+def q211_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the IVF index against the exact baseline —
+    the "measure, don't guess" gate a production pipeline runs BEFORE
+    swapping an ANN index into serving (and after every parameter
+    change: n_probe, cells, codebooks): per query, how many of the exact
+    top-3 neighbors does q56's IVF probe (16 cells, 4 probed) return?
+    Output: (query_id, hits, recall) — one row per query so low-recall
+    outliers are visible, not averaged away; the aggregate gate is one
+    more trivial agg on top.
+
+    Both candidate lists already exist as verified operators (q56 / q38
+    kernels); this query is their composition through ONE set-intersect
+    join — and the oracle composes the SAME two verified SQL bodies
+    (q56's literal-centroid CTE chain + q38's brute-force ranking), so
+    the recall arithmetic is checked end to end, not trusted.
+
+    Scale shape: both lists are top-k-bounded per query (k·|Q| rows);
+    the intersect join and the per-query count are candidate-sized. The
+    expensive inputs reuse their own documented scale paths."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    ivf = ann_topk_ivf(
+        emb, query_ids_pred=lambda c: c < 50, k=_Q211_K, n_cells=16,
+        n_probe=4,
+    ).select("query_id", "neighbor_id")
+    brute = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q211_K
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q211_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_Q211_ORACLE_TEMPLATE = f"""
+WITH {{Q56_CTES}},
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {_Q211_K}
+),
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM bscored
+  ) WHERE r <= {_Q211_K}
+),
+hits AS (
+  SELECT b.query_id, count(*) AS h
+  FROM brute b
+  JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT b.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q211_K} + 1e-9, 6)
+         AS recall
+FROM (SELECT DISTINCT query_id FROM brute) b
+LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
+def q211_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q211 oracle: q56's trained-centroid literalization feeds
+    the shared IVF CTE chain; the brute baseline needs no literals."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _Q211_ORACLE_TEMPLATE.format(
+        Q56_CTES=_Q56_CTES.replace("__IVF_VALUES__", values)
+    )
+
+
+Q211_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2230,6 +2346,9 @@ SPECS = make_specs(
          "incremental perceptual-hash index: signatures denormalized "
          "onto the bucketed band rows, steady state verifies from the "
          "index alone (history payloads never re-read)"),
+        ("q211_ann_recall_gate", q211_ann_recall_gate, Q211_ORACLE, (),
+         "ANN recall@k gate: IVF probe vs exact baseline, per-query "
+         "hit counts (the pre-serving index quality check)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
@@ -2249,6 +2368,9 @@ import dataclasses as _dc
 
 SPECS["q56_ann_ivf_topk"] = _dc.replace(
     SPECS["q56_ann_ivf_topk"], oracle_fn=q56_oracle_for
+)
+SPECS["q211_ann_recall_gate"] = _dc.replace(
+    SPECS["q211_ann_recall_gate"], oracle_fn=q211_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
