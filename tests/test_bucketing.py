@@ -298,3 +298,62 @@ def test_incremental_phash_history_side_no_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_phash_hist_b")
+
+
+def test_compaction_restores_one_file_per_bucket(spark, sf_dir):
+    # Index-maintenance lifecycle: N incremental appends leave N files
+    # per bucket; compaction rewrites to ONE sorted file per bucket and
+    # the probe join plan keeps its zero-history-shuffle shape, with
+    # identical contents.
+    import os
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    t = "t_compact_b"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(ev.filter(F.col("user_id") % 3 == 0), t, "user_id",
+                   n_buckets=4, sort_col="user_id")
+    for day in (1, 2):
+        ev.filter(F.col("user_id") % 3 == day).write.insertInto(t)
+
+    def data_files():
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+            .filter(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+        return [
+            f for f in os.listdir(loc)
+            if not f.startswith(("_", "."))
+        ]
+
+    before_rows = sorted(tuple(r) for r in spark.table(t).collect())
+    assert len(data_files()) > 4  # appends piled up multiple files/bucket
+
+    compact_bucketed_table(spark, t, n_buckets=4, bucket_col="user_id",
+                           sort_col="user_id")
+    try:
+        assert len(data_files()) <= 4  # one file per (non-empty) bucket
+        after_rows = sorted(tuple(r) for r in spark.table(t).collect())
+        assert after_rows == before_rows
+        # the layout contract survives the rewrite: a probe join against
+        # the compacted table still shuffles only the probe side
+        probe = ev.limit(50).localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = probe.hint("merge").join(spark.table(t), on="user_id")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            import re as _re
+
+            assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

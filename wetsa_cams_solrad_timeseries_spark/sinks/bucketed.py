@@ -37,3 +37,58 @@ def bucketed_join(
     operators — verify with ``.explain()`` (tests/test_bucketing.py
     asserts it)."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    n_buckets: int,
+    bucket_col: str,
+    sort_col: str | None = None,
+) -> None:
+    """Small-file compaction for an appended-into bucketed index — the
+    maintenance step the cross-run index tables (q193 band rows, q197
+    codes, q201 stats, q210 signatures) need after many incremental
+    appends: every ``insertInto`` lays down its own file per bucket, so
+    N daily appends = N files per bucket, and at 100 TB the scan's task
+    count (and the NameNode/listing pressure) grows with append count
+    instead of data size.
+
+    Rewrites the table at one file per bucket WITHOUT changing the
+    layout contract: ``repartition(n_buckets, bucket_col)`` aligns write
+    tasks to buckets (Spark's bucket id — pmod(murmur3(col), n) — IS
+    hashpartitioning's routing, so each task holds exactly its bucket),
+    then the same bucketBy/sortBy spec writes one sorted file per
+    bucket into a temp table that atomically replaces the original via
+    RENAME. Probe plans are byte-for-byte the same shape afterwards —
+    still zero history-side Exchange (pytest-locked in
+    tests/test_bucketing.py::test_compaction_restores_one_file_per_bucket).
+
+    Planner trap this codes around: reading via ``spark.table`` reports
+    the scan's output partitioning as the table's own
+    HashPartitioning(bucket, n), so EnsureRequirements ELIDES the
+    explicit repartition — and then DisableUnnecessaryBucketedScan
+    demotes the scan to plain per-file tasks, so the write lands one
+    file per (input file x bucket), i.e. compaction that compacts
+    nothing (observed: 9 files from a 4-bucket table). Reading the
+    table's LOCATION as bare parquet carries no bucket metadata, so the
+    repartition survives and each write task owns exactly one bucket.
+    """
+    from pyspark.sql import functions as F
+
+    location = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    tmp = f"{table_name}__compacting"
+    (
+        spark.read.parquet(location)
+        .repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
