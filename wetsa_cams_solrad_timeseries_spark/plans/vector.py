@@ -1986,7 +1986,13 @@ def q208_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    sigs = dhash_bands(attach_payload(docs, "doc_id", "text"))
+    # localCheckpoint: four plan branches consume the signatures (both
+    # self-join sides + both verify sides), and without it the Arrow
+    # hash kernel re-reads and re-hashes the corpus 4× (PLANS.json
+    # showed python_kernels=4) — the q62 shared-subtree discipline.
+    sigs = dhash_bands(attach_payload(docs, "doc_id", "text")).localCheckpoint(
+        eager=True
+    )
     return dhash_hamming_pairs(sigs, max_hamming=_Q208_MAX_HAMMING)
 
 
