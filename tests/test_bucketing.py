@@ -357,3 +357,55 @@ def test_compaction_restores_one_file_per_bucket(spark, sf_dir):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_postings_append_then_serve_equals_rebuild(spark, sf_dir):
+    # q207's cross-RUN append path: a day's postings insertInto the same
+    # bucketed layout (no reorganization), and serving from the appended
+    # table returns exactly what a from-scratch rebuild serves — while
+    # the probe keeps its bucket pruning.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.functions.tokenize import (
+        norm_words,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    t = "t_postfull_append_b"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def postings(part):
+        words = part.select(F.col("doc_id"), norm_words("text").alias("ws"))
+        dl = words.select("doc_id", F.size("ws").alias("dl"))
+        return (
+            words.select("doc_id", F.explode("ws").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dl, on="doc_id")
+        )
+
+    write_bucketed(postings(docs.filter(~is_new)), t, "term",
+                   n_buckets=16, sort_col="term")
+    # append the day's shard through the table's own bucketing spec
+    postings(docs.filter(is_new)).select(
+        *[f.name for f in spark.table(t).schema.fields]
+    ).write.insertInto(t)
+
+    terms = ("vector", "stream", "merge")
+    served = spark.table(t).filter(F.col("term").isin(*terms))
+    rebuilt = postings(docs).filter(F.col("term").isin(*terms))
+    got = sorted(tuple(r) for r in served.collect())
+    exp = sorted(tuple(r) for r in rebuilt.collect())
+    try:
+        assert got == exp
+        # Pruning must be asserted on the real serving shape (q207's
+        # per-term df aggregate): a bare filter-only query hits
+        # DisableUnnecessaryBucketedScan — no operator needs the bucket
+        # distribution, the planner demotes the scan, and pruning goes
+        # with it. The aggregate keyed on the bucket column retains both.
+        plan = _plan(served.groupBy("term").count())
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) <= 3, plan  # pruning survives appends
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -304,3 +304,39 @@ def test_dhash_hamming_pairs_exact_dup_and_pigeonhole(spark):
                 assert any(
                     x == y for x, y in zip(sig_map[a], sig_map[b])
                 )
+
+
+def test_dhash_kernel_matches_reference_hypothesis(spark):
+    # Property: the Arrow kernel's band packing equals the pure-Python
+    # reference for arbitrary ASCII payloads (empty, whitespace, long).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+
+    texts_strategy = st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: [r[f"band{b}"] for b in range(4)]
+            for r in dhash_bands(attach_payload(df, "doc_id", "text")).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _dhash_reference(t.encode()), repr(t)
+
+    check()
