@@ -23,16 +23,20 @@ from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
 from wetsa_cams_solrad_timeseries_spark.session import get_spark
 
 
-def _previous_record() -> dict[str, float]:
+def _previous_record(sf: float) -> dict[str, float]:
     """Per-query times from the PREVIOUS committed BENCH_LOCAL.json (read
     before this run overwrites it) — the baseline for outlier
-    adjudication. Missing/unparsable → empty (no adjudication)."""
+    adjudication. Only a SAME-SF record is a valid baseline (an sf0.01
+    iteration run must not adjudicate against sf0.1 numbers).
+    Missing/unparsable/different-SF → empty (no adjudication)."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     try:
         with open(path) as f:
             rec = json.load(f)
+        if rec.get("sf") != sf:
+            return {}
         return {
             k: float(v)
             for k, v in rec.get("queries", {}).items()
@@ -52,7 +56,7 @@ _OUTLIER_FACTOR = 3.0
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    prev = _previous_record()
+    prev = _previous_record(sf)
     spark = get_spark("bench")
 
     # Warmup: run every query once at the smallest SF so whole-stage

@@ -175,6 +175,50 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+def brute_force_topk_l2(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact squared-L2 top-k — :func:`brute_force_topk`'s metric twin
+    for the PQ family, whose ADC approximates SQUARED L2 (not cosine):
+    the honest baseline for a PQ/IVF-PQ recall gate must rank by the
+    same metric the index approximates. Same plan shape: queries
+    broadcast, corpus streamed, per-query partial top-k; distances
+    round6 before ranking with the (dist asc, neighbor_id) tie-break
+    the ADC rankers use."""
+    qv = to_double_array(F.col(emb_col))
+    q = queries_df.select(
+        F.col(id_col).alias(query_id_col), qv.alias("__qv")
+    )
+    c = emb_df.select(
+        F.col(id_col).alias("neighbor_id"), qv.alias("__cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def ivf_assign(
     emb_df: DataFrame,
     centroids,  # list[list[float]] — normalized centroid matrix

@@ -900,8 +900,10 @@ _Q195_SUBD = (
     " + 1e-9, 6)"
 ).format(d=_Q195_DSUB)
 
-_Q195_ORACLE_TEMPLATE = f"""
-WITH vecs AS (
+# Shared by the q195 oracle (final top-k select) and the q212 PQ
+# recall-gate oracle (which joins the ADC ranking against the exact-L2
+# list) — the q56/_Q56_CTES pattern.
+_Q195_CTES = f"""vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 books(sub, code, c) AS (VALUES __PQ_VALUES__),
@@ -929,7 +931,10 @@ adc AS (
   FROM codes cd JOIN luts l ON l.sub = cd.sub AND l.code = cd.code
   WHERE cd.neighbor_id <> l.query_id
   GROUP BY 1, 2
-)
+)"""
+
+_Q195_ORACLE_TEMPLATE = f"""
+WITH {_Q195_CTES}
 SELECT query_id, neighbor_id, adc, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc ASC, neighbor_id) AS rank
@@ -2316,6 +2321,122 @@ def q211_oracle_for(sf_dir: str) -> str | None:
 Q211_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q212 — PQ recall gate: ADC ranking quality vs the exact-L2 baseline
+# --------------------------------------------------------------------------
+
+
+def q212_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q211's recall gate for the COMPRESSED index: how many of the
+    exact squared-L2 top-3 does q195's PQ/ADC ranking keep? The metric
+    matters — ADC approximates squared L2, not cosine, so the honest
+    baseline is brute_force_topk_l2 (ranking PQ against a cosine
+    baseline would confound quantization loss with metric mismatch).
+    Together q211 (IVF: candidate loss from probing) and q212 (PQ:
+    ranking loss from quantization) measure the two independent error
+    sources an IVF-PQ deployment multiplies together.
+
+    Output/oracle shape is q211's: per-query (hits, recall), oracle
+    composes q195's literal-codebook CTE chain with an exact-L2 ranking
+    in SQL — both sides of the recall arithmetic cross-checked.
+
+    Measured: avg recall@3 ≈ 0.17 at sf0.001 — 8×16 codebooks on 64-dim
+    uniform embeddings are aggressively lossy, which is precisely the
+    number this gate exists to surface: production serves PQ as
+    ADC-top-R (R ≫ k) followed by an exact rerank of the survivors
+    (q62's candidates→verify discipline, noted in q195's scale story),
+    and THIS measurement is what sizes R."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_pq,
+        brute_force_topk_l2,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    adc = ann_topk_pq(
+        emb, query_ids_pred=lambda c: c < _Q195_NQ, k=_Q195_K,
+        m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM,
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk_l2(
+        emb, emb.filter(F.col("vec_id") < _Q195_NQ), k=_Q195_K
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(adc, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q195_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_Q212_L2 = (
+    "round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])"
+    f" FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6)"
+)
+
+_Q212_ORACLE_TEMPLATE = f"""
+WITH {{Q195_CTES}},
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id) AS r
+    FROM adc
+  ) WHERE r <= {_Q195_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_Q212_L2} AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q195_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q195_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN pq p ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT e.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q195_K} + 1e-9, 6)
+         AS recall
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits h ON h.query_id = e.query_id
+"""
+
+
+def q212_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q212 oracle: q195's codebook literalization feeds the
+    shared ADC CTE chain; the exact-L2 baseline needs no literals."""
+    values = _pq_codebook_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _Q212_ORACLE_TEMPLATE.format(
+        Q195_CTES=_Q195_CTES.replace("__PQ_VALUES__", values)
+    )
+
+
+Q212_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2355,6 +2476,9 @@ SPECS = make_specs(
         ("q211_ann_recall_gate", q211_ann_recall_gate, Q211_ORACLE, (),
          "ANN recall@k gate: IVF probe vs exact baseline, per-query "
          "hit counts (the pre-serving index quality check)"),
+        ("q212_pq_recall_gate", q212_pq_recall_gate, Q212_ORACLE, (),
+         "PQ recall@k gate: ADC ranking vs the exact squared-L2 "
+         "baseline (quantization loss, metric-matched)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
@@ -2377,6 +2501,9 @@ SPECS["q56_ann_ivf_topk"] = _dc.replace(
 )
 SPECS["q211_ann_recall_gate"] = _dc.replace(
     SPECS["q211_ann_recall_gate"], oracle_fn=q211_oracle_for
+)
+SPECS["q212_pq_recall_gate"] = _dc.replace(
+    SPECS["q212_pq_recall_gate"], oracle_fn=q212_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
