@@ -89,6 +89,16 @@ BUDGETS = [
     # WindowGroupLimit pre-prunes map-side; no extra corpus shuffle.
     ("q209_lsh_bucket_cap", 8, ["WindowGroupLimit"],
      ["CartesianProduct"]),
+    # pHash near-dup: one Arrow hash pass (checkpointed — consumed by 4
+    # branches), band equi-join candidates, popcount verify.
+    ("q208_phash_neardup", 6, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Incremental pHash probe: bucketed index join + final distinct.
+    ("q210_incremental_phash", 4, [], ["CartesianProduct"]),
+    # Recall gates: two top-k-bounded lists + set-intersect + per-query
+    # counts; the only cross shapes are the bounded query-broadcast
+    # scorers (BNLJ-Cross on a broadcast query set, never cartesian).
+    ("q211_ann_recall_gate", 14, [], ["CartesianProduct"]),
+    ("q212_pq_recall_gate", 12, [], ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is
