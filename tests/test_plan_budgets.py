@@ -99,6 +99,9 @@ BUDGETS = [
     # scorers (BNLJ-Cross on a broadcast query set, never cartesian).
     ("q211_ann_recall_gate", 14, [], ["CartesianProduct"]),
     ("q212_pq_recall_gate", 12, [], ["CartesianProduct"]),
+    # ADC screen + candidate-bounded exact rerank: the corpus pass is
+    # codes-only; the rerank joins raw vectors for R*|Q| rows only.
+    ("q213_pq_rerank_topk", 10, [], ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

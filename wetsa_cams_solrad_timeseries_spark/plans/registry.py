@@ -64,6 +64,7 @@ _PIN_FIRST = (
     "q210_incremental_phash",
     "q211_ann_recall_gate",
     "q212_pq_recall_gate",
+    "q213_pq_rerank_topk",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",

@@ -2322,6 +2322,114 @@ Q211_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q213 — PQ serving pattern: ADC top-R candidates → exact rerank
+# --------------------------------------------------------------------------
+
+_Q213_R = 30  # ADC candidate depth feeding the exact rerank
+
+
+def q213_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving pattern (Jégou et al.; how FAISS
+    deployments actually answer queries): the compressed index screens —
+    ADC top-R (R=30) over codes only — and the R survivors are reranked
+    with EXACT squared-L2 on their raw vectors, returning top-3. This
+    is the q62 candidates→verify discipline applied to ANN serving, and
+    it is what q212's measurement exists to size: raw ADC@3 recall is
+    ~0.17 at this compression, while the reranked pipeline recovers the
+    exact ordering of everything ADC's top-30 retains — measured
+    recall@3 at sf0.001: 0.17 raw → 0.58 reranked at R=30 (R is the
+    dial: recall@3 ≈ P(exact top-3 ⊆ ADC top-R), monotone in R at
+    R/corpus extra cost).
+
+    Scale shape: the corpus-sized pass stays codes-only (ADC); the
+    exact stage touches R·|Q| raw vectors through an equi-join on
+    neighbor_id — candidate-bounded, never a second corpus scan of
+    pairwise math; the per-query rerank window runs over ≤ R rows.
+
+    Oracle: q195's literal-codebook CTE chain → ADC top-R → exact-L2
+    rerank in SQL, rank ≤ 3 — the full two-stage pipeline replayed."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_pq,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    cand = ann_topk_pq(
+        emb, query_ids_pred=lambda c: c < _Q195_NQ, k=_Q213_R,
+        m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM,
+    ).select("query_id", "neighbor_id")
+    v = to_double_array(F.col("embedding"))
+    qv = emb.filter(F.col("vec_id") < _Q195_NQ).select(
+        F.col("vec_id").alias("query_id"), v.alias("__qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    reranked = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return reranked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q195_K)
+
+
+_Q213_ORACLE_TEMPLATE = f"""
+WITH {{Q195_CTES}},
+pq_r AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id) AS r
+    FROM adc
+  ) WHERE r <= {_Q213_R}
+),
+rer AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM pq_r p
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN vecs c ON c.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {_Q195_K}
+"""
+
+
+def q213_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q213 oracle: q195's codebook literalization feeds the
+    shared ADC CTE chain; the rerank stage needs no literals."""
+    values = _pq_codebook_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _Q213_ORACLE_TEMPLATE.format(
+        Q195_CTES=_Q195_CTES.replace("__PQ_VALUES__", values)
+    )
+
+
+Q213_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q212 — PQ recall gate: ADC ranking quality vs the exact-L2 baseline
 # --------------------------------------------------------------------------
 
@@ -2479,6 +2587,9 @@ SPECS = make_specs(
         ("q212_pq_recall_gate", q212_pq_recall_gate, Q212_ORACLE, (),
          "PQ recall@k gate: ADC ranking vs the exact squared-L2 "
          "baseline (quantization loss, metric-matched)"),
+        ("q213_pq_rerank_topk", q213_pq_rerank_topk, Q213_ORACLE, (),
+         "production PQ serving: ADC top-R screen, exact-L2 rerank of "
+         "the R survivors (codes-only corpus pass)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
@@ -2504,6 +2615,9 @@ SPECS["q211_ann_recall_gate"] = _dc.replace(
 )
 SPECS["q212_pq_recall_gate"] = _dc.replace(
     SPECS["q212_pq_recall_gate"], oracle_fn=q212_oracle_for
+)
+SPECS["q213_pq_rerank_topk"] = _dc.replace(
+    SPECS["q213_pq_rerank_topk"], oracle_fn=q213_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
