@@ -409,3 +409,55 @@ def test_postings_append_then_serve_equals_rebuild(spark, sf_dir):
         assert m and int(m.group(1)) <= 3, plan  # pruning survives appends
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_phash_index_append_stays_shuffle_free(spark, sf_dir):
+    # q210's cross-RUN claim (q193's append discipline on the pHash
+    # index): today's band rows APPEND into the same bucketed layout
+    # via insertInto, and tomorrow's probe over history+today keeps the
+    # single probe-side Exchange.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _dhash_index_rows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+
+    def rows(pred):
+        return _dhash_index_rows(
+            dhash_bands(attach_payload(docs.filter(pred), "doc_id", "text"))
+        )
+
+    day1 = F.col("doc_id") % 10 < 5
+    day2 = (F.col("doc_id") % 10 >= 5) & (F.col("doc_id") % 10 != 7)
+    probe_pred = F.col("doc_id") % 10 == 7
+    t = "t_phash_append_b"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(rows(day1), t, "bkey", n_buckets=8, sort_col="bkey")
+    rows(day2).select(
+        *[f.name for f in spark.table(t).schema.fields]
+    ).write.insertInto(t)
+
+    probe = rows(probe_pred).localCheckpoint(eager=True)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.hint("merge").join(
+            spark.table(t).withColumnRenamed("doc_id", "hist_id")
+            .withColumnRenamed("band0", "b0h").withColumnRenamed("band1", "b1h")
+            .withColumnRenamed("band2", "b2h").withColumnRenamed("band3", "b3h"),
+            on="bkey",
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        # appended rows are probed: day-2 ids appear among the matches
+        hist_ids = {r["hist_id"] for r in j.select("hist_id").distinct().collect()}
+        assert any(i % 10 >= 5 for i in hist_ids)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
