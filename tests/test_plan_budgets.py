@@ -102,6 +102,8 @@ BUDGETS = [
     # ADC screen + candidate-bounded exact rerank: the corpus pass is
     # codes-only; the rerank joins raw vectors for R*|Q| rows only.
     ("q213_pq_rerank_topk", 10, [], ["CartesianProduct"]),
+    # OPQ = one extra scan-stage rotation kernel on q195's ADC plan.
+    ("q214_opq_adc_topk", 5, [], ["CartesianProduct", "SortMergeJoin"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -138,3 +138,56 @@ def test_ivfpq_probe_tie_breaks_to_lower_cell(spark):
     )
     luts = ivfpq_query_luts(df, coarse, books, n_probe=2)
     assert sorted({r.cell for r in luts.collect()}) == [0, 1]
+
+
+def test_opq_rotation_orthogonal_and_error_nonincreasing(spark):
+    # OPQ invariants: R is orthogonal (distance-preserving), and the
+    # learned rotation's quantization error on the training sample is
+    # <= plain PQ's (identity rotation) — the whole point of the
+    # alternating solver.
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        _pq_reconstruct,
+        opq_core,
+        pq_lloyd,
+    )
+
+    rng = np.random.RandomState(7)
+    # correlated data: variance straddles subspace boundaries, the
+    # regime where rotation helps
+    base = rng.randn(300, 8)
+    mat = np.hstack([base, base * 0.5 + rng.randn(300, 8) * 0.1])
+    R, books = opq_core(mat, m=4, ksub=8)
+    R = np.array(R)
+    assert np.allclose(R @ R.T, np.eye(mat.shape[1]), atol=1e-9)
+
+    pq_books = pq_lloyd(mat, m=4, ksub=8, n_iter=2)
+    err_pq = ((mat - _pq_reconstruct(mat, pq_books)) ** 2).sum()
+    rot = mat @ R
+    err_opq = ((rot - _pq_reconstruct(rot, books)) ** 2).sum()
+    assert err_opq <= err_pq + 1e-9
+
+
+def test_rotate_vectors_kernel_matches_numpy(spark):
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        rotate_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(10, 4)
+    # a real rotation (Householder-ish via QR)
+    q, _ = np.linalg.qr(rng.randn(4, 4))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in rotate_vectors(df, [[float(x) for x in row] for row in q]).collect()
+    }
+    exp = np.round(vecs @ q + 1e-9, 6)
+    for i in range(10):
+        assert np.array_equal(got[i], exp[i]), i

