@@ -359,6 +359,49 @@ def test_compaction_restores_one_file_per_bucket(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compaction_crash_recovery(spark, sf_dir):
+    # The DROP+RENAME swap is not atomic; entry must recover BOTH
+    # stranded states a crash can leave (sinks/bucketed.py docstring):
+    #   (a) crash between DROP and RENAME — only <t>__compacting exists,
+    #       holding the complete compacted generation → finish the rename;
+    #   (b) crash before the DROP — original still live beside a stale
+    #       half-attempt tmp → discard tmp, recompact from the original.
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    t = "t_crash_b"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}__compacting")
+    write_bucketed(ev, t, "user_id", n_buckets=4, sort_col="user_id")
+    rows = sorted(tuple(r) for r in spark.table(t).collect())
+    try:
+        # (a) simulate the post-DROP crash: the compacted generation sits
+        # under the tmp name and the original is gone.
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__compacting")
+        assert not spark.catalog.tableExists(t)
+        compact_bucketed_table(spark, t, n_buckets=4, bucket_col="user_id",
+                               sort_col="user_id")
+        assert spark.catalog.tableExists(t)
+        assert not spark.catalog.tableExists(f"{t}__compacting")
+        assert sorted(tuple(r) for r in spark.table(t).collect()) == rows
+
+        # (b) simulate the pre-DROP crash: a stale partial tmp beside the
+        # live original must be discarded, not renamed over it.
+        write_bucketed(
+            ev.limit(3), f"{t}__compacting", "user_id",
+            n_buckets=4, sort_col="user_id",
+        )
+        compact_bucketed_table(spark, t, n_buckets=4, bucket_col="user_id",
+                               sort_col="user_id")
+        assert not spark.catalog.tableExists(f"{t}__compacting")
+        assert sorted(tuple(r) for r in spark.table(t).collect()) == rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__compacting")
+
+
 def test_postings_append_then_serve_equals_rebuild(spark, sf_dir):
     # q207's cross-RUN append path: a day's postings insertInto the same
     # bucketed layout (no reorganization), and serving from the appended

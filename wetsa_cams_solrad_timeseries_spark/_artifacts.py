@@ -124,6 +124,27 @@ def claim_artifact_dir(pattern: str, token: str, path: str) -> str:
     return path
 
 
+# Absolute warehouse path per SparkContext, resolved ONCE at session
+# creation (session.get_spark calls resolve_warehouse immediately): a
+# RELATIVE spark.sql.warehouse.dir is resolved by Spark against the
+# process cwd at session START, so abspath-ing it lazily at first claim
+# could point the sweep/atexit at a different ./spark-warehouse if the
+# cwd moved in between (round-10 ADVICE fix).
+_WAREHOUSE_ABS: dict[str, str] = {}
+
+
+def resolve_warehouse(spark) -> str:
+    """Absolute path of the session's managed-table warehouse, cached by
+    applicationId so the value is pinned to what Spark resolved at
+    session start regardless of later ``os.chdir`` calls."""
+    key = spark.sparkContext.applicationId
+    if key not in _WAREHOUSE_ABS:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        _WAREHOUSE_ABS[key] = os.path.abspath(wh)
+    return _WAREHOUSE_ABS[key]
+
+
 def claim_warehouse_table(spark, family_glob: str, token: str, table_name: str) -> None:
     """Claim a managed TABLE's directory as this process's generation of
     a warehouse artifact family — the shared scaffold of the cross-run
@@ -134,13 +155,7 @@ def claim_warehouse_table(spark, family_glob: str, token: str, table_name: str) 
     removal. Raises on a missing/odd catalog config — callers wrap in
     try/except and treat failure as "catalog unavailable" (their query
     then falls back to unpersisted frames)."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    # Spark resolves a RELATIVE warehouse conf against its own working
-    # dir at session start; resolve ours to an absolute path too so the
-    # sweep glob / atexit removal can't target a different ./spark-
-    # warehouse when the process cwd moved after session creation.
-    wh = os.path.abspath(wh)
+    wh = resolve_warehouse(spark)
     claim_artifact_dir(
         os.path.join(wh, family_glob), token, os.path.join(wh, table_name)
     )

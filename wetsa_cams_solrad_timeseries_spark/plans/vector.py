@@ -214,14 +214,22 @@ def q41_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs, "doc_id", "text"))
 
 
-# Corpus is ASCII (verified), so byte stats equal codepoint stats.
+# Byte-faithful replay: the engine kernel reads UTF-8 BYTES of the
+# payload, so the oracle extracts bytes from hex(encode(text)) — byte j
+# (0-based) is ('0x' || substr(hex, 2j+1, 2))::INT — rather than
+# unicode() codepoints, which silently diverge on any non-ASCII text.
 Q41_ORACLE = """
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END AS last_byte,
-       CAST(coalesce(list_sum([unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)]), 0) AS BIGINT) AS byte_sum
-FROM documents
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n > 0 THEN ('0x' || substr(h, 1, 2))::INT ELSE -1 END AS first_byte,
+       CASE WHEN n > 0 THEN ('0x' || substr(h, n * 2 - 1, 2))::INT ELSE -1 END AS last_byte,
+       CAST(coalesce(list_sum([('0x' || substr(h, i * 2 + 1, 2))::INT FOR i IN range(0, n)]), 0) AS BIGINT) AS byte_sum
+FROM src
 """
 
 
@@ -2127,22 +2135,29 @@ _Q208_HAMMING = " + ".join(
     f"bit_count(xor(sa.band{b}, sb.band{b}))" for b in range(4)
 )
 
-# Pixel replay: payload = UTF-8 bytes of text (ASCII corpus, so byte j ==
-# unicode(substr(text, j+1, 1))); the 8x9 grid tiles the bytes modulo the
-# length; bit k (k = r*8+c) compares grid cells k+k//8 and k+k//8+1 (the
-# row-major flattening of pixel[r][c] < pixel[r][c+1]).
-Q208_ORACLE = f"""
-WITH src AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
+# Pixel replay: payload = UTF-8 BYTES of text, extracted byte-faithfully
+# from hex(encode(text)) — byte j (0-based) is the hex pair at 2j+1 —
+# so the oracle agrees with the kernel's np.frombuffer-over-UTF-8 view
+# on ANY corpus, not just ASCII (round-10 ADVICE fix). The 8x9 grid
+# tiles the bytes modulo the byte length; bit k (k = r*8+c) compares
+# grid cells k+k//8 and k+k//8+1 (the row-major flattening of
+# pixel[r][c] < pixel[r][c+1]).
+_Q208_PIX_CTES = """src AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
 ),
 pix AS (
   SELECT doc_id,
          CASE WHEN n = 0 THEN [0 FOR j IN range(0, 72)]
-              ELSE [unicode(substr(text, CAST(j % n AS INT) + 1, 1))
+              ELSE [('0x' || substr(h, CAST(j % n AS INT) * 2 + 1, 2))::INT
                     FOR j IN range(0, 72)]
          END AS p
   FROM src
-),
+),"""
+
+Q208_ORACLE = f"""
+WITH {_Q208_PIX_CTES}
 bits AS (
   SELECT doc_id,
          [CASE WHEN p[k + (k // 8) + 1] < p[k + (k // 8) + 2]
@@ -2284,17 +2299,7 @@ def q210_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q210_ORACLE = f"""
-WITH src AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-),
-pix AS (
-  SELECT doc_id,
-         CASE WHEN n = 0 THEN [0 FOR j IN range(0, 72)]
-              ELSE [unicode(substr(text, CAST(j % n AS INT) + 1, 1))
-                    FOR j IN range(0, 72)]
-         END AS p
-  FROM src
-),
+WITH {_Q208_PIX_CTES}
 bits AS (
   SELECT doc_id,
          [CASE WHEN p[k + (k // 8) + 1] < p[k + (k // 8) + 2]

@@ -158,4 +158,11 @@ def get_spark(
             )
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
+    # Pin the absolute warehouse path NOW, while the cwd is still the one
+    # Spark resolved a relative warehouse conf against — later claims
+    # then sweep/remove the directory Spark actually writes to even if
+    # the process chdir'd in between (_artifacts.resolve_warehouse).
+    from wetsa_cams_solrad_timeseries_spark._artifacts import resolve_warehouse
+
+    resolve_warehouse(spark)
     return spark

@@ -59,10 +59,22 @@ def compact_bucketed_table(
     tasks to buckets (Spark's bucket id — pmod(murmur3(col), n) — IS
     hashpartitioning's routing, so each task holds exactly its bucket),
     then the same bucketBy/sortBy spec writes one sorted file per
-    bucket into a temp table that atomically replaces the original via
+    bucket into a temp table that replaces the original via DROP +
     RENAME. Probe plans are byte-for-byte the same shape afterwards —
     still zero history-side Exchange (pytest-locked in
     tests/test_bucketing.py::test_compaction_restores_one_file_per_bucket).
+
+    Crash tolerance: the DROP + RENAME pair is NOT atomic — a crash
+    between the two statements leaves the data only under
+    ``<name>__compacting``. Entry therefore RECOVERS before compacting:
+    a stranded ``__compacting`` table with the original gone is a fully
+    written compacted generation (saveAsTable completed before the DROP
+    could run), so the rename is finished and the function returns; a
+    stranded ``__compacting`` beside a LIVE original is a half-finished
+    prior attempt (crash before or during its saveAsTable → before its
+    DROP) and is discarded before recompacting from the live table.
+    Either way the table is never lost for longer than one call
+    (pytest-locked in test_compaction_crash_recovery).
 
     Planner trap this codes around: reading via ``spark.table`` reports
     the scan's output partitioning as the table's own
@@ -76,12 +88,21 @@ def compact_bucketed_table(
     """
     from pyspark.sql import functions as F
 
+    tmp = f"{table_name}__compacting"
+    if spark.catalog.tableExists(tmp):
+        if not spark.catalog.tableExists(table_name):
+            # Prior run crashed between DROP and RENAME: the tmp table is
+            # the complete compacted generation — finish its rename.
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+            return
+        # Prior run crashed before its DROP: the original is still live
+        # and authoritative; discard the stale half-attempt.
+        spark.sql(f"DROP TABLE {tmp}")
     location = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
         .filter(F.col("col_name") == "Location")
         .collect()[0]["data_type"]
     )
-    tmp = f"{table_name}__compacting"
     (
         spark.read.parquet(location)
         .repartition(n_buckets, F.col(bucket_col))
