@@ -23,40 +23,79 @@ from wetsa_cams_solrad_timeseries_spark.plans.registry import QUERIES
 from wetsa_cams_solrad_timeseries_spark.session import get_spark
 
 
-def _previous_record(sf: float) -> dict[str, float]:
-    """Per-query times from the PREVIOUS committed BENCH_LOCAL.json (read
-    before this run overwrites it) — the baseline for outlier
-    adjudication. Only a SAME-SF record is a valid baseline (an sf0.01
-    iteration run must not adjudicate against sf0.1 numbers).
-    Missing/unparsable/different-SF → empty (no adjudication)."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
-    try:
-        with open(path) as f:
-            rec = json.load(f)
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_HISTORY_PATH = os.path.join(_ROOT, "BENCH_HISTORY.json")
+
+
+def _historical_best(sf: float) -> dict[str, float]:
+    """Per-query HISTORICAL BEST across every committed record — the
+    adjudication baseline. Round-9 verdict finding: adjudicating against
+    only the immediately previous BENCH_LOCAL lets VM-contention
+    inflation compound (q71 shipped 14.7 s against a 5.5 s historical
+    best because the previous round's committed 7.4 s kept the 2.7×
+    inflation under the old 3× trigger). Sources, merged by min:
+    ``BENCH_HISTORY.json`` (cumulative minima this function maintains,
+    seeded once from the round-1..9 records via tools/seed_bench_history)
+    and the previous ``BENCH_LOCAL.json``. Only SAME-SF records are
+    valid baselines. Missing/unparsable → empty (no adjudication)."""
+    best: dict[str, float] = {}
+    for path in (_HISTORY_PATH, os.path.join(_ROOT, "BENCH_LOCAL.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
         if rec.get("sf") != sf:
-            return {}
-        return {
-            k: float(v)
-            for k, v in rec.get("queries", {}).items()
-            if isinstance(v, (int, float)) and v > 0
-        }
-    except (OSError, ValueError):
-        return {}
+            continue
+        for k, v in rec.get("queries", {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                best[k] = min(best.get(k, float(v)), float(v))
+    return best
 
 
-# A best-of-2 exceeding this multiple of the query's previous committed
-# record triggers one adjudication re-run before the number ships — VM
-# noise bursts have poisoned both trials of a 2.4 s query into a 27.8 s
-# driver artifact (round-8 q72); a third isolated trial kills that class.
+def _update_history(sf: float, per_query: dict[str, float]) -> None:
+    """Fold this run's times into the cumulative per-query minima."""
+    best = _historical_best(sf)
+    for k, v in per_query.items():
+        if v > 0:
+            best[k] = min(best.get(k, v), v)
+    try:
+        with open(_HISTORY_PATH, "w") as f:
+            json.dump({"sf": sf, "queries": best}, f, sort_keys=True)
+            f.write("\n")
+    except OSError as ex:
+        print(f"# could not write {_HISTORY_PATH}: {ex}", file=sys.stderr)
+
+
+# A best-of-2 exceeding this multiple of the query's historical-best
+# committed record triggers one adjudication re-run before the number
+# ships — VM noise bursts have poisoned both trials of a 2.4 s query into
+# a 27.8 s driver artifact (round-8 q72); a third isolated trial kills
+# that class.
 _OUTLIER_FACTOR = 3.0
+# Streaming / iterative queries get a tighter trigger: their cost is
+# dominated by micro-batch scheduling (or per-iteration job) floors, so
+# VM contention inflates them well past 1× but under 3× — round 9 shipped
+# q71 at 2.7× its historical best with no re-measure. Multi-trial
+# re-measurement is cheap relative to their runtime; 2× catches the
+# observed inflation band (1.9–2.7×) while genuine regressions repeat.
+_STREAMING_FACTOR = 2.0
+_ITERATIVE_QUERIES = frozenset(
+    {"q155_triangle_count", "q161_pagerank", "q176_kcore_peel",
+     "q192_pagerank_converged"}
+)
+
+
+def _outlier_factor(name: str) -> float:
+    if "stream" in name or name in _ITERATIVE_QUERIES:
+        return _STREAMING_FACTOR
+    return _OUTLIER_FACTOR
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    prev = _previous_record(sf)
+    prev = _historical_best(sf)
     spark = get_spark("bench")
 
     # Warmup: run every query once at the smallest SF so whole-stage
@@ -73,6 +112,7 @@ def main() -> None:
     # speed. Best-of-N is the standard mitigation for VM/page-cache noise
     # (observed 3× outliers on otherwise sub-second queries).
     per_query: dict[str, float] = {}
+    adjudicated: dict[str, dict[str, float]] = {}
     total = 0.0
     for name, spec in QUERIES.items():
         best = None
@@ -89,13 +129,15 @@ def main() -> None:
         if best is None:
             per_query[name] = -1.0
         else:
-            # Outlier adjudication: a best-of-2 that still exceeds 3× the
-            # query's previous committed record is more likely a VM-noise
-            # burst that poisoned both trials than a real regression —
-            # re-measure once more and take the min, logging the event so
-            # a GENUINE 3× regression still surfaces (the re-run repeats
-            # the slow number instead of discarding it).
-            if name in prev and best > _OUTLIER_FACTOR * prev[name]:
+            # Outlier adjudication: a best-of-2 that still exceeds the
+            # trigger multiple of the query's HISTORICAL-BEST committed
+            # record (2× for streaming/iterative, 3× otherwise) is more
+            # likely a VM-noise burst that poisoned both trials than a
+            # real regression — re-measure once more and take the min.
+            # The event is recorded in the JSON meta (not just stderr)
+            # so a genuine regression masked by a fast third trial stays
+            # auditable in the committed record.
+            if name in prev and best > _outlier_factor(name) * prev[name]:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 try:
@@ -103,10 +145,15 @@ def main() -> None:
                     third = time.time() - t0
                     print(
                         f"# outlier re-measure {name}: best-of-2 "
-                        f"{best:.2f}s vs committed {prev[name]:.2f}s; "
+                        f"{best:.2f}s vs historical best {prev[name]:.2f}s; "
                         f"third trial {third:.2f}s",
                         file=sys.stderr,
                     )
+                    adjudicated[name] = {
+                        "best2": round(best, 3),
+                        "third": round(third, 3),
+                        "baseline": round(prev[name], 3),
+                    }
                     best = min(best, third)
                 except Exception as ex:  # noqa: BLE001
                     print(
@@ -115,6 +162,7 @@ def main() -> None:
                     )
             per_query[name] = round(best, 3)
             total += best
+    _update_history(sf, per_query)
     meta = {
         "metric": "total_query_time",
         "value": round(total, 3),
@@ -135,10 +183,17 @@ def main() -> None:
         "duplicate short query prefix would drop a bench result: "
         f"{sorted(n for n in per_query if sum(1 for m in per_query if m.split('_', 1)[0] == n.split('_', 1)[0]) > 1)}"
     )
+    # stdout carries only the adjudication COUNT (bounded size); the
+    # on-disk record keeps the full per-query adjudication audit trail.
     print(
-        json.dumps({**meta, "queries": short}, separators=(",", ":"))
+        json.dumps(
+            {**meta, "n_adjudicated": len(adjudicated), "queries": short},
+            separators=(",", ":"),
+        )
     )
-    payload = json.dumps({**meta, "queries": per_query})
+    payload = json.dumps(
+        {**meta, "adjudicated": adjudicated, "queries": per_query}
+    )
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
