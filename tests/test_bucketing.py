@@ -454,6 +454,52 @@ def test_postings_append_then_serve_equals_rebuild(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_multiday_append_compact_append_parity(spark, sf_dir):
+    # The multi-day index maintenance SCHEDULE: day-1 build, day-2
+    # append, nightly compaction, day-3 append, then serve — the served
+    # result must equal a from-scratch rebuild over all three days, and
+    # the post-schedule plan must keep both the bucketed layout (one
+    # probe-side Exchange) and bucket pruning. This is the lifecycle a
+    # production deployment actually runs (build is rare; append+compact
+    # is steady state), exercised end-to-end rather than one transition
+    # at a time.
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    t = "t_multiday_b"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    day = lambda d: ev.filter(F.col("user_id") % 3 == d)  # noqa: E731
+
+    write_bucketed(day(0), t, "user_id", n_buckets=4, sort_col="user_id")
+    day(1).write.insertInto(t)
+    compact_bucketed_table(spark, t, n_buckets=4, bucket_col="user_id",
+                           sort_col="user_id")
+    day(2).write.insertInto(t)
+    try:
+        got = sorted(tuple(r) for r in spark.table(t).collect())
+        exp = sorted(tuple(r) for r in ev.collect())
+        assert got == exp
+        # Layout contract after the full schedule: probe join shuffles
+        # only the probe side.
+        probe = ev.limit(50).localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = probe.hint("merge").join(spark.table(t), on="user_id")
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_phash_index_append_stays_shuffle_free(spark, sf_dir):
     # q210's cross-RUN claim (q193's append discipline on the pHash
     # index): today's band rows APPEND into the same bucketed layout

@@ -52,11 +52,40 @@ PERF_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Managed-table warehouse (bucketed tables) outside the repo tree.
+    # Managed-table warehouse (bucketed tables) outside the repo tree,
+    # PER-PROCESS by default: the persisted index tables (q193/q197/
+    # q201/q207/q210 families) assume a single writer, and two engine
+    # processes sharing one warehouse (pytest + oracle gate, observed in
+    # the round-9 adjudication) can race a sweep/overwrite against a
+    # live reader. A pid suffix removes the shared resource entirely —
+    # each process builds its own index generation, which the lazy
+    # build-if-absent paths already handle. Export SPARK_GRAFT_WAREHOUSE
+    # to opt into a SHARED warehouse; that restores cross-process table
+    # reuse and with it the single-writer contract (see SCALING.md).
+    # Orphans from crashed runs are swept at session start (get_spark).
     "spark.sql.warehouse.dir": os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+        "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
     ),
 }
+
+
+def _sweep_dead_warehouses() -> None:
+    """Remove per-pid warehouse dirs whose owner process is gone. The pid
+    is IN the dirname, so liveness is direct; a recycled pid matching an
+    unrelated live process just defers the sweep one round. Only the
+    default per-pid pattern is swept — an explicit SPARK_GRAFT_WAREHOUSE
+    is user-managed."""
+    import glob
+    import re
+    import shutil
+
+    for d in glob.glob("/tmp/spark-graft-warehouse-*"):
+        m = re.fullmatch(r".*/spark-graft-warehouse-(\d+)", d)
+        if not m or m.group(1) == str(os.getpid()):
+            continue
+        if os.path.exists(f"/proc/{m.group(1)}"):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
 
 
 _SHIPPED_SESSIONS: set[str] = set()
@@ -162,7 +191,17 @@ def get_spark(
     # Spark resolved a relative warehouse conf against — later claims
     # then sweep/remove the directory Spark actually writes to even if
     # the process chdir'd in between (_artifacts.resolve_warehouse).
-    from wetsa_cams_solrad_timeseries_spark._artifacts import resolve_warehouse
+    from wetsa_cams_solrad_timeseries_spark._artifacts import (
+        register_cleanup,
+        resolve_warehouse,
+    )
 
-    resolve_warehouse(spark)
+    _sweep_dead_warehouses()
+    wh = resolve_warehouse(spark)
+    # Our own per-pid warehouse is process-scoped scrap once we exit —
+    # register it for atexit removal (no-op for a user-managed shared
+    # warehouse, which is not per-pid-named and is swept only by pid
+    # liveness above).
+    if wh == f"/tmp/spark-graft-warehouse-{os.getpid()}":
+        register_cleanup(wh)
     return spark
