@@ -107,6 +107,9 @@ BUDGETS = [
     # IVF-PQ gate: q205's plan + the bounded exact-L2 baseline + a
     # set-intersect — candidate-sized everywhere past the two lists.
     ("q215_ivfpq_recall_gate", 12, [], ["CartesianProduct"]),
+    # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
+    # rerank + broadcast recall joins — the corpus never shuffles.
+    ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -1060,3 +1060,92 @@ def rotate_vectors(
     return src.mapInPandas(
         kernel, schema=f"{id_col} long, {emb_col} array<double>"
     )
+
+
+def ivf_cell_ranks(
+    q_df: DataFrame,
+    coarse,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Full coarse-cell probe ordering per query → ``(query_id, cell,
+    crank)``: every cell ranked 1..n_cells by round6 squared-L2 from the
+    query, (d asc, cell asc) ties — the SAME ordering ``ivfpq_query_luts``
+    truncates to ``n_probe``, materialized in full so a recall gate can
+    sweep EVERY probe width from one pass (candidate recall at width p =
+    fraction of true neighbors whose cell ranks ≤ p). Runs only over the
+    bounded query set; output is queries × n_cells rows."""
+    import numpy as np
+    import pandas as pd
+
+    ca = np.array(coarse, dtype=np.float64)
+    n_cells = ca.shape[0]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            dc = _pq_subdist_matrix(mat, ca)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(n_cells), dc.shape), dc), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_cells),
+                    "cell": order.ravel().astype(np.int32),
+                    "crank": np.tile(
+                        np.arange(1, n_cells + 1, dtype=np.int32), len(ids)
+                    ),
+                }
+            )
+
+    src = q_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel, schema="query_id long, cell int, crank int"
+    )
+
+
+def pick_n_probe(cell_ranks, n_pairs: int, target: float, n_cells: int) -> int:
+    """Decision rule closing the q211-style gate loop: given the coarse-
+    cell rank of each true top-k neighbor's cell within its query's probe
+    ordering (one entry per exact pair; ``ivf_cell_ranks`` supplies the
+    ordering), return the SMALLEST probe width p whose candidate recall
+    (#ranks ≤ p / n_pairs) meets ``target``. Comparison is exact rational
+    arithmetic — no float-boundary flakiness between the Spark derivation
+    and the oracle's numpy replay. p = n_cells always meets any target
+    ≤ 1 (every cell probed ⇒ candidate recall 1)."""
+    from fractions import Fraction
+
+    t = Fraction(str(target))
+    for p in range(1, n_cells + 1):
+        if sum(1 for r in cell_ranks if r <= p) >= t * n_pairs:
+            return p
+    return n_cells
+
+
+def pick_rerank_depth(adc_ranks, n_pairs: int, target: float, k: int) -> int:
+    """Decision rule closing the q212-style gate loop: given the ADC rank
+    (within the probed candidate set) of each true top-k neighbor that IS
+    a candidate — non-candidates are simply absent; they can never be
+    served — return the smallest screen depth R from the ladder k·2^j at
+    which serving recall (#adc ranks ≤ R / n_pairs) meets ``target``.
+    Exact rerank of the R survivors restores exact order among them, so
+    a true neighbor is served iff candidate AND adc rank ≤ R — the
+    measured ladder IS the serving recall curve. Caller must pick the
+    probe width first (``pick_n_probe``) so that candidate recall ≥
+    target; the ladder then provably terminates at R ≤ max observed
+    rank."""
+    from fractions import Fraction
+
+    t = Fraction(str(target))
+    if sum(1 for _ in adc_ranks) < t * n_pairs:
+        raise ValueError(
+            "candidate recall below target — raise n_probe before sizing "
+            "the rerank depth"
+        )
+    r = k
+    while sum(1 for a in adc_ranks if a <= r) < t * n_pairs:
+        r *= 2
+    return r

@@ -1434,9 +1434,15 @@ _Q205_RDIST = (
     " + 1e-9, 6)"
 ).format(d=_Q205_DSUB)
 
-# Shared by the q205 oracle (final top-k select) and the q215 IVF-PQ
-# recall-gate oracle — the q56/q195 factoring pattern.
-_Q205_CTES = f"""vecs AS (
+# Shared by the q205 oracle (final top-k select), the q215 IVF-PQ
+# recall-gate oracle, and — via the probe-width parameter — the q216
+# tuned-serving oracle (the q56/q195 factoring pattern: ONE chain body,
+# so the spellings cannot drift).
+def _ivfpq_ctes(n_probe: int) -> str:
+    return _Q205_CTES_TEMPLATE.replace("__NPROBE__", str(n_probe))
+
+
+_Q205_CTES_TEMPLATE = f"""vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 coarse(cell, c) AS (VALUES __COARSE__),
@@ -1475,7 +1481,7 @@ probe AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY d ASC, cell ASC) AS r
     FROM cdist WHERE vec_id < {_Q205_NQ}
-  ) WHERE r <= {_Q205_NPROBE}
+  ) WHERE r <= __NPROBE__
 ),
 qres AS (
   SELECT p.query_id, p.cell,
@@ -1496,6 +1502,8 @@ adc AS (
   WHERE cd.neighbor_id <> l.query_id
   GROUP BY 1, 2
 )"""
+
+_Q205_CTES = _ivfpq_ctes(_Q205_NPROBE)
 
 _Q205_ORACLE_TEMPLATE = f"""
 WITH {_Q205_CTES}
@@ -1632,6 +1640,382 @@ def q215_oracle_for(sf_dir: str) -> str | None:
 
 
 Q215_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q216 — tuned ANN serving: gate-derived (n_probe, R) meeting a recall SLA
+# --------------------------------------------------------------------------
+
+_Q216_K = 10
+_Q216_TARGET = 0.9  # recall@10 the serving configuration must meet
+
+
+def q216_ann_serving_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED tuning loop the q211/q212/q215 gates exist for: derive
+    a serving configuration FROM the gate measurements, run the
+    production composite (IVF probe → ADC screen → exact rerank) at that
+    configuration, and verify recall@10 ≥ 0.9 against the exact
+    baseline. The two parameters are not hand-picked:
+
+    - **n_probe** comes from the q211-style candidate-recall sweep, run
+      at EVERY width in one pass (``ivf_cell_ranks`` materializes each
+      true neighbor's coarse-cell rank; candidate recall at width p is
+      just #ranks ≤ p), then ``pick_n_probe`` takes the smallest width
+      meeting the target — the IVF candidate-loss gate, inverted.
+    - **rerank_r** comes from the q212-style ranking-loss measurement at
+      that width: each true neighbor's ADC rank within the probed
+      candidate set; ``pick_rerank_depth`` takes the smallest k·2^j
+      screen depth meeting the target (exact rerank restores exact
+      order among survivors, so the rank distribution IS the serving
+      recall curve — q213's R dial, sized instead of guessed).
+
+    Both gate collects are parameter-sized (≤ k·|Q| rows — the q192
+    scalar-convergence class, never data-sized). Output: ONE row
+    (n_probe, rerank_r, target, n_queries, avg_recall, min_recall, met)
+    — the go/no-go record an index swap gates on, threshold included.
+
+    Scale shape: serving inherits q205's (codes-only corpus pass, LUT
+    broadcast, cell-pruned join) + q213's candidate-bounded exact
+    rerank; the gates ride the same artifacts. At 100 TB the tuning
+    query set stays bounded (the standard FAISS practice) while corpus
+    passes stay distributed.
+
+    Oracle: the full pipeline replayed in SQL — q205's factored CTE
+    chain at the SAME derived width (the numpy twin ``_q216_params_py``
+    re-derives (n_probe, R) from the same gate arithmetic), ADC screen
+    at R, exact-L2 rerank, recall vs the exact baseline, aggregate +
+    met flag — so even the threshold comparison is cross-checked."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        hash_bounded_sample,
+        ivf_cell_ranks,
+        ivfpq_encode,
+        ivfpq_query_luts,
+        ivfpq_train,
+        pick_n_probe,
+        pick_rerank_depth,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    mat = hash_bounded_sample(emb)
+    coarse, books = ivfpq_train(
+        mat, cells=_Q205_CELLS, m=_Q205_M, ksub=_Q205_KSUB
+    )
+    q_src = emb.filter(F.col("vec_id") < _Q205_NQ)
+    n_pairs = _Q216_K * _Q205_NQ
+
+    # Exact baseline and the code table each feed two consumers (a gate
+    # and the serving/recall stage) — checkpoint so neither corpus pass
+    # runs twice (the q208 shared-subtree discipline).
+    exact = (
+        brute_force_topk_l2(emb, q_src, k=_Q216_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    codes = (
+        ivfpq_encode(emb, coarse, books)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "sub", "code")
+        .localCheckpoint(eager=True)
+    )
+
+    # Gate 1 — candidate loss at every probe width in one pass.
+    asn = codes.filter(F.col("sub") == 0).select("neighbor_id", "cell")
+    cranks = ivf_cell_ranks(q_src, coarse)
+    cell_ranks = [
+        r["crank"]
+        for r in exact.join(asn, on="neighbor_id")
+        .join(F.broadcast(cranks), on=["query_id", "cell"])
+        .select("crank")
+        .collect()
+    ]
+    n_probe = pick_n_probe(cell_ranks, n_pairs, _Q216_TARGET, _Q205_CELLS)
+
+    # Gate 2 — ranking loss at that width (ADC rank of each true pair).
+    luts = ivfpq_query_luts(q_src, coarse, books, n_probe=n_probe)
+    adc = (
+        codes.join(F.broadcast(luts), on=["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d") + F.lit(1e-9), 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    adc_ranked = adc.withColumn(
+        "arank", F.row_number().over(w)
+    ).localCheckpoint(eager=True)
+    adc_ranks = [
+        r["arank"]
+        for r in exact.join(adc_ranked, on=["query_id", "neighbor_id"])
+        .select("arank")
+        .collect()
+    ]
+    rerank_r = pick_rerank_depth(adc_ranks, n_pairs, _Q216_TARGET, _Q216_K)
+
+    # Serving at the derived (n_probe, R): screen → exact rerank → top-k.
+    screened = adc_ranked.filter(F.col("arank") <= rerank_r).select(
+        "query_id", "neighbor_id"
+    )
+    v = to_double_array(F.col("embedding"))
+    qv = q_src.select(F.col("vec_id").alias("query_id"), v.alias("__qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # The candidate side is provably bounded (R·|Q| rows) — broadcast it
+    # into the corpus-vector scan so the rerank's raw-vector fetch never
+    # shuffles the corpus (at 100 TB cv is the big side by many orders).
+    rer = cv.join(
+        F.broadcast(screened.join(F.broadcast(qv), on="query_id")),
+        on="neighbor_id",
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    served = (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _Q216_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # Both recall-arithmetic joins are k·|Q|-bounded on both sides —
+    # broadcast so the measurement adds no shuffle beyond its own aggs.
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q216_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    agg = perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+        F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+    )
+    return agg.select(
+        F.lit(n_probe).cast("long").alias("n_probe"),
+        F.lit(rerank_r).cast("long").alias("rerank_r"),
+        F.lit(float(_Q216_TARGET)).alias("target"),
+        "n_queries",
+        "avg_recall",
+        "min_recall",
+        (F.col("avg_recall") >= F.lit(float(_Q216_TARGET))).alias("met"),
+    )
+
+
+def _q216_params_py(path: str) -> tuple[int, int] | None:
+    """Numpy twin of q216's gate derivation — the SAME artifacts
+    (hash-bounded sample → ivfpq_train), the same rounded arithmetic
+    (_pq_subdist_matrix everywhere a distance is compared), the same
+    decision rules (pick_n_probe / pick_rerank_depth) — so the oracle's
+    (n_probe, R) literals provably equal what the Spark derivation
+    picked. Returns None when the testdata or DuckDB is unavailable."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        _pq_subdist_matrix,
+        hash_bounded_sample_py,
+        ivfpq_train,
+        pick_n_probe,
+        pick_rerank_depth,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    sample = hash_bounded_sample_py(list(ids), mat)
+    coarse, books = ivfpq_train(
+        sample, cells=_Q205_CELLS, m=_Q205_M, ksub=_Q205_KSUB
+    )
+    ca = np.array(coarse, dtype=np.float64)
+    cents = [np.array(b, dtype=np.float64) for b in books]
+    dsub = _Q205_DSUB
+
+    assign = np.argmin(_pq_subdist_matrix(mat, ca), axis=1)
+    resid = mat - ca[assign]
+    codes = np.stack(
+        [
+            np.argmin(
+                _pq_subdist_matrix(resid[:, s * dsub : (s + 1) * dsub], cents[s]),
+                axis=1,
+            )
+            for s in range(_Q205_M)
+        ],
+        axis=1,
+    )
+
+    qmask = ids < _Q205_NQ
+    qids, qmat = ids[qmask], mat[qmask]
+    dc = _pq_subdist_matrix(qmat, ca)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(_Q205_CELLS), dc.shape), dc), axis=1
+    )
+    crank = np.empty_like(order)
+    for qi in range(len(qids)):
+        crank[qi, order[qi]] = np.arange(1, _Q205_CELLS + 1)
+
+    # Exact top-k pairs (brute_force_topk_l2's arithmetic: round6 dist,
+    # (dist, neighbor_id) ties, self excluded).
+    dall = _pq_subdist_matrix(qmat, mat)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    n_pairs = _Q216_K * len(qids)
+    cell_ranks: list[int] = []
+    exact_pairs: list[tuple[int, int]] = []
+    for qi, qid in enumerate(qids):
+        mask = ids != qid
+        nb, nd = ids[mask], dall[qi][mask]
+        for j in np.lexsort((nb, nd))[: _Q216_K]:
+            nid = int(nb[j])
+            exact_pairs.append((qi, nid))
+            cell_ranks.append(int(crank[qi, assign[pos[nid]]]))
+    n_probe = pick_n_probe(cell_ranks, n_pairs, _Q216_TARGET, _Q205_CELLS)
+
+    # ADC ranks at that width (ivfpq_query_luts' arithmetic).
+    adc_ranks: list[int] = []
+    for qi, qid in enumerate(qids):
+        probed = set(int(c) for c in order[qi, :n_probe])
+        luts = {}
+        for cell in probed:
+            r = (qmat[qi] - ca[cell])[None, :]
+            luts[cell] = [
+                _pq_subdist_matrix(r[:, s * dsub : (s + 1) * dsub], cents[s])[0]
+                for s in range(_Q205_M)
+            ]
+        scored = []
+        for i, nid in enumerate(ids):
+            if int(nid) == int(qid) or int(assign[i]) not in probed:
+                continue
+            lut = luts[int(assign[i])]
+            scored.append(
+                (
+                    round(
+                        sum(float(lut[s][codes[i, s]]) for s in range(_Q205_M))
+                        + 1e-9,
+                        6,
+                    ),
+                    int(nid),
+                )
+            )
+        scored.sort()
+        rank_of = {nid: r + 1 for r, (_, nid) in enumerate(scored)}
+        for (pqi, nid) in exact_pairs:
+            if pqi == qi and nid in rank_of:
+                adc_ranks.append(rank_of[nid])
+    rerank_r = pick_rerank_depth(adc_ranks, n_pairs, _Q216_TARGET, _Q216_K)
+    return n_probe, rerank_r
+
+
+_Q216_ORACLE_TEMPLATE = f"""
+WITH {{CTES}},
+screened AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id) AS r
+    FROM adc
+  ) WHERE r <= {{R}}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM screened s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS rank
+    FROM rer
+  ) WHERE rank <= {_Q216_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q205_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q216_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q216_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+)
+SELECT CAST({{NPROBE}} AS BIGINT) AS n_probe,
+       CAST({{R}} AS BIGINT) AS rerank_r,
+       CAST({_Q216_TARGET} AS DOUBLE) AS target,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall,
+       round(avg(recall) + 1e-9, 6) >= CAST({_Q216_TARGET} AS DOUBLE) AS met
+FROM perq
+"""
+
+
+def q216_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q216 oracle: (n_probe, R) re-derived by the numpy gate
+    twin, coarse+books literalized by the shared ivfpq trainer, both fed
+    into q205's factored CTE chain at the derived probe width."""
+    path = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    params = _q216_params_py(path)
+    vals = _ivfpq_values(path)
+    if params is None or vals is None:
+        return None
+    n_probe, rerank_r = params
+    coarse_vals, book_vals = vals
+    ctes = _ivfpq_ctes(n_probe).replace("__COARSE__", coarse_vals).replace(
+        "__BOOKS__", book_vals
+    )
+    return _Q216_ORACLE_TEMPLATE.format(
+        CTES=ctes, NPROBE=n_probe, R=rerank_r
+    )
+
+
+Q216_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 Q200_ORACLE = f"""
@@ -2863,6 +3247,8 @@ SPECS = make_specs(
          "streaming PQ encode: foreachBatch append to the code index"),
         ("q205_ivfpq_topk", q205_ivfpq_topk, Q205_ORACLE, (),
          "IVF-PQ residual-encoded ANN (cell-probed ADC)"),
+        ("q216_ann_serving_sla", q216_ann_serving_sla, Q216_ORACLE, (),
+         "tuned ANN serving: gate-derived (n_probe, R) meeting recall@10"),
     ]
 )
 
@@ -2885,6 +3271,9 @@ SPECS["q214_opq_adc_topk"] = _dc.replace(
 )
 SPECS["q215_ivfpq_recall_gate"] = _dc.replace(
     SPECS["q215_ivfpq_recall_gate"], oracle_fn=q215_oracle_for
+)
+SPECS["q216_ann_serving_sla"] = _dc.replace(
+    SPECS["q216_ann_serving_sla"], oracle_fn=q216_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
