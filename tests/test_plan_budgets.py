@@ -115,6 +115,8 @@ BUDGETS = [
     # Incremental PQ index: encode kernels are scan-stage; ADC join is
     # broadcast-LUT; no corpus-wide exchange beyond the grouped sum.
     ("q197_incremental_pq_index", 5, [], ["CartesianProduct"]),
+    # Incremental OPQ: q197's plan + one scan-stage rotation kernel.
+    ("q217_incremental_opq_index", 5, [], ["CartesianProduct"]),
     # Repeated spans: gram agg + semi-join + island windows — bounded.
     ("q198_repeated_spans", 6, [], ["CartesianProduct", "Python"]),
     # Mixture epochs: grouped aggs + 1-row totals + small-dim joins.

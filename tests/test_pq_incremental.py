@@ -66,3 +66,68 @@ def test_code_index_bucketed_serves_id_grouping_shuffle_free(spark, sf_dir):
     from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q195_M
 
     assert per_vec.filter(F.col("m_codes") != _Q195_M).count() == 0
+
+
+def test_opq_steady_state_never_retrains(spark, sf_dir, monkeypatch):
+    # q217's contract: once the generation exists, a steady-state run
+    # loads the FROZEN (R, books) off the catalog and re-runs neither
+    # the alternating OPQ solver nor the codebook trainer — with both
+    # replaced by bombs, the query must still produce the identical
+    # result (history codes from the persisted table, new shard rotated
+    # and encoded with the frozen artifacts).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q217_incremental_opq_index,
+    )
+
+    first = sorted(
+        tuple(r) for r in q217_incremental_opq_index(spark, sf_dir).collect()
+    )
+    assert first, "q217 returned no neighbors"
+
+    import wetsa_cams_solrad_timeseries_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("steady-state run re-trained the OPQ artifacts")
+
+    monkeypatch.setattr(sim, "opq_train", boom)
+    monkeypatch.setattr(sim, "opq_core", boom)
+    monkeypatch.setattr(sim, "pq_train_codebooks", boom)
+    second = sorted(
+        tuple(r) for r in q217_incremental_opq_index(spark, sf_dir).collect()
+    )
+    assert second == first
+
+
+def test_opq_rotation_table_is_the_frozen_artifact(spark, sf_dir):
+    # The persisted rotation must be exactly what a fresh training run
+    # would produce on the history shard — the frozen-artifact property
+    # that makes incremental OPQ sound.
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        opq_core,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q195_KSUB,
+        _Q195_M,
+        q217_incremental_opq_index,
+    )
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+
+    q217_incremental_opq_index(spark, sf_dir).collect()  # ensure generation
+    tabs = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("wetsa_opqrot_")
+    ]
+    assert tabs, "q217 did not persist its rotation"
+    persisted = {r["i"]: list(r["r"]) for r in spark.table(tabs[0]).collect()}
+
+    emb = table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 10 != 7)
+    rotation, _ = opq_core(
+        hash_bounded_sample(hist), m=_Q195_M, ksub=_Q195_KSUB
+    )
+    got = np.array([persisted[i] for i in range(len(rotation))])
+    assert np.array_equal(got, np.array(rotation))

@@ -1090,11 +1090,10 @@ def q197_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk(index, pq_query_luts(q_src, books), k=_Q197_K)
 
 
-_Q197_ORACLE_TEMPLATE = f"""
-WITH vecs AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-books(sub, code, c) AS (VALUES __PQ_VALUES__),
+# Everything downstream of the ``vecs`` CTE — shared verbatim by the
+# q197 oracle (plain vectors) and the q217 oracle (OPQ-rotated vectors),
+# so the two incremental-index spellings cannot drift.
+_Q197_INDEX_TAIL = f"""books(sub, code, c) AS (VALUES __PQ_VALUES__),
 dists AS MATERIALIZED (
   -- referenced by BOTH codes and luts (q195's materialization lesson)
   SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
@@ -1125,6 +1124,12 @@ SELECT query_id, neighbor_id, adc, rank FROM (
   FROM adc
 ) WHERE rank <= {_Q197_K}
 """
+
+_Q197_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{_Q197_INDEX_TAIL}"""
 
 
 def q197_oracle_for(sf_dir: str) -> str | None:
@@ -2016,6 +2021,226 @@ def q216_oracle_for(sf_dir: str) -> str | None:
 
 
 Q216_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q217 — incremental OPQ index: frozen rotation + frozen books + code table
+# --------------------------------------------------------------------------
+
+_Q217_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def q217_incremental_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q197's cross-run index lifecycle with OPQ's learned rotation
+    threaded through it — the round-9 verdict's missing lifecycle: the
+    HISTORY shard (vec_id % 10 != 7) trains BOTH frozen artifacts (the
+    orthogonal R via opq_train's alternating solver, and the codebooks
+    on the rotated sample), history vectors are rotated + encoded ONCE
+    into a bucketed code table, and R (dim rows) persists beside the
+    books — codes and R first, books LAST as the generation commit gate
+    (the q197 commit-order lesson: tableExists(books) must imply a
+    complete generation, now including the rotation). Every steady-state
+    run loads the frozen (R, books) — two bounded collects, 64 + 128
+    rows — rotates and encodes ONLY the new shard with ONE extra
+    scan-stage Arrow kernel, and ADC-searches today's queries against
+    history ∪ today codes. History raw vectors are never re-read and
+    the solver never re-runs (trainer-bomb pytest:
+    tests/test_pq_incremental.py::test_opq_steady_state_never_retrains).
+
+    Rotation is distance-preserving (RᵀR = I), so everything downstream
+    is q197's unchanged plan shape. Oracle: ONE-PASS batch rotate +
+    encode + ADC of the full corpus under the SAME history-trained
+    (R, books) literals (shared opq_core replay, id-filtered to the
+    history shard before the sample cap) — incremental ≡ batch with the
+    rotation frozen, which is exactly what makes OPQ safe to run
+    incrementally: encoding is a pure function of (vector, R, books)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        adc_topk,
+        opq_train,
+        pq_encode,
+        pq_query_luts,
+        rotate_vectors,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+
+    def as_codes(df: DataFrame) -> DataFrame:
+        return df.select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    rot_t = f"wetsa_opqrot_{tag}_{_Q217_TOKEN}"
+    codes_t = f"wetsa_opqcodes_{tag}_{_Q217_TOKEN}"
+    books_t = f"wetsa_opqbooks_{tag}_{_Q217_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_opqrot_{tag}_*", rot_t),
+            (f"wetsa_opqcodes_{tag}_*", codes_t),
+            (f"wetsa_opqbooks_{tag}_*", books_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q217_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    rotation = books = None
+    try:
+        if not spark.catalog.tableExists(books_t):
+            rotation, books = opq_train(
+                hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
+            )
+            write_bucketed(
+                as_codes(pq_encode(rotate_vectors(hist, rotation), books)),
+                codes_t,
+                "neighbor_id",
+                n_buckets=_Q197_BUCKETS,
+                sort_col="neighbor_id",
+            )
+            spark.createDataFrame(
+                [(i, list(row)) for i, row in enumerate(rotation)],
+                "i int, r array<double>",
+            ).write.mode("overwrite").saveAsTable(rot_t)
+            # books LAST: the commit gate for the whole generation.
+            spark.createDataFrame(
+                [
+                    (s, c, books[s][c])
+                    for s in range(_Q195_M)
+                    for c in range(_Q195_KSUB)
+                ],
+                "sub int, code int, c array<double>",
+            ).write.mode("overwrite").saveAsTable(books_t)
+        if books is None:
+            rotation = [None] * _DIM
+            for r in spark.table(rot_t).collect():
+                rotation[r["i"]] = list(r["r"])
+            books = [[None] * _Q195_KSUB for _ in range(_Q195_M)]
+            for r in spark.table(books_t).collect():
+                books[r["sub"]][r["code"]] = list(r["c"])
+        hist_codes = spark.table(codes_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if books is None:
+            rotation, books = opq_train(
+                hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
+            )
+        hist_codes = as_codes(
+            pq_encode(rotate_vectors(hist, rotation), books)
+        )
+
+    rot_new = rotate_vectors(emb.filter(is_new), rotation)
+    new_codes = as_codes(pq_encode(rot_new, books))
+    index = hist_codes.unionByName(new_codes)
+    q_src = rot_new.filter(F.col("vec_id") < _Q197_QBOUND)
+    return adc_topk(index, pq_query_luts(q_src, books), k=_Q197_K)
+
+
+# Rotated-corpus CTE prefix, shared by every OPQ oracle (q214 flat ADC,
+# q217 incremental index, q218 streaming encode): y = x · R, each
+# coordinate nudge-rounded exactly like the rotate_vectors kernel, so
+# encode/ADC consume identical inputs on both engines.
+_OPQ_VECS_CTES = f"""vecs0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+rmat(R) AS (VALUES (__OPQ_R__)),
+vecs AS (
+  SELECT vec_id,
+         [round(list_sum([v[j] * R[j][i] FOR j IN range(1, {_DIM} + 1)])
+                + 1e-9, 6)
+          FOR i IN range(1, {_DIM} + 1)] AS v
+  FROM vecs0 CROSS JOIN rmat
+)"""
+
+_Q217_ORACLE_TEMPLATE = f"""
+WITH {_OPQ_VECS_CTES},
+{_Q197_INDEX_TAIL}"""
+
+
+def q217_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q217 oracle: (R, books) trained on the HISTORY shard via
+    the shared opq_core replay, then q197's one-pass index tail over the
+    rotated corpus — incremental ≡ batch with the rotation frozen."""
+    vals = _opq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    if vals is None:
+        return None
+    r_lit, books_lit = vals
+    return _Q217_ORACLE_TEMPLATE.replace("__OPQ_R__", r_lit).replace(
+        "__PQ_VALUES__", books_lit
+    )
+
+
+Q217_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q218 — streaming OPQ encode: frozen (R, books) riding the ingest stream
+# --------------------------------------------------------------------------
+
+
+def q218_streaming_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q203's streaming encode with OPQ's frozen rotation riding the
+    stream — the second half of the verdict's missing-lifecycle item:
+    embedding shards arrive as micro-batches and foreachBatch applies
+    TWO frozen artifacts per batch (rotate_vectors with R, then
+    pq_encode with the books — one extra scan-stage Arrow kernel, no
+    shuffle, no state). The at-least-once batchId-generation discipline
+    is streaming_pq_encode's, unchanged.
+
+    Because rotate+encode is a pure per-row function of (vector, R,
+    books), arrival order and batch boundaries provably cannot change
+    the index: the oracle computes the ONE-PASS batch rotate+encode of
+    the full corpus under the same literalized artifacts (shared
+    opq_core replay), and the drained stream must equal it."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        opq_train,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.pq_encode_stream import (
+        streaming_pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    rotation, books = opq_train(emb, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM)
+    split_dir = _split_embeddings(spark, sf_dir)
+    return streaming_pq_encode(spark, split_dir, books, rotation=rotation)
+
+
+_Q218_ORACLE_TEMPLATE = f"""
+WITH {_OPQ_VECS_CTES},
+books(sub, code, c) AS (VALUES __PQ_VALUES__),
+dists AS (
+  SELECT vecs.vec_id, b.sub, b.code, {_Q195_SUBD} AS d
+  FROM vecs CROSS JOIN books b
+)
+SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d ASC, code ASC) AS r
+  FROM dists
+) WHERE r = 1
+"""
+
+
+def q218_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q218 oracle: the one-pass batch rotate+encode of the
+    full corpus under the same full-corpus-trained (R, books)."""
+    vals = _opq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if vals is None:
+        return None
+    r_lit, books_lit = vals
+    return _Q218_ORACLE_TEMPLATE.replace("__OPQ_R__", r_lit).replace(
+        "__PQ_VALUES__", books_lit
+    )
+
+
+Q218_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 Q200_ORACLE = f"""
@@ -2984,19 +3209,7 @@ def q214_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q214_ORACLE_TEMPLATE = f"""
-WITH vecs0 AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-rmat(R) AS (VALUES (__OPQ_R__)),
-vecs AS (
-  -- y = x · R, each coordinate nudge-rounded exactly like the
-  -- rotate_vectors kernel, so encode/ADC consume identical inputs.
-  SELECT vec_id,
-         [round(list_sum([v[j] * R[j][i] FOR j IN range(1, {_DIM} + 1)])
-                + 1e-9, 6)
-          FOR i IN range(1, {_DIM} + 1)] AS v
-  FROM vecs0 CROSS JOIN rmat
-),
+WITH {_OPQ_VECS_CTES},
 {{Q195_PQ_TAIL}}
 SELECT query_id, neighbor_id, adc, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3006,11 +3219,13 @@ SELECT query_id, neighbor_id, adc, rank FROM (
 """
 
 
-def _opq_values(path: str) -> tuple[str, str] | None:
+def _opq_values(path: str, id_filter=None) -> tuple[str, str] | None:
     """(R nested-list literal, books VALUES literal) replaying
     ``opq_train`` bit-for-bit: same DuckDB-read id-ordered matrix, same
     hash-bounded cap, same opq_core (Lloyd ⇄ Procrustes SVD on
-    identical input). None → rows-only fallback."""
+    identical input). ``id_filter`` restricts the training corpus
+    BEFORE the cap (q217 trains on the history shard only — the
+    _pq_codebook_values discipline). None → rows-only fallback."""
     try:
         import duckdb
         import numpy as np
@@ -3030,6 +3245,8 @@ def _opq_values(path: str) -> tuple[str, str] | None:
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
+    if id_filter is not None:
+        rows = [r for r in rows if id_filter(r[0])]
     ids = [r[0] for r in rows]
     mat = hash_bounded_sample_py(
         ids, np.array([r[1] for r in rows], dtype=np.float64)
@@ -3249,6 +3466,12 @@ SPECS = make_specs(
          "IVF-PQ residual-encoded ANN (cell-probed ADC)"),
         ("q216_ann_serving_sla", q216_ann_serving_sla, Q216_ORACLE, (),
          "tuned ANN serving: gate-derived (n_probe, R) meeting recall@10"),
+        ("q217_incremental_opq_index", q217_incremental_opq_index,
+         Q217_ORACLE, (),
+         "incremental OPQ index: frozen rotation + books + code table"),
+        ("q218_streaming_opq_encode", q218_streaming_opq_encode,
+         Q218_ORACLE, (),
+         "streaming OPQ encode: frozen (R, books) riding the stream"),
     ]
 )
 
@@ -3274,6 +3497,12 @@ SPECS["q215_ivfpq_recall_gate"] = _dc.replace(
 )
 SPECS["q216_ann_serving_sla"] = _dc.replace(
     SPECS["q216_ann_serving_sla"], oracle_fn=q216_oracle_for
+)
+SPECS["q217_incremental_opq_index"] = _dc.replace(
+    SPECS["q217_incremental_opq_index"], oracle_fn=q217_oracle_for
+)
+SPECS["q218_streaming_opq_encode"] = _dc.replace(
+    SPECS["q218_streaming_opq_encode"], oracle_fn=q218_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for

@@ -34,15 +34,24 @@ def streaming_pq_encode(
     codebooks,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    rotation=None,
 ) -> DataFrame:
     """Drain the multi-file replay through a foreachBatch PQ encode and
     return the accumulated code index ``(id, sub, code)``. Asserts the
     stream really delivered more than one micro-batch
     (maxFilesPerTrigger=1 over a multi-file split), so the append
-    lifecycle — not a single-batch fold — is what's exercised."""
+    lifecycle — not a single-batch fold — is what's exercised.
+
+    ``rotation`` (optional): a FROZEN OPQ rotation matrix applied to
+    each batch before encoding (``rotate_vectors``, one more scan-stage
+    Arrow kernel per micro-batch) — the q218 OPQ variant of the stream;
+    the frozen artifacts then are (R, books) instead of books alone,
+    and encoding stays a pure per-row function of (vector, R, books),
+    so batch≡stream equivalence holds unchanged."""
     from wetsa_cams_solrad_timeseries_spark._artifacts import register_cleanup
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         pq_encode,
+        rotate_vectors,
     )
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_checkpoint_dir,
@@ -69,6 +78,8 @@ def streaming_pq_encode(
         out = os.path.join(root, f"batch_{bid}")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             return  # re-executed batch: generation already committed
+        if rotation is not None:
+            bdf = rotate_vectors(bdf, rotation, id_col, emb_col)
         pq_encode(bdf, codebooks, id_col, emb_col).write.mode(
             "overwrite"
         ).parquet(out)
