@@ -110,6 +110,9 @@ BUDGETS = [
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Multiprobe LSH: same banded equi-join as q39 — query-side key
+    # fan-out must not add exchanges or a cartesian.
+    ("q219_multiprobe_lsh", 4, [], ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

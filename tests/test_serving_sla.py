@@ -180,3 +180,50 @@ def test_q216_meets_sla_and_matches_numpy_twin(spark):
     assert row["avg_recall"] >= _Q216_TARGET
     assert row["n_queries"] == _Q205_NQ
     assert (row["n_probe"], row["rerank_r"]) == _q216_params_py(EMB)
+
+
+# ----------------------------------------------------- multiprobe LSH (q219)
+def test_multiprobe_is_probe_superset_and_lifts_recall(spark, sf_dir):
+    # q219's two claims: (a) the multiprobe key set per query strictly
+    # CONTAINS the single-probe keys (so candidates can only grow — the
+    # corpus index is untouched), (b) recall@3 vs the exact baseline
+    # strictly improves at identical index cost.
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_multiprobe,
+        brute_force_topk,
+        hyperplane_buckets,
+        multiprobe_query_buckets,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+
+    single_keys = {
+        (r["vec_id"], r["bucket"])
+        for r in hyperplane_buckets(q).collect()
+    }
+    multi_keys = {
+        (r["vec_id"], r["bucket"])
+        for r in multiprobe_query_buckets(q).collect()
+    }
+    assert single_keys < multi_keys  # strict superset
+    # per band: 1 original + bits/band flips
+    assert len(multi_keys) <= len(single_keys) * (1 + 16 // 2)
+
+    def pairs(df):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    pred = lambda c: c < 50  # noqa: E731
+    exact = pairs(brute_force_topk(emb, q, k=3))
+    r_single = len(exact & pairs(ann_topk_lsh(emb, pred, k=3))) / len(exact)
+    r_multi = len(
+        exact & pairs(ann_topk_lsh_multiprobe(emb, pred, k=3))
+    ) / len(exact)
+    assert r_multi > r_single

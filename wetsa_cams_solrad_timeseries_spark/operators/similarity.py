@@ -138,6 +138,21 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
+
+
+def _exact_cosine_rank(
+    emb_df: DataFrame,
+    cand: DataFrame,
+    query_ids_pred,
+    id_col: str,
+    emb_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine scoring + per-query top-k over a candidate-pair frame
+    — the verify tail shared by the SRP-LSH probers (single-probe
+    ``ann_topk_lsh`` and multiprobe ``ann_topk_lsh_multiprobe``), so the
+    two probers differ ONLY in candidate generation."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))
@@ -173,6 +188,85 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def multiprobe_query_buckets(
+    q_df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Multiprobe SRP-LSH probe keys (Lv et al., VLDB 2007): per band,
+    the query's own bucket PLUS every Hamming-distance-1 perturbation —
+    a vector whose band signature disagrees with the query's on exactly
+    one plane is the single most likely place a missed near neighbor
+    sits (each extra disagreeing plane multiplies the miss probability
+    by θ/π < 1), so probing the 1-flip buckets buys recall WITHOUT more
+    tables or bands: probe volume per query is (1 + bits/band) × bands
+    keys, corpus memory unchanged. Bits are the same sign expressions
+    ``hyperplane_buckets`` emits, so a query's unflipped keys are
+    byte-identical to its single-probe keys (the superset property
+    tests/test_serving_sla.py relies on). Runs only over the bounded
+    query side."""
+    coefs = hyperplane_coefs(n_planes, dim)
+    v = to_double_array(F.col(emb_col))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in coefs[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    flipped = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in coefs[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        flipped.append(F.when(dot >= 0, F.lit("0")).otherwise(F.lit("1")))
+    per_band = n_planes // bands
+    keys = []
+    for b in range(bands):
+        seg = bits[b * per_band : (b + 1) * per_band]
+        keys.append(F.concat(F.lit(f"{b}:"), *seg))
+        for j in range(per_band):
+            probe = list(seg)
+            probe[j] = flipped[b * per_band + j]
+            keys.append(F.concat(F.lit(f"{b}:"), *probe))
+    return q_df.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("bucket")
+    )
+
+
+def ann_topk_lsh_multiprobe(
+    emb_df: DataFrame,
+    query_ids_pred,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 16,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`ann_topk_lsh` with multiprobe candidate generation: the
+    CORPUS is hashed exactly once into exactly the same buckets (no
+    index change), only the query side fans out to its 1-flip probe
+    keys. Candidate volume rises by at most the probe count factor;
+    the exact-verify tail is shared verbatim with the single prober."""
+    buckets = hyperplane_buckets(emb_df, id_col, emb_col, n_planes, bands, dim)
+    qb = multiprobe_query_buckets(
+        emb_df.filter(query_ids_pred(F.col(id_col))),
+        id_col, emb_col, n_planes, bands, dim,
+    ).select(F.col(id_col).alias("query_id"), "bucket")
+    cand = (
+        qb.join(buckets.withColumnRenamed(id_col, "neighbor_id"), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
 
 
 def brute_force_topk_l2(

@@ -49,32 +49,25 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # MUST be pinned ahead of the automatic rotation so their fresh row
 # lands on the changed code.
 _PIN_FIRST = (
-    # Round 9: queries whose shared kernels changed this round — q56 and
-    # q196 ride ivf_assign (cell-assign now round6s before the argmax,
-    # and their oracles' sims CTEs round identically), q197 had its
-    # generation-commit order fixed, q203 its committed-batch read,
-    # q194 shares the refactored hybrid-fusion tail with the new q207 —
-    # plus the round-8 verdict's stale-row sweep: q56's latest row was
-    # r3 but its trainer was refactored through hash_bounded_sample in
-    # r8, and q73/q87/q92 sat on r4 rows while neighboring operators
-    # churned.
-    "q207_hybrid_from_index",
+    # Round 10: the three new queries (q216 tuned serving, q217/q218 OPQ
+    # lifecycles) land first; then every query whose kernel or oracle
+    # text changed this round — q41/q208/q210 oracles went byte-faithful
+    # (hex(encode(text)) replay instead of unicode() codepoints),
+    # q205/q215 ride the __NPROBE__-parameterized _ivfpq_ctes refactor,
+    # q214 the factored _OPQ_VECS_CTES, q197 the factored
+    # _Q197_INDEX_TAIL, and q203 the rotation-aware streaming_pq_encode
+    # (default path unchanged, but the kernel was touched).
+    "q216_ann_serving_sla",
+    "q217_incremental_opq_index",
+    "q218_streaming_opq_encode",
+    "q41_multimodal_features",
     "q208_phash_neardup",
-    "q209_lsh_bucket_cap",
     "q210_incremental_phash",
-    "q211_ann_recall_gate",
-    "q212_pq_recall_gate",
-    "q213_pq_rerank_topk",
-    "q214_opq_adc_topk",
+    "q205_ivfpq_topk",
     "q215_ivfpq_recall_gate",
-    "q56_ann_ivf_topk",
-    "q196_semantic_dedup",
+    "q214_opq_adc_topk",
     "q197_incremental_pq_index",
     "q203_streaming_pq_encode",
-    "q194_hybrid_retrieval",
-    "q73_neardup_lsh",
-    "q87_stratified_sample",
-    "q92_sketch_merge",
 )
 
 

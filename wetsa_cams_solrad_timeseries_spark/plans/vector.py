@@ -2243,6 +2243,77 @@ def q218_oracle_for(sf_dir: str) -> str | None:
 Q218_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q219 — multiprobe SRP-LSH: 1-flip probe fan-out, same index, more recall
+# --------------------------------------------------------------------------
+
+
+def q219_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN (Lv et al., VLDB 2007) — q39's SRP prober with
+    the standard production recall lever that costs NO index change: the
+    corpus stays hashed into exactly q39's buckets, but each query also
+    probes every band bucket at Hamming distance 1 (flip one sign bit),
+    because a near neighbor that missed the query's own bucket most
+    likely disagrees on exactly one plane. Probe volume per query rises
+    from ``bands`` to ``bands × (1 + bits/band)`` keys (2 → 18 here);
+    corpus memory and the banded equi-join shape are unchanged, which is
+    the whole point vs adding tables/bands — at 100 TB the index is the
+    expensive artifact and the query side is the cheap one. Measured at
+    sf0.001 vs the exact cosine baseline (tests/test_serving_sla.py):
+    probe keys strictly contain q39's and recall@3 rises 0.047 → 0.227
+    (≈4.9×) at identical index cost — SRP at 8 bits/band is a weak hash
+    for these dense vectors, which is precisely why the production fix
+    is probe fan-out, not a bigger index.
+
+    Scale shape: query-side fan-out is bounded (|Q| × 18 keys); the
+    candidate join stays the corpus-linear banded equi-join; the exact
+    verify tail is shared verbatim with q39 (``_exact_cosine_rank``).
+
+    Oracle: q39's banded CTE chain + a string-surgery probe expansion
+    (flip character j of each band signature) — the multiprobe algebra
+    replayed bit-for-bit on the same MD5-derived hyperplanes."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_lsh_multiprobe,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh_multiprobe(
+        emb, query_ids_pred=lambda c: c < 50, k=3,
+        n_planes=_N_PLANES, bands=_BANDS, dim=_DIM,
+    )
+
+
+Q219_ORACLE = f"""
+WITH {_BUCKETS_SQL},
+qprobes AS (
+  SELECT vec_id, bucket FROM banded WHERE vec_id < 50
+  UNION ALL
+  SELECT b.vec_id,
+         substr(b.bucket, 1, 2 + t.j)
+           || (CASE WHEN substr(b.bucket, 3 + t.j, 1) = '1'
+                    THEN '0' ELSE '1' END)
+           || substr(b.bucket, 4 + t.j) AS bucket
+  FROM banded b CROSS JOIN range(0, {_PER_BAND}) t(j)
+  WHERE b.vec_id < 50
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM qprobes q JOIN banded n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_cos('qv.v', 'nv.v')} AS cosine
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 Q200_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3472,6 +3543,8 @@ SPECS = make_specs(
         ("q218_streaming_opq_encode", q218_streaming_opq_encode,
          Q218_ORACLE, (),
          "streaming OPQ encode: frozen (R, books) riding the stream"),
+        ("q219_multiprobe_lsh", q219_multiprobe_lsh, Q219_ORACLE, (),
+         "multiprobe SRP-LSH: 1-flip probe fan-out, same index"),
     ]
 )
 
