@@ -113,6 +113,8 @@ BUDGETS = [
     # Multiprobe LSH: same banded equi-join as q39 — query-side key
     # fan-out must not add exchanges or a cartesian.
     ("q219_multiprobe_lsh", 4, [], ["CartesianProduct"]),
+    # SQ8: pure JVM expressions, broadcast query pass, top-k window only.
+    ("q220_sq8_topk", 1, [], ["CartesianProduct", "Python", "InPandas"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

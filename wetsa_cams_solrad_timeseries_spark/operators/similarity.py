@@ -1243,3 +1243,21 @@ def pick_rerank_depth(adc_ranks, n_pairs: int, target: float, k: int) -> int:
     while sum(1 for a in adc_ranks if a <= r) < t * n_pairs:
         r *= 2
     return r
+
+
+def sq8_train(mat):
+    """Scalar-quantizer training (FAISS SQ8): per-dimension ``(vmin,
+    step)`` from the hash-bounded sample — code_j = clip(round((v_j −
+    vmin_j) / step_j), 0, 255), reconstruction v̂_j = vmin_j + code_j ·
+    step_j. Pure numpy on the shared sample matrix, called by BOTH the
+    Spark query (values inlined as array literals into JVM expressions)
+    and the oracle replay — bit-identical artifacts, the q56/q195
+    literalization discipline. ``step`` is round6'd once here so both
+    engines multiply by the exact same grid-aligned double; a zero step
+    (constant dimension) encodes to code 0 and reconstructs to vmin."""
+    import numpy as np
+
+    vmin = mat.min(axis=0)
+    vmax = mat.max(axis=0)
+    step = np.round((vmax - vmin) / 255.0 + 1e-9, 6)
+    return [float(x) for x in vmin], [float(x) for x in step]
