@@ -331,3 +331,61 @@ def test_cap_bucket_occupancy_deterministic_and_plan_free(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_dedup_gate_scurve_bends(spark):
+    # q221's gate on a CONSTRUCTED corpus with mid-similarity pairs:
+    # recall must be monotone non-decreasing in tau (the LSH S-curve —
+    # high-similarity pairs collide in some band with higher probability
+    # than mid-similarity ones), and the low-tau end must actually lose
+    # pairs here (the corpus is built so some true 0.3-pairs sit below
+    # the banding's collision knee).
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs_dense,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    # 30 base docs of 12 words; each gets a partner overlapping in
+    # 4..11 of its 12 bigram positions -> true Jaccard spread over
+    # roughly 0.2..0.9.
+    for d in range(30):
+        base = [words[(d * 7 + j) % 40] for j in range(12)]
+        docs.append((2 * d, " ".join(base)))
+        overlap = 4 + d % 8
+        partner = base[:overlap] + [
+            f"x{d}_{j}" for j in range(12 - overlap)
+        ]
+        docs.append((2 * d + 1, " ".join(partner)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = word_shingles(df, "doc_id", "text", n=2)
+    exact = jaccard_pairs_dense(sh, "doc_id", threshold=0.2)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(sh, "doc_id", n_perm=16),
+            "doc_id", n_perm=16, bands=4,
+        ).collect()
+    }
+    truth = [
+        ((r["id_a"], r["id_b"]), r["jaccard"]) for r in exact.collect()
+    ]
+    assert truth, "constructed corpus produced no true pairs"
+
+    def recall(tau):
+        t = [p for p, j in truth if j >= tau]
+        if not t:
+            return None
+        return sum(1 for p in t if p in cand) / len(t)
+
+    rs = [r for r in (recall(t) for t in (0.2, 0.4, 0.6, 0.8)) if r is not None]
+    assert len(rs) >= 3
+    assert all(a <= b + 1e-12 for a, b in zip(rs, rs[1:])), rs  # monotone
+    assert rs[0] < 1.0, rs  # the low end genuinely loses pairs
+    assert rs[-1] > rs[0], rs  # and the curve actually bends upward

@@ -115,6 +115,8 @@ BUDGETS = [
     ("q219_multiprobe_lsh", 4, [], ["CartesianProduct"]),
     # SQ8: pure JVM expressions, broadcast query pass, top-k window only.
     ("q220_sq8_topk", 1, [], ["CartesianProduct", "Python", "InPandas"]),
+    # Dedup gate: two verified bodies + broadcast threshold fan-out.
+    ("q221_dedup_recall_gate", 7, [], ["CartesianProduct"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

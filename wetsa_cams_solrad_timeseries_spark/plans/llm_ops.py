@@ -704,6 +704,146 @@ GROUP BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# q221 — dedup candidate-quality gate: LSH S-curve measured, not assumed
+# --------------------------------------------------------------------------
+
+_Q221_TAUS = (0.3, 0.5, 0.7)
+
+
+def q221_dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q211 "measure, don't guess" discipline applied to the DEDUP
+    family: how good are q33's MinHash-LSH candidates against exact
+    n-gram-Jaccard truth, per similarity threshold? For each τ in
+    {0.3, 0.5, 0.7}: n_true (exact pairs with Jaccard ≥ τ), hits (of
+    those, how many the banded index surfaced), recall, and precision
+    of the fixed candidate set against τ-truth. This is the measured
+    version of the LSH S-curve P(collide) = 1 − (1 − s^r)^b (r=4 rows,
+    b=4 bands here) — the number a production dedup pipeline checks
+    BEFORE trusting banding parameters at a new similarity bar, exactly
+    as q211/q212/q215 gate the ANN indexes before serving. On this
+    synthetic corpus every true pair is a near-exact duplicate, so the
+    gate reads 1.0 across the ladder — itself a useful audit result
+    ("banding is not the bottleneck here"); the S-curve's bend, where
+    recall decays at lower τ, is exercised on a constructed
+    mid-similarity corpus in
+    tests/test_dedup_text.py::test_dedup_gate_scurve_bends.
+
+    Both inputs are verified operators (q32's exact dense-bitmap kernel,
+    q33's banded candidates); the gate composes them through one
+    left-join + a 3-row threshold fan-out, and the oracle composes the
+    SAME two verified SQL bodies — recall arithmetic cross-checked end
+    to end.
+
+    Scale shape: the exact side is the gate's cost and runs on a BOUNDED
+    audit sample in production (here the corpus is the sample); the
+    candidate side and the join are pair-sized; thresholds are a 3-row
+    broadcast."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs_dense,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    exact = jaccard_pairs_dense(sh, "doc_id", threshold=min(_Q221_TAUS))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id", n_perm=_N_PERM),
+        "doc_id", n_perm=_N_PERM, bands=_BANDS,
+    ).localCheckpoint(eager=True)
+    marked = exact.join(
+        F.broadcast(cand.withColumn("is_cand", F.lit(1))),
+        on=["id_a", "id_b"],
+        how="left",
+    ).select(
+        "jaccard", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    taus = spark.createDataFrame([(t,) for t in _Q221_TAUS], "tau double")
+    per = (
+        F.broadcast(taus)
+        .join(marked, on=F.col("jaccard") >= F.col("tau"), how="left")
+        .groupBy("tau")
+        .agg(
+            F.count("jaccard").alias("n_true"),
+            F.sum(F.coalesce("is_cand", F.lit(0))).alias("hits"),
+        )
+    )
+    ncand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return per.crossJoin(F.broadcast(ncand)).select(
+        "tau",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("hits").cast("long").alias("hits"),
+        F.round(
+            F.col("hits").cast("double")
+            / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("hits").cast("double") / F.col("n_cand") + F.lit(1e-9), 6
+        ).alias("precision"),
+    )
+
+
+Q221_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 1e-9, 6)
+           AS jaccard
+  FROM co
+  JOIN sizes sa ON co.id_a = sa.doc_id
+  JOIN sizes sb ON co.id_b = sb.doc_id
+  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 1e-9, 6)
+          >= {min(_Q221_TAUS)}
+),
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ncand AS (SELECT count(*) AS n_cand FROM cand),
+marked AS (
+  SELECT e.jaccard,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM exact e
+  LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+),
+taus(tau) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _Q221_TAUS)}),
+per AS (
+  SELECT t.tau, count(m.jaccard) AS n_true,
+         coalesce(sum(m.is_cand), 0) AS hits
+  FROM taus t LEFT JOIN marked m ON m.jaccard >= t.tau
+  GROUP BY 1
+)
+SELECT tau,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(hits AS BIGINT) AS hits,
+       round(CAST(hits AS DOUBLE) / nullif(CAST(n_true AS DOUBLE), 0) + 1e-9, 6)
+         AS recall,
+       round(CAST(hits AS DOUBLE) / n_cand + 1e-9, 6) AS precision
+FROM per CROSS JOIN ncand
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -715,6 +855,9 @@ SPECS = make_specs(
          "LSH candidates under a hot-bucket occupancy cap (boilerplate-"
          "skew lever; deterministic lowest-id retention)"),
         ("q62_minhash_dedup_verified", q62_minhash_dedup_verified, Q62_ORACLE, (), "LSH candidates + exact verify"),
+        ("q221_dedup_recall_gate", q221_dedup_recall_gate, Q221_ORACLE, (),
+         "dedup candidate-quality gate: LSH recall/precision vs exact "
+         "Jaccard per threshold (the measured S-curve)"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),
