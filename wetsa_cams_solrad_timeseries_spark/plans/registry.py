@@ -57,9 +57,17 @@ _PIN_FIRST = (
     # q214 the factored _OPQ_VECS_CTES, q197 the factored
     # _Q197_INDEX_TAIL, and q203 the rotation-aware streaming_pq_encode
     # (default path unchanged, but the kernel was touched).
+    # (q219/q220/q221 are new and land in tier 1 automatically; q39/q73
+    # are pinned because ann_topk_lsh's verify tail was factored into
+    # _exact_cosine_rank for q219's multiprobe twin.)
     "q216_ann_serving_sla",
     "q217_incremental_opq_index",
     "q218_streaming_opq_encode",
+    "q219_multiprobe_lsh",
+    "q220_sq8_topk",
+    "q221_dedup_recall_gate",
+    "q39_ann_lsh_topk",
+    "q73_neardup_lsh",
     "q41_multimodal_features",
     "q208_phash_neardup",
     "q210_incremental_phash",
