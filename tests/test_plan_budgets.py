@@ -117,6 +117,8 @@ BUDGETS = [
     ("q220_sq8_topk", 1, [], ["CartesianProduct", "Python", "InPandas"]),
     # Dedup gate: two verified bodies + broadcast threshold fan-out.
     ("q221_dedup_recall_gate", 7, [], ["CartesianProduct"]),
+    # Sequence packing: ONE per-shard cumsum window, no joins, no Python.
+    ("q222_sequence_packing", 1, ["Window"], ["Join", "Python"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -844,6 +844,104 @@ FROM per CROSS JOIN ncand
 """
 
 
+# --------------------------------------------------------------------------
+# q222 — sequence packing: concat-then-chunk layout for LM training shards
+# --------------------------------------------------------------------------
+
+_Q222_CAP = 256  # tokens per training sequence (bin capacity)
+
+
+def q222_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the layout step between a curated corpus and an
+    LM training run: documents are concatenated per input shard and
+    chunked into fixed-capacity training sequences (the GPT-style
+    "concat then chunk" packer, where a document may straddle a bin
+    boundary; zero padding waste by construction). Per document:
+    its whitespace-token count (q97's exact semantics), its running
+    START OFFSET within the shard's token stream (cumulative sum over
+    the deterministic doc_id order), and the first/last training
+    sequence it lands in (integer division by the capacity). Downstream
+    consumers read this as the doc→sequence index: which documents a
+    given training sequence mixes, and which docs straddle boundaries
+    (the attention-masking bookkeeping packers emit in practice).
+
+    Scale shape: ONE window (cumulative sum) partitioned by the input
+    shard — packing is per-shard by design, exactly as production
+    packers run per input file, so the window parallelizes with shard
+    count and no global ordering exists anywhere. Everything else is
+    scan-stage JVM arithmetic; integer division keeps bin ids exact at
+    any stream length (no float precision cliff at 100 TB offsets).
+
+    Oracle: the same cumsum + integer-division algebra in SQL — window
+    frame, zero-token edge case, and bin spans replayed."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    per_doc = docs.select(
+        "doc_id", "source", ws_tokens.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    start_bin = F.expr(f"CAST(off DIV {_Q222_CAP} AS BIGINT)")
+    end_bin = F.when(
+        F.col("n_tokens") == 0, start_bin
+    ).otherwise(
+        F.expr(f"CAST((off + n_tokens - 1) DIV {_Q222_CAP} AS BIGINT)")
+    )
+    return off.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "off",
+        start_bin.alias("start_bin"),
+        end_bin.alias("end_bin"),
+        (end_bin > start_bin).alias("straddles"),
+    )
+
+
+Q222_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'))
+         END AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM per_doc
+)
+SELECT doc_id, source, n_tokens, off,
+       CAST(off // {_Q222_CAP} AS BIGINT) AS start_bin,
+       CAST(CASE WHEN n_tokens = 0 THEN off // {_Q222_CAP}
+            ELSE (off + n_tokens - 1) // {_Q222_CAP} END AS BIGINT)
+         AS end_bin,
+       (CASE WHEN n_tokens = 0 THEN off // {_Q222_CAP}
+        ELSE (off + n_tokens - 1) // {_Q222_CAP} END)
+         > (off // {_Q222_CAP}) AS straddles
+FROM offs
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -858,6 +956,9 @@ SPECS = make_specs(
         ("q221_dedup_recall_gate", q221_dedup_recall_gate, Q221_ORACLE, (),
          "dedup candidate-quality gate: LSH recall/precision vs exact "
          "Jaccard per threshold (the measured S-curve)"),
+        ("q222_sequence_packing", q222_sequence_packing, Q222_ORACLE, (),
+         "sequence packing: concat-then-chunk doc->training-sequence "
+         "index per shard"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),

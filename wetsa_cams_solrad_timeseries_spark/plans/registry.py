@@ -66,6 +66,7 @@ _PIN_FIRST = (
     "q219_multiprobe_lsh",
     "q220_sq8_topk",
     "q221_dedup_recall_gate",
+    "q222_sequence_packing",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",
