@@ -761,13 +761,21 @@ def q221_dedup_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
     )
     taus = spark.createDataFrame([(t,) for t in _Q221_TAUS], "tau double")
+    # Threshold fan-out as a Cross broadcast of the 3-row ladder +
+    # conditional aggregation (a >= range join would plan as a non-Cross
+    # BroadcastNestedLoopJoin, which the plan audit rightly flags).
     per = (
-        F.broadcast(taus)
-        .join(marked, on=F.col("jaccard") >= F.col("tau"), how="left")
+        marked.crossJoin(F.broadcast(taus))
         .groupBy("tau")
         .agg(
-            F.count("jaccard").alias("n_true"),
-            F.sum(F.coalesce("is_cand", F.lit(0))).alias("hits"),
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("tau"), 1).otherwise(0)
+            ).alias("n_true"),
+            F.sum(
+                F.when(
+                    F.col("jaccard") >= F.col("tau"), F.col("is_cand")
+                ).otherwise(0)
+            ).alias("hits"),
         )
     )
     ncand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -828,9 +836,10 @@ marked AS (
 ),
 taus(tau) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _Q221_TAUS)}),
 per AS (
-  SELECT t.tau, count(m.jaccard) AS n_true,
-         coalesce(sum(m.is_cand), 0) AS hits
-  FROM taus t LEFT JOIN marked m ON m.jaccard >= t.tau
+  SELECT t.tau,
+         sum(CASE WHEN m.jaccard >= t.tau THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN m.jaccard >= t.tau THEN m.is_cand ELSE 0 END) AS hits
+  FROM marked m CROSS JOIN taus t
   GROUP BY 1
 )
 SELECT tau,
