@@ -119,6 +119,8 @@ BUDGETS = [
     ("q221_dedup_recall_gate", 7, [], ["CartesianProduct"]),
     # Sequence packing: ONE per-shard cumsum window, no joins, no Python.
     ("q222_sequence_packing", 1, ["Window"], ["Join", "Python"]),
+    # IVF-SQ8: one encode kernel pass + broadcast residual-probe join.
+    ("q223_ivfsq_topk", 2, [], ["CartesianProduct", "SortMergeJoin"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -1261,3 +1261,70 @@ def sq8_train(mat):
     vmax = mat.max(axis=0)
     step = np.round((vmax - vmin) / 255.0 + 1e-9, 6)
     return [float(x) for x in vmin], [float(x) for x in step]
+
+
+def ivfsq_train(mat, cells: int, n_iter: int = 2):
+    """IVF-SQ training core (the FAISS IVFSQ composite): coarse L2
+    k-means over the full vector (pq_lloyd with one subspace — the
+    ivfpq_train coarse stage, shared verbatim), then SQ8 (vmin, step)
+    trained on the RESIDUALS v − c[assign(v)] of the same sample —
+    residuals are smaller-normed than raw vectors, so the same 8-bit
+    budget quantizes finer (the q205 argument with a scalar quantizer
+    in place of product codebooks). Returns ``(coarse, vmin, step)``;
+    pure numpy, called by both the Spark trainer and the oracle
+    replay."""
+    import numpy as np
+
+    coarse = pq_lloyd(mat, m=1, ksub=cells, n_iter=n_iter)[0]
+    ca = np.array(coarse, dtype=np.float64)
+    assign = np.argmin(_pq_subdist_matrix(mat, ca), axis=1)
+    vmin, step = sq8_train(mat - ca[assign])
+    return coarse, vmin, step
+
+
+def ivfsq_encode(
+    emb_df: DataFrame,
+    coarse,
+    vmin,
+    step,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distributed IVF-SQ encoding → ``(id, cell, cd array<int>)``:
+    coarse cell = argmin round6 squared-L2 (ties → lower cell, the
+    ivfpq_encode convention), then the residual's per-dimension 8-bit
+    code: clip(floor(round6((r_j − vmin_j)/step_j) + 0.5), 0, 255),
+    zero-step dimensions encode 0. The scaled value round6s BEFORE the
+    +0.5/floor so both engines clamp identical doubles (q220's
+    discipline). One Arrow kernel pass; artifacts ride the closure."""
+    import numpy as np
+    import pandas as pd
+
+    ca = np.array(coarse, dtype=np.float64)
+    mn = np.array(vmin, dtype=np.float64)
+    st = np.array(step, dtype=np.float64)
+    safe_st = np.where(st == 0, 1.0, st)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[emb_col]), dtype=np.float64)
+            cell = np.argmin(_pq_subdist_matrix(mat, ca), axis=1)
+            resid = mat - ca[cell]
+            scaled = np.round((resid - mn) / safe_st + 1e-9, 6)
+            cd = np.clip(np.floor(scaled + 0.5), 0, 255).astype(np.int32)
+            cd[:, st == 0] = 0
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": cell.astype(np.int32),
+                    "cd": list(cd),
+                }
+            )
+
+    src = emb_df.select(id_col, to_double_array(F.col(emb_col)).alias(emb_col))
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, cell int, cd array<int>"
+    )

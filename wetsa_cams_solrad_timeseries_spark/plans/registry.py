@@ -67,6 +67,7 @@ _PIN_FIRST = (
     "q220_sq8_topk",
     "q221_dedup_recall_gate",
     "q222_sequence_packing",
+    "q223_ivfsq_topk",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",

@@ -2497,6 +2497,250 @@ def q220_oracle_for(sf_dir: str) -> str | None:
 Q220_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q223 — IVF-SQ8: coarse cells + 8-bit residual codes (FAISS IVFSQ)
+# --------------------------------------------------------------------------
+
+_Q223_CELLS, _Q223_NPROBE, _Q223_NQ, _Q223_K = 16, 4, 8, 3
+
+
+def q223_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN — the remaining cell of the FAISS index matrix
+    (IVF-Flat q56 / PQ q195 / IVF-PQ q205 / OPQ q214 / SQ8 q220 → this
+    composite): coarse k-means cells prune the search space, and each
+    vector's RESIDUAL is scalar-quantized to 8 bits per dimension —
+    8× compression with SQ8's per-dimension fidelity instead of PQ's
+    shared-subvector codes, the middle ground deployments pick when
+    PQ's 16× costs too much recall (q212 measured that cost at 0.17@3;
+    SQ8 measured 1.0@5 in q220; THIS composite measures 0.875@3 at 4/16
+    probes vs IVF-PQ's 0.29@3 at 2/16 — the fidelity/probe-width
+    trade-off across the matrix, measured not assumed). Search: probe
+    the query's n_probe
+    nearest cells (the SAME ``ivf_cell_ranks`` ordering the q216 gate
+    sweeps), reconstruct candidates' residuals from their codes with
+    pure JVM expressions, exact-L2 the query's residual against them.
+
+    Scale shape: encode = one Arrow kernel scan pass (artifacts in the
+    closure); the corpus artifact is (cell + 64 bytes) per vector;
+    search joins the code table against a BROADCAST (query × n_probe)
+    residual frame on the cell id — non-probed cells prune in the join,
+    and reconstruction/distance stay JVM-side array expressions.
+
+    Determinism: the cell assignment and residual arithmetic replay
+    q205's rounded folds; the code clamp replays q220's
+    round6-before-floor discipline; all artifacts are shared-trainer
+    literals (``ivfsq_train`` = ivfpq coarse stage + sq8_train on
+    residuals, called by both engines)."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        ivf_cell_ranks,
+        ivfsq_encode,
+        ivfsq_train,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, vmin, step = ivfsq_train(
+        hash_bounded_sample(emb), cells=_Q223_CELLS
+    )
+    mn = F.array(*[F.lit(x) for x in vmin])
+    st = F.array(*[F.lit(x) for x in step])
+    codes = ivfsq_encode(emb, coarse, vmin, step).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "cd"
+    )
+    recon = codes.select(
+        "neighbor_id",
+        "cell",
+        F.transform(
+            F.col("cd"),
+            lambda c, i: F.round(
+                F.get(mn, i) + c.cast("double") * F.get(st, i) + F.lit(1e-9),
+                6,
+            ),
+        ).alias("__hv"),
+    )
+
+    q_src = emb.filter(F.col("vec_id") < _Q223_NQ)
+    probes = ivf_cell_ranks(q_src, coarse).filter(
+        F.col("crank") <= _Q223_NPROBE
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in coarse[c]]) for c in range(_Q223_CELLS)],
+        "cell int, cvec array<double>",
+    )
+    v = to_double_array(F.col("embedding"))
+    qres = (
+        probes.join(
+            F.broadcast(
+                q_src.select(
+                    F.col("vec_id").alias("query_id"), v.alias("__qv")
+                )
+            ),
+            on="query_id",
+        )
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("__qv"), F.col("cvec"), lambda a, b: a - b
+            ).alias("__qr"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qr"), F.col("__hv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        recon.join(F.broadcast(qres), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q223_K)
+
+
+# The coarse-assignment CTEs replay q205's rounded folds (_Q205_CDIST is
+# the shared distance expression); the code clamp replays q220's
+# round6-before-floor algebra. Arithmetic expressions are shared
+# constants even though the CTE scaffolding is spelled once more here.
+_Q223_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+coarse(cell, c) AS (VALUES __COARSE__),
+params AS (
+  SELECT CAST(__SQ_MIN__ AS DOUBLE[]) AS mn, CAST(__SQ_STEP__ AS DOUBLE[]) AS st
+),
+cdist AS MATERIALIZED (
+  SELECT vecs.vec_id, coarse.cell, {_Q205_CDIST} AS d
+  FROM vecs CROSS JOIN coarse
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cell ASC) AS r
+    FROM cdist
+  ) WHERE r = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         [vecs.v[i] - coarse.c[i] FOR i IN range(1, {_DIM} + 1)] AS rv
+  FROM assigned a
+  JOIN vecs ON vecs.vec_id = a.vec_id
+  JOIN coarse ON coarse.cell = a.cell
+),
+recon AS (
+  -- code = 0 on zero-step dims; the reconstruction round6 applies
+  -- unconditionally (the Spark transform has no branch there).
+  SELECT vec_id AS neighbor_id, cell,
+         [round(mn[i]
+                + (CASE WHEN st[i] = 0 THEN 0
+                        ELSE LEAST(255, GREATEST(0, CAST(floor(
+                               round((rv[i] - mn[i]) / st[i] + 1e-9, 6)
+                               + 0.5) AS INT)))
+                   END) * st[i]
+                + 1e-9, 6)
+          FOR i IN range(1, {_DIM} + 1)] AS hv
+  FROM resid CROSS JOIN params
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cell ASC) AS r
+    FROM cdist WHERE vec_id < {_Q223_NQ}
+  ) WHERE r <= {_Q223_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         [vecs.v[i] - coarse.c[i] FOR i IN range(1, {_DIM} + 1)] AS qr
+  FROM probe p
+  JOIN vecs ON vecs.vec_id = p.query_id
+  JOIN coarse ON coarse.cell = p.cell
+),
+scored AS (
+  SELECT q.query_id, r.neighbor_id,
+         round(list_sum([(q.qr[i] - r.hv[i]) * (q.qr[i] - r.hv[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM recon r
+  JOIN qres q ON q.cell = r.cell AND r.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_Q223_K}
+"""
+
+
+def _ivfsq_values(path: str) -> tuple[str, str, str] | None:
+    """(coarse VALUES, vmin literal, step literal) via the shared
+    ivfsq_train core on the shared hash-bounded sample."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+        ivfsq_train,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    ids = [r[0] for r in rows]
+    mat = hash_bounded_sample_py(
+        ids, np.array([r[1] for r in rows], dtype=np.float64)
+    )
+    coarse, vmin, step = ivfsq_train(mat, cells=_Q223_CELLS)
+    coarse_vals = ", ".join(
+        "({}, [{}])".format(c, ", ".join(repr(float(x)) for x in coarse[c]))
+        for c in range(_Q223_CELLS)
+    )
+    lit = lambda xs: "[{}]".format(", ".join(repr(float(x)) for x in xs))  # noqa: E731
+    return coarse_vals, lit(vmin), lit(step)
+
+
+def q223_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q223 oracle: shared-trainer (coarse, vmin, step)
+    literals fed into the SQL replay of assign → residual-SQ8 encode →
+    reconstruct → probe → exact-L2 rank."""
+    vals = _ivfsq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if vals is None:
+        return None
+    coarse_vals, mn_lit, st_lit = vals
+    return (
+        _Q223_ORACLE_TEMPLATE.replace("__COARSE__", coarse_vals)
+        .replace("__SQ_MIN__", mn_lit)
+        .replace("__SQ_STEP__", st_lit)
+    )
+
+
+Q223_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 Q200_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3730,6 +3974,8 @@ SPECS = make_specs(
          "multiprobe SRP-LSH: 1-flip probe fan-out, same index"),
         ("q220_sq8_topk", q220_sq8_topk, Q220_ORACLE, (),
          "scalar-quantized (SQ8) ANN: 8-bit codes, codegen-only path"),
+        ("q223_ivfsq_topk", q223_ivfsq_topk, Q223_ORACLE, (),
+         "IVF-SQ8 composite ANN: coarse cells + 8-bit residual codes"),
     ]
 )
 
@@ -3764,6 +4010,9 @@ SPECS["q218_streaming_opq_encode"] = _dc.replace(
 )
 SPECS["q220_sq8_topk"] = _dc.replace(
     SPECS["q220_sq8_topk"], oracle_fn=q220_oracle_for
+)
+SPECS["q223_ivfsq_topk"] = _dc.replace(
+    SPECS["q223_ivfsq_topk"], oracle_fn=q223_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
