@@ -121,6 +121,10 @@ BUDGETS = [
     ("q222_sequence_packing", 1, ["Window"], ["Join", "Python"]),
     # IVF-SQ8: one encode kernel pass + broadcast residual-probe join.
     ("q223_ivfsq_topk", 2, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Binary sign quantization: JVM-only pack/xor/popcount screen +
+    # broadcast candidate rerank; two top-k windows.
+    ("q224_binary_hamming_topk", 2, [],
+     ["CartesianProduct", "SortMergeJoin", "InPandas"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

