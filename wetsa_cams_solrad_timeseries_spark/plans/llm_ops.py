@@ -951,6 +951,66 @@ FROM offs
 """
 
 
+# --------------------------------------------------------------------------
+# q225 — packing efficiency: the shard-level audit of q222's layout
+# --------------------------------------------------------------------------
+
+
+def q225_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level audit of the q222 packing layout — the numbers a
+    training-data owner actually reviews before a run: per input shard,
+    document count, total tokens, training-sequence count
+    (⌈total/capacity⌉ — concat-then-chunk pads only the final partial
+    sequence), padding tokens, fill ratio, and how many documents
+    straddle a sequence boundary (each straddler is an attention-mask
+    seam). Composes DIRECTLY on q222's per-doc frame, so the audit and
+    the layout cannot disagree; one extra aggregation shuffle on the
+    shard key.
+
+    Oracle: q222's verified SQL body nested as a CTE + the same ceiling
+    division / conditional-count algebra."""
+    packed = q222_sequence_packing(spark, sf_dir)
+    total = F.sum("n_tokens")
+    n_bins = F.expr(
+        f"CAST((sum(n_tokens) + {_Q222_CAP} - 1) DIV {_Q222_CAP} AS BIGINT)"
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_bins.alias("n_bins"),
+        (n_bins * _Q222_CAP - total).cast("long").alias("padding_tokens"),
+        F.round(
+            total.cast("double")
+            / F.nullif((n_bins * _Q222_CAP).cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("fill_ratio"),
+        F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+        .cast("long")
+        .alias("straddlers"),
+    )
+
+
+Q225_ORACLE = f"""
+WITH packed AS ({{Q222}})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + {_Q222_CAP} - 1) // {_Q222_CAP} AS BIGINT)
+         AS n_bins,
+       CAST((sum(n_tokens) + {_Q222_CAP} - 1) // {_Q222_CAP}
+            * {_Q222_CAP} - sum(n_tokens) AS BIGINT) AS padding_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / nullif(CAST((sum(n_tokens) + {_Q222_CAP} - 1) // {_Q222_CAP}
+                           * {_Q222_CAP} AS DOUBLE), 0) + 1e-9, 6)
+         AS fill_ratio,
+       CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+         AS straddlers
+FROM packed
+GROUP BY source
+""".format(Q222=Q222_ORACLE)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -968,6 +1028,9 @@ SPECS = make_specs(
         ("q222_sequence_packing", q222_sequence_packing, Q222_ORACLE, (),
          "sequence packing: concat-then-chunk doc->training-sequence "
          "index per shard"),
+        ("q225_packing_efficiency", q225_packing_efficiency, Q225_ORACLE,
+         (), "packing audit: per-shard bins, padding, fill ratio, "
+         "straddlers"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),

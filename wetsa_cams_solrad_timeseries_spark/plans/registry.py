@@ -69,6 +69,7 @@ _PIN_FIRST = (
     "q222_sequence_packing",
     "q223_ivfsq_topk",
     "q224_binary_hamming_topk",
+    "q225_packing_efficiency",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",
