@@ -39,6 +39,12 @@ CASES = [
     ("banded_self_join", "q33_minhash_lsh"),
     ("incremental_probe", "q193_incremental_dedup"),
     ("tuned_serving", "q216_ann_serving_sla"),
+    # Postings serving: the SelectedBucketsCount marker in this snapshot
+    # is the bucket-pruning guarantee — a lost pruned scan changes it.
+    ("postings_serving", "q207_hybrid_from_index"),
+    # Multimodal kernel chain: Arrow hash pass + banded candidates +
+    # popcount verify (the checkpointed-subtree shape).
+    ("phash_neardup", "q208_phash_neardup"),
 ]
 
 

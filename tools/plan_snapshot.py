@@ -19,8 +19,9 @@ from __future__ import annotations
 
 import re
 
-# wetsa_pqcodes_sf0001_<hex12> and friends → stable family name.
-_TOKEN = re.compile(r"(wetsa_[a-z0-9]+?)_[0-9a-f]{12}")
+# wetsa_postfull_sf0001_<hex12> and friends → stable family name (the
+# family segment may itself contain underscores).
+_TOKEN = re.compile(r"(wetsa_[a-z0-9_]+?)_[0-9a-f]{12}\b")
 # EventTimeWatermark nodes print a per-run UUID.
 _UUID = re.compile(
     r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b"
