@@ -121,6 +121,8 @@ BUDGETS = [
     ("q222_sequence_packing", 1, ["Window"], ["Join", "Python"]),
     # Packing audit: q222's window + one shard-key aggregation shuffle.
     ("q225_packing_efficiency", 2, ["Window"], ["Join", "Python"]),
+    # Token-budget mix: hash projection + one per-source cumsum window.
+    ("q226_token_budget_mix", 1, ["Window"], ["Join", "Python"]),
     # IVF-SQ8: one encode kernel pass + broadcast residual-probe join.
     ("q223_ivfsq_topk", 2, [], ["CartesianProduct", "SortMergeJoin"]),
     # Binary sign quantization: JVM-only pack/xor/popcount screen +

@@ -1011,6 +1011,88 @@ GROUP BY source
 """.format(Q222=Q222_ORACLE)
 
 
+# --------------------------------------------------------------------------
+# q226 — token-budget mixture sampling: fill per-source quotas, not row counts
+# --------------------------------------------------------------------------
+
+_Q226_BUDGET = 3000  # token quota per source
+
+
+def q226_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — how a pretraining mix is actually
+    drawn: each source gets a TOKEN quota (not a row count — q87's
+    stratified sampler is the row-count twin), documents are taken in a
+    deterministic pseudo-shuffle order (the cross-engine hash32 of the
+    doc id — reproducible data ordering is a training requirement, not
+    a nicety), and a document is selected iff the source's running
+    token total THROUGH it stays within the quota (greedy prefix fill,
+    the standard quota semantics). Output: every document with its
+    shuffle key, running total, and the selected flag — the audit view;
+    the training run consumes ``WHERE selected``.
+
+    Scale shape: one hash projection + ONE cumulative-sum window
+    partitioned by source (parallel in source count, the q222
+    discipline) + a scan-stage flag — no joins, no Python, no global
+    order.
+
+    Oracle: identical hash (shared MD5 primitive), identical window
+    frame and comparison in SQL."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.hashing import hash32
+
+    docs = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        ws_tokens.cast("long").alias("n_tokens"),
+        hash32(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "shuffle_key",
+        cum.alias("cum_tokens"),
+        (cum <= _Q226_BUDGET).alias("selected"),
+    )
+
+
+Q226_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'))
+         END AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, shuffle_key,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY shuffle_key, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY shuffle_key, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= {_Q226_BUDGET} AS selected
+FROM per_doc
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -1031,6 +1113,9 @@ SPECS = make_specs(
         ("q225_packing_efficiency", q225_packing_efficiency, Q225_ORACLE,
          (), "packing audit: per-shard bins, padding, fill ratio, "
          "straddlers"),
+        ("q226_token_budget_mix", q226_token_budget_mix, Q226_ORACLE, (),
+         "pretraining mix: per-source TOKEN quotas filled in "
+         "deterministic shuffle order"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),

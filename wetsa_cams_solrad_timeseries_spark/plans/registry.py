@@ -70,6 +70,7 @@ _PIN_FIRST = (
     "q223_ivfsq_topk",
     "q224_binary_hamming_topk",
     "q225_packing_efficiency",
+    "q226_token_budget_mix",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",
