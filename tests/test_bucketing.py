@@ -550,3 +550,30 @@ def test_phash_index_append_stays_shuffle_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfsq_probe_partition_pruned(spark, sf_dir):
+    # q227's layout claim: the history code table is directory-partitioned
+    # BY CELL, and the steady-state probe's scan carries a PartitionFilter
+    # on the probed cell set — the file-level inverted list (directory
+    # partitioning prunes regardless of join strategy, unlike bucketing,
+    # which DisableUnnecessaryBucketedScan demotes under a broadcast
+    # probe side — the q207 lesson).
+    import re
+
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q227_incremental_ivfsq_index,
+    )
+
+    df = q227_incremental_ivfsq_index(spark, sf_dir)
+    assert df.count() > 0
+    plan = _plan(q227_incremental_ivfsq_index(spark, sf_dir))
+    # Catalyst renders small probe sets as IN (...) and larger ones as
+    # INSET v, v, ... — accept both spellings of the same pruning.
+    m = re.search(
+        r"PartitionFilters: \[cell#\d+ (?:IN \(|INSET )([\d, ]+)", plan
+    )
+    assert m, plan
+    # the probe touches a strict subset of the 16 cells
+    cells = [x for x in m.group(1).split(",") if x.strip()]
+    assert 0 < len(cells) < 16

@@ -129,6 +129,10 @@ BUDGETS = [
     # broadcast candidate rerank; two top-k windows.
     ("q224_binary_hamming_topk", 2, [],
      ["CartesianProduct", "SortMergeJoin", "InPandas"]),
+    # Incremental IVF-SQ8: cell-partition-pruned history scan + new-shard
+    # encode kernel + broadcast residual-probe join.
+    ("q227_incremental_ivfsq_index", 2, ["PartitionFilters"],
+     ["CartesianProduct", "SortMergeJoin"]),
     # Quantile digest: one scan-stage groupBy then grid-sized stages.
     ("q191_quantile_sketch_merge", 5, [], ["CartesianProduct", "Python"]),
     # Incremental PQ index: encode kernels are scan-stage; ADC join is

@@ -131,3 +131,29 @@ def test_opq_rotation_table_is_the_frozen_artifact(spark, sf_dir):
     )
     got = np.array([persisted[i] for i in range(len(rotation))])
     assert np.array_equal(got, np.array(rotation))
+
+
+def test_ivfsq_steady_state_never_retrains(spark, sf_dir, monkeypatch):
+    # q227's contract: once the generation exists, steady state loads the
+    # frozen (coarse, vmin, step) off the params table and re-runs
+    # neither the coarse trainer nor the scalar-quantizer fit.
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q227_incremental_ivfsq_index,
+    )
+
+    first = sorted(
+        tuple(r) for r in q227_incremental_ivfsq_index(spark, sf_dir).collect()
+    )
+    assert first, "q227 returned no neighbors"
+
+    import wetsa_cams_solrad_timeseries_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("steady-state run re-trained the IVF-SQ artifacts")
+
+    monkeypatch.setattr(sim, "ivfsq_train", boom)
+    monkeypatch.setattr(sim, "sq8_train", boom)
+    second = sorted(
+        tuple(r) for r in q227_incremental_ivfsq_index(spark, sf_dir).collect()
+    )
+    assert second == first

@@ -71,6 +71,7 @@ _PIN_FIRST = (
     "q224_binary_hamming_topk",
     "q225_packing_efficiency",
     "q226_token_budget_mix",
+    "q227_incremental_ivfsq_index",
     "q39_ann_lsh_topk",
     "q73_neardup_lsh",
     "q41_multimodal_features",

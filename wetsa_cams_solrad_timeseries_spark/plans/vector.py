@@ -2661,7 +2661,7 @@ probe AS (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY d ASC, cell ASC) AS r
-    FROM cdist WHERE vec_id < {_Q223_NQ}
+    FROM cdist WHERE __QFILTER__
   ) WHERE r <= {_Q223_NPROBE}
 ),
 qres AS (
@@ -2686,9 +2686,11 @@ SELECT query_id, neighbor_id, dist, rank FROM (
 """
 
 
-def _ivfsq_values(path: str) -> tuple[str, str, str] | None:
+def _ivfsq_values(path: str, id_filter=None) -> tuple[str, str, str] | None:
     """(coarse VALUES, vmin literal, step literal) via the shared
-    ivfsq_train core on the shared hash-bounded sample."""
+    ivfsq_train core on the shared hash-bounded sample. ``id_filter``
+    restricts the training corpus BEFORE the cap (q227 trains on the
+    history shard only — the _pq_codebook_values discipline)."""
     try:
         import duckdb
         import numpy as np
@@ -2708,6 +2710,8 @@ def _ivfsq_values(path: str) -> tuple[str, str, str] | None:
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
+    if id_filter is not None:
+        rows = [r for r in rows if id_filter(r[0])]
     ids = [r[0] for r in rows]
     mat = hash_bounded_sample_py(
         ids, np.array([r[1] for r in rows], dtype=np.float64)
@@ -2735,6 +2739,7 @@ def q223_oracle_for(sf_dir: str) -> str | None:
         _Q223_ORACLE_TEMPLATE.replace("__COARSE__", coarse_vals)
         .replace("__SQ_MIN__", mn_lit)
         .replace("__SQ_STEP__", st_lit)
+        .replace("__QFILTER__", f"vec_id < {_Q223_NQ}")
     )
 
 
@@ -2939,6 +2944,213 @@ def q224_oracle_for(sf_dir: str) -> str | None:
 
 
 Q224_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q227 — incremental IVF-SQ8 index: cell-PARTITIONED codes, pruned probes
+# --------------------------------------------------------------------------
+
+_Q227_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q227_NPROBE = _Q223_NPROBE  # shared probe width — the oracle template reuses it
+
+
+def q227_incremental_ivfsq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental lifecycle applied to the IVF-SQ8 composite —
+    completing the quantizer coverage of the cross-run index family
+    (q193 LSH bands / q197 PQ / q217 OPQ / q201 postings / q210 pHash /
+    THIS) — with a layout upgrade the cell structure makes possible:
+    the history code table is directory-PARTITIONED BY CELL, the literal
+    file-level inverted list q205's scale notes promise. A steady-state
+    probe first resolves the query set's probed cells (a parameter-sized
+    collect, ≤ n_cells values — the q216 gate-collect class) and filters
+    ``cell IN (...)`` — the scan then reads ONLY matching partition
+    directories (``PartitionFilters`` in the plan,
+    tests/test_bucketing.py::test_ivfsq_probe_partition_pruned), never
+    the rest of the corpus. (Bucketing was rejected for this table: with
+    a broadcast probe side no operator needs the bucket distribution, so
+    DisableUnnecessaryBucketedScan demotes the scan and bucket pruning
+    silently dies — the q207 lesson; directory partitioning prunes
+    regardless of the join strategy.)
+
+    Frozen artifacts: (coarse, vmin, step) persist as one params table
+    (≤ n_cells + 2 rows), written LAST as the generation commit gate
+    (the q197 commit-order lesson). Steady state = two bounded collects
+    + one Arrow encode pass over the NEW shard only; history raw vectors
+    are never re-read and the trainer never re-runs
+    (tests/test_pq_incremental.py::test_ivfsq_steady_state_never_retrains).
+
+    Oracle: ONE-PASS batch assign → residual-SQ8 encode → reconstruct →
+    probe → exact-L2 rank of the full corpus under the SAME
+    history-trained literals (q223's factored template at the q197
+    query filter) — incremental ≡ batch."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        ivf_cell_ranks,
+        ivfsq_encode,
+        ivfsq_train,
+    )
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    codes_t = f"wetsa_ivfsqcodes_{tag}_{_Q227_TOKEN}"
+    params_t = f"wetsa_ivfsqparams_{tag}_{_Q227_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_ivfsqcodes_{tag}_*", codes_t),
+            (f"wetsa_ivfsqparams_{tag}_*", params_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q227_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    artifacts = None
+    try:
+        if not spark.catalog.tableExists(params_t):
+            coarse, vmin, step = ivfsq_train(
+                hash_bounded_sample(hist), cells=_Q223_CELLS
+            )
+            artifacts = (coarse, vmin, step)
+            (
+                ivfsq_encode(hist, coarse, vmin, step)
+                .select(F.col("vec_id").alias("neighbor_id"), "cell", "cd")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .saveAsTable(codes_t)
+            )
+            # params LAST: the commit gate for the whole generation.
+            rows = [("coarse", c, list(coarse[c])) for c in range(_Q223_CELLS)]
+            rows += [("vmin", 0, list(vmin)), ("step", 0, list(step))]
+            spark.createDataFrame(
+                rows, "kind string, idx int, vals array<double>"
+            ).write.mode("overwrite").saveAsTable(params_t)
+        if artifacts is None:
+            coarse = [None] * _Q223_CELLS
+            vmin = step = None
+            for r in spark.table(params_t).collect():
+                if r["kind"] == "coarse":
+                    coarse[r["idx"]] = list(r["vals"])
+                elif r["kind"] == "vmin":
+                    vmin = list(r["vals"])
+                else:
+                    step = list(r["vals"])
+            artifacts = (coarse, vmin, step)
+        hist_codes = spark.table(codes_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if artifacts is None:
+            artifacts = ivfsq_train(
+                hash_bounded_sample(hist), cells=_Q223_CELLS
+            )
+        coarse, vmin, step = artifacts
+        hist_codes = ivfsq_encode(hist, coarse, vmin, step).select(
+            F.col("vec_id").alias("neighbor_id"), "cell", "cd"
+        )
+    coarse, vmin, step = artifacts
+
+    new_codes = ivfsq_encode(emb.filter(is_new), coarse, vmin, step).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "cd"
+    )
+    q_src = emb.filter(is_new & (F.col("vec_id") < _Q197_QBOUND))
+    probes = ivf_cell_ranks(q_src, coarse).filter(
+        F.col("crank") <= _Q227_NPROBE
+    )
+    # Parameter-sized collect (≤ n_cells values): the probed-cell set,
+    # pushed into the partition-pruned scan as cell IN (...).
+    probed_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    index = hist_codes.filter(F.col("cell").isin(*probed_cells)).unionByName(
+        new_codes.filter(F.col("cell").isin(*probed_cells))
+    )
+
+    mn = F.array(*[F.lit(x) for x in vmin])
+    st = F.array(*[F.lit(x) for x in step])
+    recon = index.select(
+        "neighbor_id",
+        "cell",
+        F.transform(
+            F.col("cd"),
+            lambda c, i: F.round(
+                F.get(mn, i) + c.cast("double") * F.get(st, i) + F.lit(1e-9),
+                6,
+            ),
+        ).alias("__hv"),
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in coarse[c]]) for c in range(_Q223_CELLS)],
+        "cell int, cvec array<double>",
+    )
+    v = to_double_array(F.col("embedding"))
+    qres = (
+        probes.join(
+            F.broadcast(
+                q_src.select(
+                    F.col("vec_id").alias("query_id"), v.alias("__qv")
+                )
+            ),
+            on="query_id",
+        )
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("__qv"), F.col("cvec"), lambda a, b: a - b
+            ).alias("__qr"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qr"), F.col("__hv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        recon.join(F.broadcast(qres), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q223_K)
+
+
+def q227_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q227 oracle: (coarse, vmin, step) trained on the HISTORY
+    shard via the shared ivfsq_train replay, q223's factored template at
+    the q197 query filter (n_probe raised to q227's width) —
+    incremental ≡ batch."""
+    vals = _ivfsq_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    if vals is None:
+        return None
+    coarse_vals, mn_lit, st_lit = vals
+    return (
+        _Q223_ORACLE_TEMPLATE.replace("__COARSE__", coarse_vals)
+        .replace("__SQ_MIN__", mn_lit)
+        .replace("__SQ_STEP__", st_lit)
+        .replace("__QFILTER__", f"vec_id % 10 = 7 AND vec_id < {_Q197_QBOUND}")
+    )
+
+
+Q227_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 Q200_ORACLE = f"""
@@ -4179,6 +4391,9 @@ SPECS = make_specs(
         ("q224_binary_hamming_topk", q224_binary_hamming_topk,
          Q224_ORACLE, (),
          "binary sign quantization: Hamming screen + exact rerank"),
+        ("q227_incremental_ivfsq_index", q227_incremental_ivfsq_index,
+         Q227_ORACLE, (),
+         "incremental IVF-SQ8: cell-partitioned codes, pruned probes"),
     ]
 )
 
@@ -4219,6 +4434,9 @@ SPECS["q223_ivfsq_topk"] = _dc.replace(
 )
 SPECS["q224_binary_hamming_topk"] = _dc.replace(
     SPECS["q224_binary_hamming_topk"], oracle_fn=q224_oracle_for
+)
+SPECS["q227_incremental_ivfsq_index"] = _dc.replace(
+    SPECS["q227_incremental_ivfsq_index"], oracle_fn=q227_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
