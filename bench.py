@@ -27,26 +27,45 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 _HISTORY_PATH = os.path.join(_ROOT, "BENCH_HISTORY.json")
 
 
+def _load_history() -> dict[str, dict[str, float]]:
+    """Load ``BENCH_HISTORY.json`` keyed by SF string, e.g.
+    ``{"0.1": {qname: sec}, "0.01": {...}}``. Transparently upgrades the
+    legacy single-SF layout ``{"sf": 0.1, "queries": {...}}`` so the
+    seeded r1–r9 minima survive the format change."""
+    try:
+        with open(_HISTORY_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if isinstance(rec, dict) and "queries" in rec and "sf" in rec:
+        return {str(rec["sf"]): dict(rec["queries"])}
+    if not isinstance(rec, dict):
+        return {}
+    return {k: dict(v) for k, v in rec.items() if isinstance(v, dict)}
+
+
 def _historical_best(sf: float) -> dict[str, float]:
     """Per-query HISTORICAL BEST across every committed record — the
     adjudication baseline. Round-9 verdict finding: adjudicating against
     only the immediately previous BENCH_LOCAL lets VM-contention
     inflation compound (q71 shipped 14.7 s against a 5.5 s historical
     best because the previous round's committed 7.4 s kept the 2.7×
-    inflation under the old 3× trigger). Sources, merged by min:
-    ``BENCH_HISTORY.json`` (cumulative minima this function maintains,
-    seeded once from the round-1..9 records via tools/seed_bench_history)
-    and the previous ``BENCH_LOCAL.json``. Only SAME-SF records are
-    valid baselines. Missing/unparsable → empty (no adjudication)."""
+    inflation under the old 3× trigger). Sources, merged by min: the
+    SF's slice of ``BENCH_HISTORY.json`` (cumulative minima
+    ``_update_history`` maintains per SF — round-10 ADVICE: an sf0.01
+    iteration run must not wipe the sf0.1 baseline) and the previous
+    ``BENCH_LOCAL.json`` if same-SF. Missing/unparsable → empty (no
+    adjudication)."""
     best: dict[str, float] = {}
-    for path in (_HISTORY_PATH, os.path.join(_ROOT, "BENCH_LOCAL.json")):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if rec.get("sf") != sf:
-            continue
+    for k, v in _load_history().get(str(sf), {}).items():
+        if isinstance(v, (int, float)) and v > 0:
+            best[k] = min(best.get(k, float(v)), float(v))
+    try:
+        with open(os.path.join(_ROOT, "BENCH_LOCAL.json")) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {}
+    if rec.get("sf") == sf:
         for k, v in rec.get("queries", {}).items():
             if isinstance(v, (int, float)) and v > 0:
                 best[k] = min(best.get(k, float(v)), float(v))
@@ -54,14 +73,20 @@ def _historical_best(sf: float) -> dict[str, float]:
 
 
 def _update_history(sf: float, per_query: dict[str, float]) -> None:
-    """Fold this run's times into the cumulative per-query minima."""
+    """Fold this run's times into the cumulative per-query minima for
+    THIS SF only, preserving every other SF's entries. The -1.0 unknown
+    sentinel (SF not parseable from the dir name) is never recorded."""
+    if sf == -1.0:
+        return
+    history = _load_history()
     best = _historical_best(sf)
     for k, v in per_query.items():
         if v > 0:
             best[k] = min(best.get(k, v), v)
+    history[str(sf)] = best
     try:
         with open(_HISTORY_PATH, "w") as f:
-            json.dump({"sf": sf, "queries": best}, f, sort_keys=True)
+            json.dump(history, f, sort_keys=True)
             f.write("\n")
     except OSError as ex:
         print(f"# could not write {_HISTORY_PATH}: {ex}", file=sys.stderr)

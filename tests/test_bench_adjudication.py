@@ -32,14 +32,34 @@ def test_historical_best_is_min_across_sources(tmp_path, monkeypatch):
 
 def test_update_history_never_raises_a_best(tmp_path, monkeypatch):
     hist = tmp_path / "BENCH_HISTORY.json"
+    # legacy single-SF layout must be upgraded in place, not dropped
     hist.write_text(json.dumps({"sf": 0.1, "queries": {"qa": 1.0}}))
     monkeypatch.setattr(bench, "_HISTORY_PATH", str(hist))
     monkeypatch.setattr(bench, "_ROOT", str(tmp_path))
     # a slower run must not overwrite the historical best; a faster run
     # and a new query must land; error sentinels (-1) are ignored
     bench._update_history(0.1, {"qa": 5.0, "qb": 0.5, "qc": -1.0})
-    got = json.loads(hist.read_text())["queries"]
+    got = json.loads(hist.read_text())["0.1"]
     assert got == {"qa": 1.0, "qb": 0.5}
+
+
+def test_update_history_is_keyed_by_sf(tmp_path, monkeypatch):
+    """Round-10 ADVICE (medium): an sf0.01 iteration run must not wipe
+    the accumulated sf0.1 minima, and the -1.0 unknown-SF sentinel must
+    never be recorded."""
+    hist = tmp_path / "BENCH_HISTORY.json"
+    hist.write_text(json.dumps({"0.1": {"qa": 1.0}}))
+    monkeypatch.setattr(bench, "_HISTORY_PATH", str(hist))
+    monkeypatch.setattr(bench, "_ROOT", str(tmp_path))
+    bench._update_history(0.01, {"qa": 9.0})
+    got = json.loads(hist.read_text())
+    assert got == {"0.1": {"qa": 1.0}, "0.01": {"qa": 9.0}}
+    # the sf0.1 baseline is still served untouched
+    assert bench._historical_best(0.1) == {"qa": 1.0}
+    # unknown-SF sentinel: no write at all
+    before = hist.read_text()
+    bench._update_history(-1.0, {"qa": 0.001})
+    assert hist.read_text() == before
 
 
 def test_warehouse_sweep_removes_only_dead_siblings(tmp_path, monkeypatch):

@@ -182,6 +182,108 @@ def test_q216_meets_sla_and_matches_numpy_twin(spark):
     assert (row["n_probe"], row["rerank_r"]) == _q216_params_py(EMB)
 
 
+# ------------------------------------------- hybrid-retrieval SLA (q228)
+def _independent_hybrid_recall(bm_ranks, vec_ranks, db, dv, topk, rrf_k):
+    """Fresh fuse+recall counting code sharing only the scoring
+    DEFINITION with fused_topk_from_ranks — list-comprehension build,
+    truth recomputed inline — so the picker's minimality can be checked
+    against an implementation that cannot share its bugs."""
+    def fuse(d1, d2):
+        docs = {d for d, r in bm_ranks.items() if r <= d1} | {
+            d for d, r in vec_ranks.items() if r <= d2
+        }
+        pairs = [
+            (
+                -round(
+                    (1.0 / (rrf_k + bm_ranks[d]) if bm_ranks.get(d, 10**9) <= d1 else 0.0)
+                    + (1.0 / (rrf_k + vec_ranks[d]) if vec_ranks.get(d, 10**9) <= d2 else 0.0)
+                    + 1e-9,
+                    6,
+                ),
+                d,
+            )
+            for d in docs
+        ]
+        return [d for _, d in sorted(pairs)[:topk]]
+
+    dmax = max(max(bm_ranks.values(), default=1), max(vec_ranks.values(), default=1))
+    truth = set(fuse(dmax, dmax))
+    got = fuse(db, dv)
+    return sum(1 for d in got if d in truth) / max(len(truth), 1)
+
+
+def test_pick_hybrid_depths_minimal_on_synthetic_ranks():
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        pick_hybrid_depths,
+    )
+
+    rng = np.random.RandomState(5)
+    docs = rng.permutation(500)
+    bm_ranks = {int(d): r + 1 for r, d in enumerate(docs[:200])}
+    vec_ranks = {int(d): r + 1 for r, d in enumerate(rng.permutation(500)[:200])}
+    ladder = (5, 10, 20, 50, 100, 200)
+    db, dv = pick_hybrid_depths(bm_ranks, vec_ranks, ladder, 0.9, 10, 60)
+    assert db in ladder and dv in ladder
+    # picked pair meets the target per the INDEPENDENT recall
+    assert _independent_hybrid_recall(bm_ranks, vec_ranks, db, dv, 10, 60) >= 0.9
+    # every strictly cheaper ladder pair fails it (cost = total volume,
+    # then max, then bm side — the picker's documented order)
+    key = (db + dv, max(db, dv), db)
+    for b in ladder:
+        for v in ladder:
+            if (b + v, max(b, v), b) < key:
+                assert (
+                    _independent_hybrid_recall(bm_ranks, vec_ranks, b, v, 10, 60)
+                    < 0.9
+                )
+
+
+def test_pick_hybrid_depths_max_pair_is_truth():
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        fused_topk_from_ranks,
+        pick_hybrid_depths,
+    )
+
+    bm = {i: i for i in range(1, 21)}
+    vec = {i + 100: i for i in range(1, 21)}
+    # target 1.0 must be met at SOME rung (the max rung IS the truth)
+    db, dv = pick_hybrid_depths(bm, vec, (5, 20), 1.0, 10, 60)
+    truth = fused_topk_from_ranks(bm, vec, 20, 20, 10, 60)
+    served = fused_topk_from_ranks(bm, vec, db, dv, 10, 60)
+    assert set(served) == set(truth)
+
+
+def test_q228_meets_sla_and_matches_twin(spark):
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q228_TARGET,
+        _q228_params_py,
+        q228_hybrid_retrieval_sla,
+    )
+
+    row = q228_hybrid_retrieval_sla(spark, SF_DIR).collect()[0]
+    assert row["met"] is True
+    assert row["recall"] >= _Q228_TARGET
+    params = _q228_params_py(
+        f"{SF_DIR}/documents.parquet", f"{SF_DIR}/embeddings.parquet"
+    )
+    assert params is not None
+    assert (row["bm_depth"], row["vec_depth"]) == params[:2]
+    # minimality against the independent recall, on the REAL ranks
+    _, _, bm_ranks, vec_ranks = params
+    ladder = (5, 10, 20, 50, 100, 200)
+    key = (row["bm_depth"] + row["vec_depth"],
+           max(row["bm_depth"], row["vec_depth"]), row["bm_depth"])
+    for b in ladder:
+        for v in ladder:
+            if (b + v, max(b, v), b) < key:
+                assert (
+                    _independent_hybrid_recall(
+                        bm_ranks, vec_ranks, b, v, 10, 60
+                    )
+                    < _Q228_TARGET
+                )
+
+
 # ----------------------------------------------------- multiprobe LSH (q219)
 def test_multiprobe_is_probe_superset_and_lifts_recall(spark, sf_dir):
     # q219's two claims: (a) the multiprobe key set per query strictly

@@ -61,6 +61,8 @@ GLOBAL_WINDOW_OK = {
     "q88_bigram_topk",         # top-25 bigrams
     "q194_hybrid_retrieval",   # BM25 rank numbering AFTER orderBy.limit(50)
     "q207_hybrid_from_index",  # same k-bounded rank window as q194
+    "q228_hybrid_retrieval_sla",  # q194's rank window at the ladder max
+                                  # (orderBy.limit(200) feeds it)
     # grid-bounded digest frames: the window input is one row per
     # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
     # l_extendedprice / 1024), corpus-size independent:

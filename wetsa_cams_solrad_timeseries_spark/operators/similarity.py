@@ -212,20 +212,28 @@ def multiprobe_query_buckets(
     query side."""
     coefs = hyperplane_coefs(n_planes, dim)
     v = to_double_array(F.col(emb_col))
-    bits = []
+    # Each plane's hyperplane dot product is evaluated ONCE per row, in
+    # its own projection; the key-building select below references the
+    # materialized bit columns. CollapseProject keeps the barrier because
+    # the aggregate-fold expressions are non-cheap and multiply
+    # referenced — previously the flipped bits re-evaluated all 16 dots a
+    # second time (32 fold subtrees per row) for what is just a negated
+    # sign test (round-10 ADVICE).
+    sel = [F.col(id_col)]
     for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in coefs[p]])
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    flipped = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in coefs[p]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        sel.append(
+            F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"__b{p}")
         )
-        flipped.append(F.when(dot >= 0, F.lit("0")).otherwise(F.lit("1")))
+    base = q_df.select(*sel)
+    bits = [F.col(f"__b{p}") for p in range(n_planes)]
+    flipped = [
+        F.when(F.col(f"__b{p}") == "1", F.lit("0")).otherwise(F.lit("1"))
+        for p in range(n_planes)
+    ]
     per_band = n_planes // bands
     keys = []
     for b in range(bands):
@@ -235,7 +243,7 @@ def multiprobe_query_buckets(
             probe = list(seg)
             probe[j] = flipped[b * per_band + j]
             keys.append(F.concat(F.lit(f"{b}:"), *probe))
-    return q_df.select(
+    return base.select(
         F.col(id_col), F.explode(F.array(*keys)).alias("bucket")
     )
 
@@ -1243,6 +1251,78 @@ def pick_rerank_depth(adc_ranks, n_pairs: int, target: float, k: int) -> int:
     while sum(1 for a in adc_ranks if a <= r) < t * n_pairs:
         r *= 2
     return r
+
+
+def fused_topk_from_ranks(
+    bm_ranks: dict,
+    vec_ranks: dict,
+    bm_depth: int,
+    vec_depth: int,
+    topk: int,
+    rrf_k: int,
+) -> list:
+    """Reciprocal-rank-fusion top-k computed from two already-ranked
+    candidate lists ``{doc_id: rank}`` truncated at ``(bm_depth,
+    vec_depth)`` — the driver-side twin of the hybrid serve tail
+    (plans/vector.py::_hybrid_fuse): a doc is a candidate iff it
+    survives EITHER truncation; its score is the round6'd sum of the
+    surviving 1/(rrf_k + rank) terms (ranks are small integers, so the
+    IEEE-double divisions and the +1e-9 rounding are bit-identical
+    across Python, the JVM, and DuckDB); ties break on doc_id. Shared
+    by ``pick_hybrid_depths``, the q228 oracle twin, and the minimality
+    pytest, so the decision rule and every replay fuse identically."""
+    scores: dict = {}
+    for d, r in bm_ranks.items():
+        if r <= bm_depth:
+            scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    for d, r in vec_ranks.items():
+        if r <= vec_depth:
+            scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    ranked = sorted(
+        ((round(s + 1e-9, 6), d) for d, s in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [d for _, d in ranked[:topk]]
+
+
+def pick_hybrid_depths(
+    bm_ranks: dict,
+    vec_ranks: dict,
+    ladder,
+    target: float,
+    topk: int,
+    rrf_k: int,
+) -> tuple[int, int]:
+    """Decision rule closing the hybrid-retrieval gate loop (the q216
+    discipline applied to BM25+RRF): given both FULL candidate rankings
+    measured once at the ladder maximum, return the cheapest ``(bm_depth,
+    vec_depth)`` ladder pair whose fused top-k recalls ≥ ``target`` of
+    the truth list (the fusion at max depth on both sides). Cost order is
+    total candidate volume ``bm + vec`` (what serving actually pays:
+    posting rows scored + vectors compared), then the smaller max, then
+    the smaller bm side — a total order, so the pick is deterministic.
+    Recall comparison is exact rational arithmetic (hit and truth counts
+    are integers); the fused lists themselves use the round6'd double
+    scoring serving uses, so the gate measures exactly what will ship.
+    The max-ladder pair always meets any target ≤ 1 (it IS the truth)."""
+    from fractions import Fraction
+
+    t = Fraction(str(target))
+    dmax = max(ladder)
+    truth = fused_topk_from_ranks(
+        bm_ranks, vec_ranks, dmax, dmax, topk, rrf_k
+    )
+    tset = set(truth)
+    for db, dv in sorted(
+        ((db, dv) for db in ladder for dv in ladder),
+        key=lambda p: (p[0] + p[1], max(p), p[0]),
+    ):
+        served = fused_topk_from_ranks(
+            bm_ranks, vec_ranks, db, dv, topk, rrf_k
+        )
+        if Fraction(sum(1 for d in served if d in tset), len(truth)) >= t:
+            return db, dv
+    return dmax, dmax
 
 
 def sq8_train(mat):

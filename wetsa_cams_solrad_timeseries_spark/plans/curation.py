@@ -2070,6 +2070,344 @@ FROM sc ORDER BY kl_term DESC, token LIMIT {_Q206_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q229 — the end-to-end curation pipeline as ONE declared plan
+# --------------------------------------------------------------------------
+
+_Q229_JACCARD = 0.5  # q62's verified-duplicate threshold
+_Q229_QUALITY = 0.5  # q36/q90's composite-score gate
+
+
+def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified curation stages composed into ONE DataFrame plan with
+    a per-stage attrition audit — the raw-scrape→training-layout run a
+    pretraining data owner actually executes, proving the operators
+    compose without a driver round-trip between stages:
+
+    0. ingest           — the raw corpus (doc count + whitespace tokens);
+    1. quality          — composite score ≥ 0.5 (q36/q90's shared rule);
+    2. exact_dedup      — keep the lowest doc_id per md5(text) (q31's
+                          canonical-survivor rule, applied to survivors);
+    3. lsh_dedup        — MinHash-LSH candidates → exact-Jaccard verify ≥
+                          0.5 (q33∘q62 on the survivor set), drop the
+                          GREATER id of each verified pair;
+    4. decontaminate    — drop benchmark docs (doc_id % 97 == 0) and any
+                          doc sharing a 4-token shingle with them (q104's
+                          screen, eval shingles from the ORIGINAL corpus —
+                          the benchmark is fixed, not curated);
+    5. token_mix        — per-source 3000-token greedy quota in q226's
+                          deterministic hash-shuffle order;
+    6. packed           — q222/q225's concat-then-chunk layout: training
+                          sequences (bins) per source, content tokens
+                          carried through.
+
+    Output: one row per stage ``(stage_ord, stage, n_docs, n_tokens,
+    n_bins)`` — docs surviving the stage, their whitespace-token total,
+    and (final stage only) the training-sequence count.
+
+    Scale shape: every stage is the already-audited plan of its source
+    query — scan-stage quality filter, md5-keyed dedup groupBy, band-
+    bucketed LSH join, shingle semi-join with a broadcast-able eval side,
+    per-source cumsum windows — so the composition's shuffle set is the
+    UNION of the parts', nothing new. Stage survivor frames are
+    localCheckpoint'ed because each feeds two consumers (its audit row
+    and the next stage) — the q208 shared-subtree discipline; at
+    production scale these checkpoints are the stage tables a curation
+    run persists anyway.
+
+    Oracle: the verified CTE bodies of q36/q62/q104/q226/q225 nested
+    stage-over-stage (the q225 pattern), one SQL statement."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BANDS as _LSH_BANDS,
+        _N_PERM as _LSH_PERMS,
+        _Q222_CAP,
+        _Q226_BUDGET,
+        quality_score_expr,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    d0 = docs.select(
+        "doc_id", "source", "text", ws_tokens.cast("long").alias("n_tokens")
+    ).localCheckpoint(eager=True)
+
+    # 1. quality gate (scan-parallel filter).
+    s1 = d0.filter(
+        quality_score_expr(F.col("text")) >= _Q229_QUALITY
+    ).localCheckpoint(eager=True)
+
+    # 2. exact dedup: lowest doc_id per md5(text) — uniform 32-hex key.
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+
+    # 3. LSH near-dup (q62 on the survivor set): drop the greater id of
+    # every verified pair.
+    sh2 = word_shingles(s2, "doc_id", "text", n=2).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh2, "doc_id", n_perm=_LSH_PERMS)
+    cand = lsh_candidate_pairs(sigs, "doc_id", n_perm=_LSH_PERMS, bands=_LSH_BANDS)
+    a = sh2.select(F.col("doc_id").alias("id_a"), F.col("shingle_hash").alias("h"))
+    b = sh2.select(F.col("doc_id").alias("id_b"), F.col("shingle_hash").alias("h"))
+    common = (
+        cand.join(a, on="id_a").join(b, on=["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    dups = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            on="id_b",
+        )
+        .filter(F.round(jac + F.lit(1e-9), 6) >= _Q229_JACCARD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dups, on="doc_id", how="left_anti").localCheckpoint(eager=True)
+
+    # 4. decontaminate (q104's 4-shingle screen; eval side from the
+    # ORIGINAL corpus — the benchmark set is fixed).
+    def shingles4(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("tok")]
+        for i in range(1, _Q104_N):
+            parts += [F.lit(" "), F.lead("tok", i).over(w)]
+        return toks.select(
+            "doc_id", F.concat(*parts).alias("sh")
+        ).filter(F.col("sh").isNotNull())
+
+    is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
+    eval_sh = shingles4(d0.filter(is_eval)).select("sh").distinct()
+    contaminated = (
+        shingles4(s3.filter(~is_eval))
+        .join(maybe_broadcast(eval_sh), on="sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = (
+        s3.filter(~is_eval)
+        .join(contaminated, on="doc_id", how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    # 5. token-budget mix (q226's greedy quota in hash-shuffle order).
+    keyed = s4.withColumn(
+        "shuffle_key",
+        hash32(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+    )
+    w_mix = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s5 = (
+        keyed.withColumn("__cum", F.sum("n_tokens").over(w_mix).cast("long"))
+        .filter(F.col("__cum") <= _Q226_BUDGET)
+        .localCheckpoint(eager=True)
+    )
+
+    # Audit rows: one 1-row aggregate per stage.
+    def _row(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            F.lit(0).cast("long").alias("n_bins"),
+        )
+
+    # 6. packed: q225's ceiling-division bin count per source.
+    per_src = s5.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("nt"),
+    )
+    packed = per_src.select(
+        "nd",
+        "nt",
+        F.expr(f"CAST((nt + {_Q222_CAP} - 1) DIV {_Q222_CAP} AS BIGINT)").alias(
+            "bins"
+        ),
+    ).agg(
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("bins"), F.lit(0)).cast("long").alias("n_bins"),
+    ).select(
+        F.lit(6).cast("long").alias("stage_ord"),
+        F.lit("packed").alias("stage"),
+        "n_docs",
+        "n_tokens",
+        "n_bins",
+    )
+
+    audit = (
+        _row(d0, 0, "ingest")
+        .unionByName(_row(s1, 1, "quality"))
+        .unionByName(_row(s2, 2, "exact_dedup"))
+        .unionByName(_row(s3, 3, "lsh_dedup"))
+        .unionByName(_row(s4, 4, "decontaminate"))
+        .unionByName(_row(s5, 5, "token_mix"))
+        .unionByName(packed)
+    )
+    return audit
+
+
+def _q229_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BAND_LIST,
+        _MINHASH_COLS,
+        _Q222_CAP,
+        _Q226_BUDGET,
+        quality_score_sql,
+        shingles_sql_from,
+    )
+
+    ws_tok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+')) "
+        "END AS BIGINT)"
+    )
+    sh4 = _q104_shingle_sql()
+    audit_row = (
+        "SELECT CAST({o} AS BIGINT) AS stage_ord, '{n}' AS stage, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens, "
+        "CAST(0 AS BIGINT) AS n_bins FROM {src}"
+    )
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source, text, {ws_tok} AS n_tokens FROM documents
+),
+s1 AS (SELECT * FROM d0 WHERE {quality_score_sql('text')} >= {_Q229_QUALITY}),
+s2 AS (
+  SELECT * FROM s1
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+{shingles_sql_from('s2')},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6)
+          >= {_Q229_JACCARD}
+),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+etoks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM d0 WHERE doc_id % {_Q104_EVAL_MOD} = 0
+  )
+),
+esh0 AS (
+  SELECT doc_id, {sh4} AS sh FROM etoks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+esh AS (SELECT DISTINCT sh FROM esh0 WHERE sh IS NOT NULL),
+ctoks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM s3 WHERE doc_id % {_Q104_EVAL_MOD} <> 0
+  )
+),
+csh AS (
+  SELECT doc_id, {sh4} AS sh FROM ctoks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM csh
+  WHERE sh IS NOT NULL AND sh IN (SELECT sh FROM esh)
+),
+s4 AS (
+  SELECT * FROM s3
+  WHERE doc_id % {_Q104_EVAL_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+s5 AS (
+  SELECT * FROM (
+    SELECT s4.*,
+           CAST(('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS shuffle_key
+    FROM s4
+  )
+  QUALIFY sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY shuffle_key, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {_Q226_BUDGET}
+)
+{audit_row.format(o=0, n='ingest', src='d0')}
+UNION ALL {audit_row.format(o=1, n='quality', src='s1')}
+UNION ALL {audit_row.format(o=2, n='exact_dedup', src='s2')}
+UNION ALL {audit_row.format(o=3, n='lsh_dedup', src='s3')}
+UNION ALL {audit_row.format(o=4, n='decontaminate', src='s4')}
+UNION ALL {audit_row.format(o=5, n='token_mix', src='s5')}
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS stage_ord, 'packed' AS stage,
+       CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(bins), 0) AS BIGINT) AS n_bins
+FROM (
+  SELECT count(*) AS nd, sum(n_tokens) AS nt,
+         (sum(n_tokens) + {_Q222_CAP} - 1) // {_Q222_CAP} AS bins
+  FROM s5 GROUP BY source
+)
+"""
+
+
+Q229_ORACLE = _q229_oracle()
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2082,6 +2420,10 @@ SPECS = make_specs(
          "Gopher-style repetition filter"),
         ("q104_contamination", q104_contamination, Q104_ORACLE, (),
          "benchmark n-gram contamination screen"),
+        ("q229_curation_pipeline", q229_curation_pipeline, Q229_ORACLE, (),
+         "end-to-end curation: quality → exact+LSH dedup → decontaminate "
+         "→ token mix → packing, ONE plan with a per-stage attrition "
+         "audit"),
         ("q105_small_qty_revenue", q105_small_qty_revenue, Q105_ORACLE, (),
          "TPC-H Q17 decorrelated aggregate-rejoin"),
         ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),

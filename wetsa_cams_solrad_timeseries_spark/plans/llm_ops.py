@@ -160,6 +160,13 @@ sh AS (
 """
 
 
+def shingles_sql_from(src: str) -> str:
+    """``_SHINGLES_SQL`` re-pointed at an arbitrary CTE/table — the
+    dedup shingle chain is stage-composable (q229 runs it over the
+    quality+exact-dedup survivor set, not the raw corpus)."""
+    return _SHINGLES_SQL.replace("FROM documents", f"FROM {src}")
+
+
 # --------------------------------------------------------------------------
 # q32 — n-gram Jaccard near-dup pairs (verification-stage all-pairs)
 # --------------------------------------------------------------------------

@@ -1711,7 +1711,6 @@ def q216_ann_serving_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat, cells=_Q205_CELLS, m=_Q205_M, ksub=_Q205_KSUB
     )
     q_src = emb.filter(F.col("vec_id") < _Q205_NQ)
-    n_pairs = _Q216_K * _Q205_NQ
 
     # Exact baseline and the code table each feed two consumers (a gate
     # and the serving/recall stage) — checkpoint so neither corpus pass
@@ -1737,6 +1736,13 @@ def q216_ann_serving_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("crank")
         .collect()
     ]
+    # Recall denominator = the ACTUAL exact-pair count (every exact pair
+    # survives the cell-rank join: each corpus vector has a code row and
+    # each query ranks every cell), NOT the literal K·NQ bound — on a
+    # corpus with fewer than NQ query ids or fewer than K neighbors the
+    # literal would diverge from the oracle twin's denominator
+    # (round-10 ADVICE).
+    n_pairs = len(cell_ranks)
     n_probe = pick_n_probe(cell_ranks, n_pairs, _Q216_TARGET, _Q205_CELLS)
 
     # Gate 2 — ranking loss at that width (ADC rank of each true pair).
@@ -1893,7 +1899,6 @@ def _q216_params_py(path: str) -> tuple[int, int] | None:
     # (dist, neighbor_id) ties, self excluded).
     dall = _pq_subdist_matrix(qmat, mat)
     pos = {int(v): i for i, v in enumerate(ids)}
-    n_pairs = _Q216_K * len(qids)
     cell_ranks: list[int] = []
     exact_pairs: list[tuple[int, int]] = []
     for qi, qid in enumerate(qids):
@@ -1903,6 +1908,9 @@ def _q216_params_py(path: str) -> tuple[int, int] | None:
             nid = int(nb[j])
             exact_pairs.append((qi, nid))
             cell_ranks.append(int(crank[qi, assign[pos[nid]]]))
+    # Same denominator rule as the Spark derivation: the actual exact-
+    # pair count, robust to corpora with < K neighbors per query.
+    n_pairs = len(cell_ranks)
     n_probe = pick_n_probe(cell_ranks, n_pairs, _Q216_TARGET, _Q205_CELLS)
 
     # ADC ranks at that width (ivfpq_query_luts' arithmetic).
@@ -3069,8 +3077,15 @@ def q227_incremental_ivfsq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_cells = sorted(
         {r["cell"] for r in probes.select("cell").distinct().collect()}
     )
-    index = hist_codes.filter(F.col("cell").isin(*probed_cells)).unionByName(
-        new_codes.filter(F.col("cell").isin(*probed_cells))
+    # No queries at this SF → no probed cells; Column.isin() with zero
+    # args raises, so short-circuit to an always-false predicate (the
+    # result is correctly empty) instead of unpacking an empty list
+    # (round-10 ADVICE).
+    in_probed = (
+        F.col("cell").isin(*probed_cells) if probed_cells else F.lit(False)
+    )
+    index = hist_codes.filter(in_probed).unionByName(
+        new_codes.filter(in_probed)
     )
 
     mn = F.array(*[F.lit(x) for x in vmin])
@@ -3354,11 +3369,17 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     side swaps brute-force for q56's IVF probe and the lexical side
     reads a persisted postings table (q152), but the fusion plan — two
     bounded top-k lists, one tiny outer join — is unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    return _hybrid_fuse(_q194_lexical(spark, sf_dir), emb)
+
+
+def _q194_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q194's lexical feeder — per-doc BM25 scores for the query terms,
+    recomputed from raw text — shared by q194 and q228's SLA gate so the
+    measured candidate lists are exactly the lists q194 serves."""
     from wetsa_cams_solrad_timeseries_spark.functions.tokenize import norm_words
 
     docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
-
     words = docs.select(F.col("doc_id"), norm_words("text").alias("ws"))
     dl = words.select("doc_id", F.size("ws").alias("dl"))
     # Corpus stats stay lazy 1-row aggregates cross-joined in (broadcast
@@ -3373,7 +3394,7 @@ def q194_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return _hybrid_fuse(_bm25_scores(tf.join(dl, on="doc_id"), stats), emb)
+    return _bm25_scores(tf.join(dl, on="doc_id"), stats)
 
 
 def _bm25_scores(tfdl: DataFrame, stats: DataFrame) -> DataFrame:
@@ -3451,8 +3472,14 @@ def _hybrid_fuse(bm: DataFrame, emb: DataFrame) -> DataFrame:
 
 _Q194_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q194_TERMS)
 
-Q194_ORACLE = f"""
-WITH w AS (
+
+def _q194_rank_ctes(bm_depth: int, vec_depth: int) -> str:
+    """The hybrid-retrieval rank CTE chain (BM25 lexical ranking +
+    exact-cosine vector ranking, each truncated at its depth) — ONE
+    spelling shared by the q194/q207 oracle (both depths = _Q194_CAND)
+    and q228's SLA oracle (both depths = the ladder max, the truth
+    definition), so the gate and the serve replays can never drift."""
+    return f"""w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
   FROM documents
 ),
@@ -3487,7 +3514,7 @@ bm AS (
 bm_ranked AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
-  FROM bm QUALIFY bm25_rank <= {_Q194_CAND}
+  FROM bm QUALIFY bm25_rank <= {bm_depth}
 ),
 vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3500,14 +3527,25 @@ vscored AS (
 vec_ranked AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
-  FROM vscored QUALIFY vec_rank <= {_Q194_CAND}
+  FROM vscored QUALIFY vec_rank <= {vec_depth}
+)"""
+
+
+# The RRF term: ranks are small integers, so the double division and the
+# +1e-9 rounding are bit-identical across DuckDB, the JVM, and the
+# Python picker (fused_topk_from_ranks).
+_Q194_RRF_SQL = (
+    f"round(coalesce(1.0 / ({_Q194_RRF_K} + CAST(bm25_rank AS DOUBLE)), 0)"
+    f" + coalesce(1.0 / ({_Q194_RRF_K} + CAST(vec_rank AS DOUBLE)), 0)"
+    " + 1e-9, 6)"
 )
+
+Q194_ORACLE = f"""
+WITH {_q194_rank_ctes(_Q194_CAND, _Q194_CAND)}
 SELECT doc_id,
        bm25_rank,
        vec_rank,
-       round(coalesce(1.0 / ({_Q194_RRF_K} + CAST(bm25_rank AS DOUBLE)), 0)
-             + coalesce(1.0 / ({_Q194_RRF_K} + CAST(vec_rank AS DOUBLE)), 0)
-             + 1e-9, 6) AS rrf
+       {_Q194_RRF_SQL} AS rrf
 FROM bm_ranked FULL JOIN vec_ranked USING (doc_id)
 ORDER BY rrf DESC, doc_id LIMIT {_Q194_TOPK}
 """
@@ -3600,6 +3638,221 @@ def q207_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probed = post.filter(F.col("term").isin(*_Q194_TERMS))
     return _hybrid_fuse(_bm25_scores(probed, stats), emb)
+
+
+# --------------------------------------------------------------------------
+# q228 — hybrid-retrieval recall SLA: gate-derived candidate depths
+# --------------------------------------------------------------------------
+
+_Q228_LADDER = (5, 10, 20, 50, 100, 200)
+_Q228_DMAX = max(_Q228_LADDER)
+_Q228_TARGET = 0.9
+
+
+def q228_hybrid_retrieval_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q216's gate→derive→serve discipline applied to hybrid retrieval
+    (q194/q207): instead of the hand-picked 2×50 candidate depths, both
+    FULL rankings are measured ONCE at the ladder maximum, the cheapest
+    ``(bm_depth, vec_depth)`` ladder pair whose fused top-10 recalls ≥
+    0.9 of the truth list is DERIVED (``pick_hybrid_depths`` — exact
+    rational recall comparison, round6-double fusion identical to
+    serving), and serving then runs at exactly those depths. Output row:
+    (bm_depth, vec_depth, rrf_k, target, n_truth, recall, met) — the
+    go/no-go record a retrieval deploy gates on.
+
+    Truth definition: the RRF fusion at depth ``_Q228_DMAX`` on both
+    sides. A doc outside BOTH top-200 lists scores < 2/(60+200) ≈
+    0.0077, below a single rank-1 hit's 1/61 ≈ 0.0164 — so the cap only
+    widens, never narrows, the plausible-truth set; it is the documented
+    measurement boundary (the q216 convention: gates are exact *within
+    the declared candidate horizon*).
+
+    Scale shape: both rank measurements are the q194 serve plans at a
+    wider cap — distributed orderBy+limit (TakeOrderedAndProject) and
+    the broadcast-query brute-force cosine — and the gate collects are
+    ladder-bounded (≤ 2·DMAX rows). Serving reuses the SAME checkpointed
+    rank frames (rank ≤ d of the DMAX ranking IS the depth-d ranking —
+    the prefix property of a total order), so the corpus is scanned once
+    per modality. At 100 TB the vector side swaps in q216's tuned IVF
+    serve and the lexical side q207's pruned postings probe; the gate
+    arithmetic is unchanged.
+
+    Oracle: the factored q194 rank CTEs at DMAX + truth/served fusion at
+    the twin-derived literals (``_q228_params_py`` re-derives the depths
+    from DuckDB's ranks with the same picker)."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk,
+        fused_topk_from_ranks,
+        pick_hybrid_depths,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    # Gate measurement: both rankings ONCE at the ladder max. The global
+    # window runs over ≤ DMAX rows (post-limit), the q194 pattern.
+    bm_full = (
+        _q194_lexical(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_Q228_DMAX)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("long")
+            .alias("bm25_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vec_full = (
+        brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q228_DMAX
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vec_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Ladder-bounded collects (≤ DMAX rows each): the gate inputs.
+    bm_ranks = {r["doc_id"]: r["bm25_rank"] for r in bm_full.collect()}
+    vec_ranks = {r["doc_id"]: r["vec_rank"] for r in vec_full.collect()}
+    db, dv = pick_hybrid_depths(
+        bm_ranks, vec_ranks, _Q228_LADDER, _Q228_TARGET,
+        _Q194_TOPK, _Q194_RRF_K,
+    )
+    truth = fused_topk_from_ranks(
+        bm_ranks, vec_ranks, _Q228_DMAX, _Q228_DMAX, _Q194_TOPK, _Q194_RRF_K
+    )
+
+    # Serving at the derived depths, from the SAME checkpointed rank
+    # frames (prefix property — no second corpus pass).
+    rrf = F.round(
+        F.coalesce(
+            1.0 / (F.lit(_Q194_RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            1.0 / (F.lit(_Q194_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        )
+        + F.lit(1e-9),
+        6,
+    )
+    served = (
+        bm_full.filter(F.col("bm25_rank") <= db)
+        .join(
+            vec_full.filter(F.col("vec_rank") <= dv), on="doc_id", how="full"
+        )
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_Q194_TOPK)
+    )
+    hit = served.filter(
+        F.col("doc_id").isin(*truth) if truth else F.lit(False)
+    )
+    # max(1, |truth|) denominator: an empty corpus yields recall 0 /
+    # met false instead of a null-division row (the q227 guard lesson).
+    denom = max(len(truth), 1)
+    recall = F.round(
+        F.count(F.lit(1)).cast("double") / F.lit(denom) + F.lit(1e-9), 6
+    )
+    return hit.agg(
+        F.lit(db).cast("long").alias("bm_depth"),
+        F.lit(dv).cast("long").alias("vec_depth"),
+        F.lit(_Q194_RRF_K).cast("long").alias("rrf_k"),
+        F.lit(float(_Q228_TARGET)).alias("target"),
+        F.lit(len(truth)).cast("long").alias("n_truth"),
+        recall.alias("recall"),
+        (recall >= F.lit(float(_Q228_TARGET))).alias("met"),
+    )
+
+
+def _q228_params_py(docs_path: str, emb_path: str):
+    """DuckDB twin of q228's gate derivation: the SAME rank CTEs (depth =
+    ladder max) and the SAME picker, so the oracle's (bm_depth,
+    vec_depth) literals provably equal the Spark derivation. Returns
+    ``(bm_depth, vec_depth, bm_ranks, vec_ranks)`` or None when the
+    testdata or DuckDB is unavailable."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    if not (os.path.exists(docs_path) and os.path.exists(emb_path)):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        pick_hybrid_depths,
+    )
+
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{docs_path}')"
+        )
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{emb_path}')"
+        )
+        ranks = con.execute(
+            f"WITH {_q194_rank_ctes(_Q228_DMAX, _Q228_DMAX)} "
+            "SELECT 'b' AS side, doc_id, bm25_rank AS r FROM bm_ranked "
+            "UNION ALL "
+            "SELECT 'v' AS side, doc_id, vec_rank AS r FROM vec_ranked"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken replay
+        return None
+    bm_ranks = {d: r for s, d, r in ranks if s == "b"}
+    vec_ranks = {d: r for s, d, r in ranks if s == "v"}
+    db, dv = pick_hybrid_depths(
+        bm_ranks, vec_ranks, _Q228_LADDER, _Q228_TARGET,
+        _Q194_TOPK, _Q194_RRF_K,
+    )
+    return db, dv, bm_ranks, vec_ranks
+
+
+def q228_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q228 oracle: depths re-derived by the DuckDB twin, then
+    the full gate+serve replayed in SQL — rank CTEs at DMAX, truth and
+    served fusions, recall arithmetic, met flag."""
+    params = _q228_params_py(
+        os.path.join(sf_dir.rstrip("/"), "documents.parquet"),
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+    )
+    if params is None:
+        return None
+    db, dv, _, _ = params
+    fuse = f"""
+  SELECT doc_id FROM (
+    SELECT doc_id, {_Q194_RRF_SQL} AS rrf
+    FROM sbm FULL JOIN svec USING (doc_id)
+  ) ORDER BY rrf DESC, doc_id LIMIT {_Q194_TOPK}"""
+    return f"""
+WITH {_q194_rank_ctes(_Q228_DMAX, _Q228_DMAX)},
+truth AS (
+  WITH sbm AS (SELECT * FROM bm_ranked),
+       svec AS (SELECT * FROM vec_ranked)
+  {fuse}
+),
+served AS (
+  WITH sbm AS (SELECT * FROM bm_ranked WHERE bm25_rank <= {db}),
+       svec AS (SELECT * FROM vec_ranked WHERE vec_rank <= {dv})
+  {fuse}
+)
+SELECT CAST({db} AS BIGINT) AS bm_depth,
+       CAST({dv} AS BIGINT) AS vec_depth,
+       CAST({_Q194_RRF_K} AS BIGINT) AS rrf_k,
+       CAST({_Q228_TARGET} AS DOUBLE) AS target,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       round(CAST((SELECT count(*) FROM truth t JOIN served s USING (doc_id))
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM truth), 1) + 1e-9, 6)
+         AS recall,
+       round(CAST((SELECT count(*) FROM truth t JOIN served s USING (doc_id))
+                  AS DOUBLE)
+             / greatest((SELECT count(*) FROM truth), 1) + 1e-9, 6)
+         >= CAST({_Q228_TARGET} AS DOUBLE) AS met
+"""
+
+
+Q228_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
@@ -4394,6 +4647,10 @@ SPECS = make_specs(
         ("q227_incremental_ivfsq_index", q227_incremental_ivfsq_index,
          Q227_ORACLE, (),
          "incremental IVF-SQ8: cell-partitioned codes, pruned probes"),
+        ("q228_hybrid_retrieval_sla", q228_hybrid_retrieval_sla,
+         Q228_ORACLE, (),
+         "hybrid-retrieval recall SLA: gate-derived (bm_depth, "
+         "vec_depth) meeting fused recall@10"),
     ]
 )
 
@@ -4437,6 +4694,9 @@ SPECS["q224_binary_hamming_topk"] = _dc.replace(
 )
 SPECS["q227_incremental_ivfsq_index"] = _dc.replace(
     SPECS["q227_incremental_ivfsq_index"], oracle_fn=q227_oracle_for
+)
+SPECS["q228_hybrid_retrieval_sla"] = _dc.replace(
+    SPECS["q228_hybrid_retrieval_sla"], oracle_fn=q228_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for

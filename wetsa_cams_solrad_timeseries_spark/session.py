@@ -52,21 +52,31 @@ PERF_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Managed-table warehouse (bucketed tables) outside the repo tree,
-    # PER-PROCESS by default: the persisted index tables (q193/q197/
-    # q201/q207/q210 families) assume a single writer, and two engine
-    # processes sharing one warehouse (pytest + oracle gate, observed in
-    # the round-9 adjudication) can race a sweep/overwrite against a
-    # live reader. A pid suffix removes the shared resource entirely —
-    # each process builds its own index generation, which the lazy
-    # build-if-absent paths already handle. Export SPARK_GRAFT_WAREHOUSE
-    # to opt into a SHARED warehouse; that restores cross-process table
-    # reuse and with it the single-writer contract (see SCALING.md).
-    # Orphans from crashed runs are swept at session start (get_spark).
-    "spark.sql.warehouse.dir": os.environ.get(
-        "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
-    ),
 }
+
+
+def _default_warehouse() -> str:
+    """Managed-table warehouse (bucketed tables) outside the repo tree,
+    PER-PROCESS by default: the persisted index tables (q193/q197/
+    q201/q207/q210 families) assume a single writer, and two engine
+    processes sharing one warehouse (pytest + oracle gate, observed in
+    the round-9 adjudication) can race a sweep/overwrite against a
+    live reader. A pid suffix removes the shared resource entirely —
+    each process builds its own index generation, which the lazy
+    build-if-absent paths already handle. Export SPARK_GRAFT_WAREHOUSE
+    to opt into a SHARED warehouse; that restores cross-process table
+    reuse and with it the single-writer contract (see SCALING.md).
+    Orphans from crashed runs are swept at session start (get_spark).
+
+    Resolved LAZILY (round-10 ADVICE): baking os.getpid() into
+    module-level conf at import time gives every fork child (pytest-
+    xdist, multiprocessing) the PARENT-pid-named warehouse — restoring
+    the shared-writer race and letting a sibling's liveness sweep rmtree
+    it once the parent exits. Calling getpid() here, at get_spark time,
+    names the warehouse after the process that actually owns the JVM."""
+    return os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-graft-warehouse-{os.getpid()}"
+    )
 
 
 def _sweep_dead_warehouses() -> None:
@@ -164,7 +174,13 @@ def get_spark(
             master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    for k, v in {**SEMANTIC_CONF, **PERF_CONF, **(extra_conf or {})}.items():
+    conf = {
+        **SEMANTIC_CONF,
+        **PERF_CONF,
+        "spark.sql.warehouse.dir": _default_warehouse(),
+        **(extra_conf or {}),
+    }
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # getOrCreate may have returned a pre-existing session (e.g. the
@@ -202,6 +218,8 @@ def get_spark(
     # register it for atexit removal (no-op for a user-managed shared
     # warehouse, which is not per-pid-named and is swept only by pid
     # liveness above).
-    if wh == f"/tmp/spark-graft-warehouse-{os.getpid()}":
+    if "SPARK_GRAFT_WAREHOUSE" not in os.environ and wh == (
+        f"/tmp/spark-graft-warehouse-{os.getpid()}"
+    ):
         register_cleanup(wh)
     return spark
