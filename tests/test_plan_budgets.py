@@ -107,6 +107,32 @@ BUDGETS = [
     # IVF-PQ gate: q205's plan + the bounded exact-L2 baseline + a
     # set-intersect — candidate-sized everywhere past the two lists.
     ("q215_ivfpq_recall_gate", 12, [], ["CartesianProduct"]),
+    # Round-11 additions.
+    # Hybrid SLA serve: reads the two CHECKPOINTED rank frames (≤ DMAX
+    # rows each); the fusion full-outer + final agg are the only wide
+    # ops — the gate's corpus passes happened at checkpoint time under
+    # q194's audited shape.
+    ("q228_hybrid_retrieval_sla", 4, [], ["CartesianProduct"]),
+    # End-to-end curation audit: 7 bounded stage aggregates over
+    # checkpointed survivor frames (each stage's own shuffles ran at
+    # checkpoint time under its source query's audited shape).
+    ("q229_curation_pipeline", 10, [], ["CartesianProduct"]),
+    # Semantic contamination: cell equi-join candidates + ONE corpus
+    # shuffle on neighbor_id for the exact-cosine verify (the candidate
+    # side grows with cell occupancy, so it is NOT broadcast) + the
+    # per-source rollup.
+    ("q230_semantic_contamination", 6, [],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Stream-built serving: committed-generation scan ⋈ broadcast LUT +
+    # the (query, neighbor) ADC aggregate — q195's serve shape over the
+    # streamed index.
+    ("q231_stream_to_serving", 4, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Graph-ANN beam search: edge table and per-hop candidate sets are
+    # CHECKPOINTED (build/traversal shuffles ran at checkpoint time,
+    # each over bounded inputs); the final plan is the last bounded-
+    # candidate broadcast scoring + the recall aggregate — never a
+    # cartesian/unbounded nested loop.
+    ("q232_graph_ann_recall", 6, [], ["CartesianProduct"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

@@ -157,3 +157,25 @@ def test_ivfsq_steady_state_never_retrains(spark, sf_dir, monkeypatch):
         tuple(r) for r in q227_incremental_ivfsq_index(spark, sf_dir).collect()
     )
     assert second == first
+
+
+def test_stream_built_index_serves_identically_to_batch(spark, sf_dir):
+    # q231's contract, checked end-to-end at the SERVING surface: the
+    # code index accumulated over >1 streaming micro-batch (the
+    # multi-file replay; streaming_pq_encode RAISES on a single-batch
+    # drain, so multi-batch is structurally guaranteed) must serve
+    # byte-identical ADC top-k results to the batch-built index (q195,
+    # same frozen codebooks by the deterministic trainer).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q195_pq_adc_topk,
+        q231_stream_to_serving,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in q231_stream_to_serving(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in q195_pq_adc_topk(spark, sf_dir).collect()
+    )
+    assert streamed, "stream-built index served no neighbors"
+    assert streamed == batch

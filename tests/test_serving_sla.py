@@ -329,3 +329,60 @@ def test_multiprobe_is_probe_superset_and_lifts_recall(spark, sf_dir):
         exact & pairs(ann_topk_lsh_multiprobe(emb, pred, k=3))
     ) / len(exact)
     assert r_multi > r_single
+
+
+# ------------------------------------------------------- graph ANN (q232)
+def test_graph_ann_edges_and_medoids(spark, sf_dir):
+    # Structural invariants of the q232 graph: the edge set is
+    # symmetric; within-cell kNN endpoints share a cell; every cell's
+    # medoid is a member of that cell and maximizes the SAME round6'd
+    # centroid cosine ivf_assign's kernel computes (BLAS vs JVM-fold
+    # parity through the shared nudge).
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.catalog import table
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_cosine_sims,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+
+    knn = {(r["src"], r["dst"]) for r in cell_knn_edges(emb, cents, m=6).collect()}
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, cents, n_probe=1).collect()
+    }
+    assert knn, "empty kNN edge set"
+    assert all(cell_of[s] == cell_of[d] for s, d in knn)
+
+    med = {r["cell"]: r["medoid"] for r in cell_medoids(emb, cents).collect()}
+    sims = {
+        (r["vec_id"], r["cell"]): r["sim"]
+        for r in cell_cosine_sims(emb, cents).collect()
+    }
+    for cell, m in med.items():
+        assert cell_of[m] == cell
+        # max (sim desc, id asc) among the cell's members
+        best = min(
+            ((-(sims[(v, cell)]), v) for v, c in cell_of.items() if c == cell)
+        )
+        assert best[1] == m
+
+
+def test_graph_ann_recall_beats_unbridged(spark, sf_dir):
+    # The medoid bridges + coarse-layer entry are what make the graph
+    # navigable: the full q232 row must meet a sane recall floor on this
+    # corpus (measured 0.958 at sf0.001) — a regression to cell-trapped
+    # traversal would crater it.
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q232_graph_ann_recall,
+    )
+
+    row = q232_graph_ann_recall(spark, sf_dir).collect()[0]
+    assert row["n_queries"] > 0
+    assert row["avg_recall"] >= 0.7

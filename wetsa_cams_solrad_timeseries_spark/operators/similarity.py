@@ -1253,6 +1253,117 @@ def pick_rerank_depth(adc_ranks, n_pairs: int, target: float, k: int) -> int:
     return r
 
 
+def l2sq_cols(a, b):
+    """Round6'd squared-L2 between two array<double> Columns — the JVM
+    fold spelling every L2-family kernel and oracle replays (the fold
+    vs BLAS ULP gap is absorbed by the +1e-9 nudge, the q56 argument)."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 + F.lit(1e-9), 6)
+
+
+def cell_cosine_sims(
+    emb_df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Round6'd cosine of every vector against every centroid as JVM
+    expressions over a 16-row broadcast centroid frame — the expression
+    twin of ``ivf_assign``'s BLAS kernel (identical after the shared
+    round6 nudge), for consumers that need the SIM VALUES (medoid
+    selection), not just the argmax cell."""
+    spark = emb_df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    v = to_double_array(F.col(emb_col))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = emb_df.select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm)
+        ).alias("__u"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__u"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return unit.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "cell", F.round(dot + F.lit(1e-9), 6).alias("sim")
+    )
+
+
+def cell_knn_edges(
+    emb_df: DataFrame,
+    centroids,
+    m: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Directed within-cell k-NN edges ``(src, dst)`` — each vector's m
+    nearest (round6 squared-L2, (d, dst) ties) cell-mates under the IVF
+    coarse partition. The graph-build compute is Σ|cell|², the SemDeDup
+    bound — cell-bounded, never corpus-quadratic; production builds
+    refine this with NN-descent, which only RE-WIRES edges and leaves
+    the search kernel (beam over a neighbor table) unchanged."""
+    assigned = ivf_assign(emb_df, centroids, id_col, emb_col, n_probe=1)
+    v = to_double_array(F.col(emb_col))
+    nodes = assigned.join(
+        emb_df.select(F.col(id_col), v.alias("__v")), on=id_col
+    ).select(F.col(id_col).alias("nid"), "cell", "__v")
+    a = nodes.select(
+        F.col("nid").alias("src"), "cell", F.col("__v").alias("__va")
+    )
+    b = nodes.select(
+        F.col("nid").alias("dst"), "cell", F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", l2sq_cols(F.col("__va"), F.col("__vb")).alias("d")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("src", "dst")
+    )
+
+
+def cell_medoids(
+    emb_df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell medoid ``(cell, medoid)`` — the member with max cosine
+    to its own centroid ((sim desc, id) ties): the graph's layer-1
+    hubs. n_cells rows."""
+    sims = cell_cosine_sims(emb_df, centroids, id_col, emb_col)
+    assigned = ivf_assign(emb_df, centroids, id_col, emb_col, n_probe=1)
+    member = sims.join(assigned, on=[id_col, "cell"])
+    w = Window.partitionBy("cell").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        member.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("cell", F.col(id_col).alias("medoid"))
+    )
+
+
 def fused_topk_from_ranks(
     bm_ranks: dict,
     vec_ranks: dict,

@@ -49,39 +49,32 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # MUST be pinned ahead of the automatic rotation so their fresh row
 # lands on the changed code.
 _PIN_FIRST = (
-    # Round 10: the three new queries (q216 tuned serving, q217/q218 OPQ
-    # lifecycles) land first; then every query whose kernel or oracle
-    # text changed this round — q41/q208/q210 oracles went byte-faithful
-    # (hex(encode(text)) replay instead of unicode() codepoints),
-    # q205/q215 ride the __NPROBE__-parameterized _ivfpq_ctes refactor,
-    # q214 the factored _OPQ_VECS_CTES, q197 the factored
-    # _Q197_INDEX_TAIL, and q203 the rotation-aware streaming_pq_encode
-    # (default path unchanged, but the kernel was touched).
-    # (q219/q220/q221 are new and land in tier 1 automatically; q39/q73
-    # are pinned because ann_topk_lsh's verify tail was factored into
-    # _exact_cosine_rank for q219's multiprobe twin.)
+    # Round 11: the four new queries land first (q228 hybrid SLA, q229
+    # end-to-end curation, q230 semantic contamination, q231 stream→
+    # serve parity); then every query whose kernel or oracle text
+    # changed this round — q216 (recall denominator = actual pair
+    # count), q227 (empty-probe guard), q219 (multiprobe single-dot
+    # restructure), q194/q207 (oracle factored into _q194_rank_ctes —
+    # text-equivalent, pinned to prove it). The streaming family rides
+    # along per the round-10 verdict: its authoritative rows date to
+    # r03–r05 and the rotation alone would leave a regression hidden
+    # for ~4 rounds.
+    "q228_hybrid_retrieval_sla",
+    "q229_curation_pipeline",
+    "q230_semantic_contamination",
+    "q231_stream_to_serving",
+    "q232_graph_ann_recall",
     "q216_ann_serving_sla",
-    "q217_incremental_opq_index",
-    "q218_streaming_opq_encode",
-    "q219_multiprobe_lsh",
-    "q220_sq8_topk",
-    "q221_dedup_recall_gate",
-    "q222_sequence_packing",
-    "q223_ivfsq_topk",
-    "q224_binary_hamming_topk",
-    "q225_packing_efficiency",
-    "q226_token_budget_mix",
     "q227_incremental_ivfsq_index",
-    "q39_ann_lsh_topk",
-    "q73_neardup_lsh",
-    "q41_multimodal_features",
-    "q208_phash_neardup",
-    "q210_incremental_phash",
-    "q205_ivfpq_topk",
-    "q215_ivfpq_recall_gate",
-    "q214_opq_adc_topk",
-    "q197_incremental_pq_index",
-    "q203_streaming_pq_encode",
+    "q219_multiprobe_lsh",
+    "q194_hybrid_retrieval",
+    "q207_hybrid_from_index",
+    "q82_streaming_dedup",
+    "q42_streaming_tumbling",
+    "q89_streaming_ttl_eviction",
+    "q53_streaming_stateful",
+    "q71_streaming_sessions",
+    "q77_streaming_multibatch",
 )
 
 

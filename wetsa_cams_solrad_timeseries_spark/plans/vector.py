@@ -3856,6 +3856,550 @@ Q228_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q230 — semantic contamination screen (the embedding-space twin of q104)
+# --------------------------------------------------------------------------
+
+_Q230_EVAL_MOD = 97  # vec_id % 97 == 0 plays the held-out benchmark set
+_Q230_NPROBE = 4  # q56's serving probe width (4 of 16 cells)
+_Q230_TAU = 0.3  # cosine flag threshold
+
+
+def q230_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval contamination screen — the embedding-space
+    twin of q104's n-gram screen: q104 catches verbatim/near-verbatim
+    leakage, this catches PARAPHRASED leakage the lexical shingles miss.
+    The held-out set's vectors (vec_id % 97 == 0, q104's stand-in
+    convention) probe the IVF index — eval queries fan out to their
+    n_probe=4 nearest coarse cells, train vectors live in their single
+    assigned cell (the q56 serving shape), exact cosine runs ONLY on the
+    cell-mate candidates, and any train doc scoring ≥ τ against any eval
+    vector is flagged. Output mirrors q104's audit: per source, doc
+    count, flagged count, flagged fraction.
+
+    Scale shape: the screen is index-served, not all-pairs — candidates
+    are Σ|probed cells| not |eval|·|train|; the eval side is fixed-size
+    (benchmarks do not grow with the corpus) so its vectors broadcast at
+    any scale; the train side is scanned once for assignment and once
+    for candidate scoring (both scan-stage Arrow kernels / JVM
+    expressions). The flagged screen is approximate exactly as ANN
+    serving is — q211/q216's gates price the same candidate loss.
+
+    Oracle: the trained-centroid literalization (q56's
+    ``_ivf_centroid_values``) + the same assignment/probe/exact-cosine
+    CTE shapes with the eval/train split, threshold replayed verbatim."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        dot_product,
+        l2_norm,
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("vec_id") % _Q230_EVAL_MOD == 0
+
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    assigned = ivf_assign(emb.filter(~is_eval), cents, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ivf_assign(
+        emb.filter(is_eval), cents, n_probe=_Q230_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        probes.join(assigned, on="cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    vd = to_double_array(F.col("embedding"))
+    vecs = emb.select("vec_id", vd.alias("__v"), l2_norm(vd).alias("__n"))
+    qv = vecs.filter(is_eval).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
+    flagged = (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .filter(F.round(cos + F.lit(1e-9), 6) >= _Q230_TAU)
+        .select(F.col("neighbor_id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = docs.filter(F.col("doc_id") % _Q230_EVAL_MOD != 0).select(
+        "doc_id", "source"
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import round6
+
+    return (
+        base.join(flagged, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("long")).alias(
+                "n_flagged"
+            ),
+            round6(
+                F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+            ).alias("flagged_frac"),
+        )
+    )
+
+
+_Q230_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cell FROM ranked
+  WHERE r = 1 AND vec_id % {_Q230_EVAL_MOD} <> 0
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE r <= {_Q230_NPROBE} AND vec_id % {_Q230_EVAL_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+),
+flagged AS (
+  SELECT DISTINCT c.neighbor_id AS doc_id
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+  WHERE {_cos('qv.v', 'nv.v')} >= {_Q230_TAU}
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(avg(CASE WHEN f.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             + 1e-9, 6) AS flagged_frac
+FROM documents d
+LEFT JOIN flagged f ON d.doc_id = f.doc_id
+WHERE d.doc_id % {_Q230_EVAL_MOD} <> 0
+GROUP BY d.source
+"""
+
+
+def q230_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q230 oracle: centroid literals trained on the checked SF
+    (the q56 literalization)."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q230_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q230_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q231 — streaming ingest → servable index, end-to-end parity
+# --------------------------------------------------------------------------
+
+
+def q231_stream_to_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest→index→serve loop as ONE declared query: the
+    corpus arrives as multi-file micro-batches (q203's replay source,
+    maxFilesPerTrigger=1), each batch is FROZEN-codebook PQ-encoded and
+    committed as a batchId-gated generation
+    (streaming/pq_encode_stream.py — >1 micro-batch asserted), and the
+    accumulated code index is then SERVED directly with q195's ADC
+    top-k (``adc_topk`` — the literal serving kernel, not a copy).
+
+    The checked invariant is end-to-end: encode is a pure per-row
+    function of (vector, books), so the stream-built index must serve
+    BYTE-IDENTICAL results to the batch-built one — the oracle is
+    q195's batch replay (full-corpus encode + ADC in SQL), which means
+    arrival order, batch boundaries, and at-least-once re-execution
+    provably cannot change what a query sees. q203 checked the CODES;
+    this closes the loop at the SERVING surface, where a drift would
+    actually hurt.
+
+    Scale shape: per micro-batch one scan-stage Arrow kernel + one
+    append; serving reads the committed generations as a distributed
+    scan joined against the broadcast LUT — exactly how a 100 TB
+    corpus's index keeps up with ingest while staying servable
+    (lifecycle pytest: tests/test_pq_incremental.py)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        adc_topk,
+        pq_query_luts,
+        pq_train_codebooks,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.pq_encode_stream import (
+        streaming_pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM)
+    split_dir = _split_embeddings(spark, sf_dir)
+    codes = streaming_pq_encode(spark, split_dir, books).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    luts = pq_query_luts(
+        emb.filter(F.col("vec_id") < _Q195_NQ), books
+    )
+    return adc_topk(codes, luts, k=_Q195_K)
+
+
+# Oracle: q195's batch replay VERBATIM (stream-built serving ≡
+# batch-built serving) — attached below as oracle_fn=q195_oracle_for.
+Q231_ORACLE = None
+
+
+# --------------------------------------------------------------------------
+# q232 — graph ANN (NSW-style beam search), the last index family, priced
+# --------------------------------------------------------------------------
+
+_Q232_M = 6  # within-cell k-NN graph degree
+_Q232_BRIDGE = 4  # bridge edges to the medoids of the next-nearest cells
+_Q232_BEAM = 8  # beam width
+_Q232_HOPS = 3  # fixed hop count (deterministic, SQL-unrollable)
+_Q232_K = 3
+_Q232_NQ = 8
+
+
+def q232_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN — the one production index family the
+    quantization/IVF matrix (q39–q227) did not price: a two-layer
+    HNSW-miniature built from navigable-small-world ingredients, its
+    recall MEASURED beside q216's so the families compare on one axis.
+
+    Graph: each vector links to its ``m`` nearest cell-mates under the
+    IVF coarse partition (build compute Σ|cell|², the SemDeDup bound —
+    production re-wires with NN-descent, same search kernel) PLUS
+    bridge links to the MEDOIDS of its next-``n_bridge`` nearest cells
+    (the long-range links random insertion gives real NSW graphs);
+    symmetrized. Search: descend from the coarse layer (entry = medoid
+    of the query's nearest cell — HNSW's upper-layer walk collapsed to
+    one literal-centroid step), then a FIXED-hop beam: each hop scores
+    the accumulated candidate set (exact round6 L2), keeps the best
+    ``beam`` per query, expands their neighbors. Fixed hops + round6 +
+    (dist, id) ties make the traversal deterministic and the oracle an
+    unrolled CTE-per-hop replay. Output: the recall-gate row (params,
+    n_queries, avg/min recall@k vs exact L2) — the number that decides
+    whether the graph family earns its build cost on this corpus.
+
+    Scale shape: the neighbor table IS the index (persist bucketed by
+    src — the q193 layout); each hop is one bounded-candidate broadcast
+    join against the corpus vectors plus one join against the edge
+    table, so search cost is O(hops · beam · degree) per query — the
+    property that makes graph ANN the highest-recall serving family at
+    scale. The quadratic Σ|cell|² lives ONLY in the build."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+
+    knn = cell_knn_edges(emb, cents, m=_Q232_M)
+    med = cell_medoids(emb, cents)  # 16 rows
+    probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = knn.unionByName(bridges)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed once per hop
+    )
+
+    qpred = F.col("vec_id") < _Q232_NQ
+    entry = (
+        probes.filter((F.col("probe_rank") == 0) & qpred)
+        .join(F.broadcast(med), on="cell")
+        .select(F.col("vec_id").alias("query_id"), F.col("medoid").alias("node"))
+    )
+
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.filter(qpred).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        # Candidate set is O(hops·beam·degree) per query — broadcast it
+        # (with its query vectors) into the corpus-vector scan so the
+        # corpus never shuffles.
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return (
+            va.join(F.broadcast(j), on=F.col("vec_id") == F.col("node"))
+            .select(
+                "query_id",
+                "node",
+                l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node"))
+    # Each hop consumes the accumulated set TWICE (score + union) and
+    # the set is bounded (≤ |Q|·(1 + hops·beam·degree) rows), so
+    # checkpoint per hop — lineage otherwise doubles per hop (the q208
+    # shared-subtree discipline applied to an iterative plan, the q192
+    # pagerank lesson).
+    cand = entry.distinct().localCheckpoint(eager=True)
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = (
+            cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+        )
+
+    served = (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+
+    exact = brute_force_topk_l2(emb, emb.filter(qpred), k=_Q232_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q232_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    return perq.agg(
+        F.lit(_Q232_M).cast("long").alias("m"),
+        F.lit(_Q232_BRIDGE).cast("long").alias("n_bridges"),
+        F.lit(_Q232_BEAM).cast("long").alias("beam"),
+        F.lit(_Q232_HOPS).cast("long").alias("hops"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+        F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+    )
+
+
+_Q232_L2 = (
+    "round(list_sum([({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i]) "
+    f"FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6)"
+)
+
+
+def _q232_hop_ctes(n_hops: int) -> str:
+    """The beam traversal unrolled: per hop, score the accumulated set,
+    keep the top-beam, expand neighbors, dedup-union."""
+    parts = []
+    for h in range(n_hops):
+        parts.append(f"""s{h} AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM c{h} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+),
+b{h} AS (
+  SELECT query_id, node FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, node) AS r
+    FROM s{h}
+  ) WHERE r <= {_Q232_BEAM}
+),
+c{h + 1} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM c{h}
+    UNION ALL
+    SELECT b.query_id, e.dst AS node FROM b{h} b JOIN edges e ON e.src = b.node
+  )
+)""")
+    return ",\n".join(parts)
+
+
+_Q232_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+knnp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knnp
+  ) WHERE r <= {_Q232_M}
+),
+med AS (
+  SELECT cell, vec_id AS medoid FROM (
+    SELECT s.cell, s.vec_id,
+           row_number() OVER (PARTITION BY s.cell
+                              ORDER BY s.sim DESC, s.vec_id) AS r
+    FROM sims s JOIN assigned a ON a.vec_id = s.vec_id AND a.cell = s.cell
+  ) WHERE r = 1
+),
+bridges AS (
+  SELECT rk.vec_id AS src, m.medoid AS dst
+  FROM ranked rk JOIN med m ON m.cell = rk.cell
+  WHERE rk.r BETWEEN 2 AND {1 + _Q232_BRIDGE} AND rk.vec_id <> m.medoid
+),
+edges AS (
+  SELECT src, dst FROM knn
+  UNION SELECT src, dst FROM bridges
+  UNION SELECT dst AS src, src AS dst FROM knn
+  UNION SELECT dst AS src, src AS dst FROM bridges
+),
+c0 AS (
+  SELECT DISTINCT rk.vec_id AS query_id, m.medoid AS node
+  FROM ranked rk JOIN med m ON m.cell = rk.cell
+  WHERE rk.r = 1 AND rk.vec_id < {_Q232_NQ}
+),
+{_q232_hop_ctes(_Q232_HOPS)},
+fdist AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM c{_Q232_HOPS} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+),
+served AS (
+  SELECT query_id, node AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, node) AS r
+    FROM fdist
+  ) WHERE r <= {_Q232_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q232_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q232_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q232_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+)
+SELECT CAST({_Q232_M} AS BIGINT) AS m,
+       CAST({_Q232_BRIDGE} AS BIGINT) AS n_bridges,
+       CAST({_Q232_BEAM} AS BIGINT) AS beam,
+       CAST({_Q232_HOPS} AS BIGINT) AS hops,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall
+FROM perq
+"""
+
+
+def q232_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q232 oracle: centroid literals trained on the checked
+    SF (q56's literalization), the graph build and the fixed-hop beam
+    replayed as unrolled CTEs."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q232_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q232_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -4651,6 +5195,16 @@ SPECS = make_specs(
          Q228_ORACLE, (),
          "hybrid-retrieval recall SLA: gate-derived (bm_depth, "
          "vec_depth) meeting fused recall@10"),
+        ("q230_semantic_contamination", q230_semantic_contamination,
+         Q230_ORACLE, (),
+         "semantic contamination screen: eval vectors probe the IVF "
+         "index, cosine-threshold flags (q104's embedding-space twin)"),
+        ("q231_stream_to_serving", q231_stream_to_serving, Q231_ORACLE, (),
+         "streaming ingest → servable index: micro-batch frozen-book "
+         "encode, then ADC serving with batch-parity oracle"),
+        ("q232_graph_ann_recall", q232_graph_ann_recall, Q232_ORACLE, (),
+         "graph ANN (NSW-style): within-cell kNN + medoid bridges, "
+         "fixed-hop beam search, recall gate vs exact L2"),
     ]
 )
 
@@ -4697,6 +5251,15 @@ SPECS["q227_incremental_ivfsq_index"] = _dc.replace(
 )
 SPECS["q228_hybrid_retrieval_sla"] = _dc.replace(
     SPECS["q228_hybrid_retrieval_sla"], oracle_fn=q228_oracle_for
+)
+SPECS["q230_semantic_contamination"] = _dc.replace(
+    SPECS["q230_semantic_contamination"], oracle_fn=q230_oracle_for
+)
+SPECS["q231_stream_to_serving"] = _dc.replace(
+    SPECS["q231_stream_to_serving"], oracle_fn=q195_oracle_for
+)
+SPECS["q232_graph_ann_recall"] = _dc.replace(
+    SPECS["q232_graph_ann_recall"], oracle_fn=q232_oracle_for
 )
 SPECS["q195_pq_adc_topk"] = _dc.replace(
     SPECS["q195_pq_adc_topk"], oracle_fn=q195_oracle_for
