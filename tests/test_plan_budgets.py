@@ -133,6 +133,13 @@ BUDGETS = [
     # candidate broadcast scoring + the recall aggregate — never a
     # cartesian/unbounded nested loop.
     ("q232_graph_ann_recall", 6, [], ["CartesianProduct"]),
+    # SLA serve from the postings index: q228's bounded fusion tail; the
+    # index-probed rank pass ran at checkpoint time under q207's
+    # bucket-pruned shape.
+    ("q233_hybrid_sla_from_index", 4, [], ["CartesianProduct"]),
+    # Streaming quality gate: the drained survivor scan + ONE per-source
+    # rollup — the filter itself ran scan-stage inside each micro-batch.
+    ("q234_streaming_quality_filter", 1, [], ["CartesianProduct", "Join"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

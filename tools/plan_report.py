@@ -63,6 +63,7 @@ GLOBAL_WINDOW_OK = {
     "q207_hybrid_from_index",  # same k-bounded rank window as q194
     "q228_hybrid_retrieval_sla",  # q194's rank window at the ladder max
                                   # (orderBy.limit(200) feeds it)
+    "q233_hybrid_sla_from_index",  # same ladder-max rank window, index-fed
     # grid-bounded digest frames: the window input is one row per
     # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
     # l_extendedprice / 1024), corpus-size independent:

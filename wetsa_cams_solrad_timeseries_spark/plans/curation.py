@@ -2408,6 +2408,111 @@ FROM (
 Q229_ORACLE = _q229_oracle()
 
 
+# --------------------------------------------------------------------------
+# q234 — streaming quality filter: the curation gate riding ingest
+# --------------------------------------------------------------------------
+
+
+def _split_documents(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+    """Documents twin of vector._split_embeddings (same artifact
+    discipline: process-unique token, _SUCCESS gate, sweep + atexit) —
+    the multi-file replay input for document-stream queries."""
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+    from wetsa_cams_solrad_timeseries_spark.plans.pipeline_ops import (
+        _PROC_TOKEN,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_docs_split_*_{sf_tag}*"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"wetsa_docs_split_{_PROC_TOKEN}_{sf_tag}_f{n_files}",
+        ),
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            n_files
+        ).write.mode("overwrite").parquet(split_dir)
+    return split_dir
+
+
+def q234_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation quality gate riding the ingest stream — document
+    shards arrive as micro-batches (multi-file replay,
+    maxFilesPerTrigger=1) and each batch passes the q36/q90 composite-
+    score filter as a scan-stage expression, survivors appending as
+    batchId-gated generations (streaming/filter_stream.py, >1
+    micro-batch asserted). Rejected documents are dropped the moment
+    they land — at 100 TB this is WHERE the quality gate runs: on the
+    ingest stream, not as a post-hoc batch rewrite of the raw store.
+
+    Because the gate is a pure per-row predicate, the drained survivor
+    set must equal the one-pass batch filter — the oracle computes
+    exactly that (batch filter + the same per-source rollup), so batch
+    boundaries, arrival order, and at-least-once re-execution provably
+    cannot change what survives. Output: per source, survivor count,
+    token total, mean quality score."""
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        quality_score_expr,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_filter,
+    )
+
+    split_dir = _split_documents(spark, sf_dir)
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    survivors = streaming_filter(
+        spark,
+        split_dir,
+        predicate=quality_score_expr(F.col("text")) >= _Q229_QUALITY,
+        projection=[
+            F.col("doc_id"),
+            F.col("source"),
+            ws_tokens.cast("long").alias("n_tokens"),
+            round6(quality_score_expr(F.col("text"))).alias("q"),
+        ],
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        round6(F.avg("q")).alias("avg_quality"),
+    )
+
+
+def _q234_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        quality_score_sql,
+    )
+
+    return f"""
+WITH survivors AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'))
+         END AS BIGINT) AS n_tokens,
+         round({quality_score_sql('text')} + 1e-9, 6) AS q
+  FROM documents
+  WHERE {quality_score_sql('text')} >= {_Q229_QUALITY}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(q) + 1e-9, 6) AS avg_quality
+FROM survivors
+GROUP BY source
+"""
+
+
+Q234_ORACLE = _q234_oracle()
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2424,6 +2529,10 @@ SPECS = make_specs(
          "end-to-end curation: quality → exact+LSH dedup → decontaminate "
          "→ token mix → packing, ONE plan with a per-stage attrition "
          "audit"),
+        ("q234_streaming_quality_filter", q234_streaming_quality_filter,
+         Q234_ORACLE, (),
+         "streaming curation gate: per-micro-batch quality filter, "
+         "drained survivors ≡ batch filter"),
         ("q105_small_qty_revenue", q105_small_qty_revenue, Q105_ORACLE, (),
          "TPC-H Q17 decorrelated aggregate-rejoin"),
         ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),

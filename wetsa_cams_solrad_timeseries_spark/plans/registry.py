@@ -64,6 +64,8 @@ _PIN_FIRST = (
     "q230_semantic_contamination",
     "q231_stream_to_serving",
     "q232_graph_ann_recall",
+    "q233_hybrid_sla_from_index",
+    "q234_streaming_quality_filter",
     "q216_ann_serving_sla",
     "q227_incremental_ivfsq_index",
     "q219_multiprobe_lsh",
