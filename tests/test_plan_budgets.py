@@ -140,6 +140,10 @@ BUDGETS = [
     # Streaming quality gate: the drained survivor scan + ONE per-source
     # rollup — the filter itself ran scan-stage inside each micro-batch.
     ("q234_streaming_quality_filter", 1, [], ["CartesianProduct", "Join"]),
+    # Beam-ladder SLA: 3 rungs × q232's bounded serve tail over the
+    # shared checkpointed graph + the 3-row pick join — every exchange
+    # moves candidate-sized data only.
+    ("q235_graph_ann_sla", 26, [], ["CartesianProduct"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

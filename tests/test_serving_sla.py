@@ -386,3 +386,30 @@ def test_graph_ann_recall_beats_unbridged(spark, sf_dir):
     row = q232_graph_ann_recall(spark, sf_dir).collect()[0]
     assert row["n_queries"] > 0
     assert row["avg_recall"] >= 0.7
+
+
+def test_q235_ladder_pick_is_minimal_met_rung(spark, sf_dir):
+    # q235's structural contract: one audit row per ladder rung; at most
+    # one row is picked; the picked rung IS the cheapest met one; and
+    # every recall lies in [0, 1]. (On this corpus the ladder saturates
+    # — documented in the docstring — so the pick must land on the
+    # narrowest rung.)
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q235_LADDER,
+        _Q235_TARGET,
+        q235_graph_ann_sla,
+    )
+
+    rows = sorted(
+        q235_graph_ann_sla(spark, sf_dir).collect(), key=lambda r: r["beam"]
+    )
+    assert [r["beam"] for r in rows] == list(_Q235_LADDER)
+    assert all(0.0 <= r["avg_recall"] <= 1.0 + 1e-9 for r in rows)
+    met = [r for r in rows if r["met"]]
+    picked = [r for r in rows if r["picked"]]
+    if met:
+        assert len(picked) == 1
+        assert picked[0]["beam"] == min(r["beam"] for r in met)
+        assert picked[0]["avg_recall"] >= _Q235_TARGET
+    else:
+        assert not picked
