@@ -144,6 +144,10 @@ BUDGETS = [
     # shared checkpointed graph + the 3-row pick join — every exchange
     # moves candidate-sized data only.
     ("q235_graph_ann_sla", 26, [], ["CartesianProduct"]),
+    # Streaming decontamination: drained survivor scan + ONE per-source
+    # rollup — the shingle screen ran per micro-batch against the static
+    # broadcast eval dictionary.
+    ("q236_streaming_decontamination", 1, [], ["CartesianProduct", "Join"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

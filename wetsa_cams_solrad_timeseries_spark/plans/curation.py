@@ -2078,6 +2078,26 @@ _Q229_JACCARD = 0.5  # q62's verified-duplicate threshold
 _Q229_QUALITY = 0.5  # q36/q90's composite-score gate
 
 
+def _shingles4(df: DataFrame) -> DataFrame:
+    """q104's ``_Q104_N``-token shingles ``(doc_id, sh)`` over any frame
+    with (doc_id, text) — per-doc lead window, nulls (tail positions)
+    dropped. Shared by q229's decontamination stage and q236's
+    streaming screen."""
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")]
+    for i in range(1, _Q104_N):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    return toks.select("doc_id", F.concat(*parts).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+
+
 def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified curation stages composed into ONE DataFrame plan with
     a per-stage attrition audit — the raw-scrape→training-layout run a
@@ -2186,25 +2206,10 @@ def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 4. decontaminate (q104's 4-shingle screen; eval side from the
     # ORIGINAL corpus — the benchmark set is fixed).
-    def shingles4(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            "doc_id",
-            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
-                "pos", "tok"
-            ),
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        parts = [F.col("tok")]
-        for i in range(1, _Q104_N):
-            parts += [F.lit(" "), F.lead("tok", i).over(w)]
-        return toks.select(
-            "doc_id", F.concat(*parts).alias("sh")
-        ).filter(F.col("sh").isNotNull())
-
     is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
-    eval_sh = shingles4(d0.filter(is_eval)).select("sh").distinct()
+    eval_sh = _shingles4(d0.filter(is_eval)).select("sh").distinct()
     contaminated = (
-        shingles4(s3.filter(~is_eval))
+        _shingles4(s3.filter(~is_eval))
         .join(maybe_broadcast(eval_sh), on="sh", how="left_semi")
         .select("doc_id")
         .distinct()
@@ -2513,6 +2518,102 @@ GROUP BY source
 Q234_ORACLE = _q234_oracle()
 
 
+# --------------------------------------------------------------------------
+# q236 — streaming decontamination: q104's screen riding ingest
+# --------------------------------------------------------------------------
+
+
+def q236_streaming_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q104's benchmark-contamination screen riding the ingest stream —
+    the streaming twin q234 is to the quality gate: the eval-set
+    shingle dictionary is STATIC (benchmarks are fixed; computed once
+    from the batch corpus, checkpointed, broadcast into every batch),
+    and each arriving micro-batch shingles its documents, semi-joins
+    the eval dictionary, and appends only the clean non-eval survivors
+    (streaming/filter_stream.py::streaming_transform — a per-batch
+    join against a static side keeps batch ≡ stream equivalence, which
+    is exactly what the oracle checks). Output: per source, surviving
+    doc count + token total.
+
+    Scale shape: per micro-batch one shingle projection (per-doc lead
+    window, bounded by document length), one broadcast semi-join (eval
+    side is fixed-size), one anti-join, one append. At 100 TB this is
+    where decontamination runs — on the stream, so a contaminated doc
+    never reaches the curated store at all."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_transform,
+    )
+
+    split_dir = _split_documents(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
+    eval_sh = (
+        _shingles4(docs.filter(is_eval))
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=True)  # static side, reused every batch
+    )
+
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+
+    def screen(bdf: DataFrame) -> DataFrame:
+        cand = bdf.filter(~is_eval)
+        contaminated = (
+            _shingles4(cand)
+            .join(maybe_broadcast(eval_sh), on="sh", how="left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return cand.join(contaminated, on="doc_id", how="left_anti").select(
+            "doc_id", "source", ws_tokens.cast("long").alias("n_tokens")
+        )
+
+    survivors = streaming_transform(spark, split_dir, screen)
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+Q236_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM documents
+  )
+),
+sh AS (
+  SELECT doc_id, {_q104_shingle_sql()} AS sh
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+eval_sh AS (
+  SELECT DISTINCT sh FROM sh
+  WHERE doc_id % {_Q104_EVAL_MOD} = 0 AND sh IS NOT NULL
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % {_Q104_EVAL_MOD} <> 0 AND sh IS NOT NULL
+    AND sh IN (SELECT sh FROM eval_sh)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\r]+'))
+                END AS BIGINT)) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {_Q104_EVAL_MOD} <> 0 AND c.doc_id IS NULL
+GROUP BY d.source
+"""
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2533,6 +2634,10 @@ SPECS = make_specs(
          Q234_ORACLE, (),
          "streaming curation gate: per-micro-batch quality filter, "
          "drained survivors ≡ batch filter"),
+        ("q236_streaming_decontamination", q236_streaming_decontamination,
+         Q236_ORACLE, (),
+         "streaming decontamination: per-batch shingle screen against "
+         "the static broadcast eval dictionary"),
         ("q105_small_qty_revenue", q105_small_qty_revenue, Q105_ORACLE, (),
          "TPC-H Q17 decorrelated aggregate-rejoin"),
         ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),

@@ -32,10 +32,28 @@ def streaming_filter(
     projection: list,
 ) -> DataFrame:
     """Drain the multi-file replay through a foreachBatch filter +
-    projection and return the accumulated survivor frame. Asserts the
-    stream really delivered more than one micro-batch
-    (maxFilesPerTrigger=1 over a multi-file split), so the append
-    lifecycle — not a single-batch fold — is what's exercised."""
+    projection and return the accumulated survivor frame — the
+    row-predicate special case of :func:`streaming_transform`."""
+    return streaming_transform(
+        spark, split_dir, lambda bdf: bdf.filter(predicate).select(*projection)
+    )
+
+
+def streaming_transform(
+    spark: SparkSession,
+    split_dir: str,
+    transform,
+) -> DataFrame:
+    """Drain the multi-file replay through a foreachBatch TRANSFORM
+    (any DataFrame → DataFrame function whose semantics are per-batch —
+    row predicates, projections, joins against STATIC broadcast sides)
+    and return the accumulated output frame. Asserts the stream really
+    delivered more than one micro-batch (maxFilesPerTrigger=1 over a
+    multi-file split), so the append lifecycle — not a single-batch
+    fold — is what's exercised. Batch ≡ stream equivalence is the
+    CALLER's obligation: it holds iff the transform is row-local over
+    the streaming side (static join sides are fine; cross-batch state
+    is not — use the stateful kernels for that)."""
     from wetsa_cams_solrad_timeseries_spark._artifacts import register_cleanup
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_checkpoint_dir,
@@ -62,9 +80,7 @@ def streaming_filter(
         out = os.path.join(root, f"batch_{bid}")
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             return  # re-executed batch: generation already committed
-        bdf.filter(predicate).select(*projection).write.mode(
-            "overwrite"
-        ).parquet(out)
+        transform(bdf).write.mode("overwrite").parquet(out)
 
     ckpt = drain_checkpoint_dir()
     try:
@@ -86,7 +102,7 @@ def streaming_filter(
         ]
         if len(committed) <= 1:
             raise RuntimeError(
-                f"streaming filter drained in {len(committed)} "
+                f"streaming transform drained in {len(committed)} "
                 "micro-batch(es) — the append lifecycle was not exercised"
             )
         # Read EXACTLY the committed generations (the pq_encode_stream
