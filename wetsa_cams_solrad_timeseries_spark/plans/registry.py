@@ -68,6 +68,7 @@ _PIN_FIRST = (
     "q234_streaming_quality_filter",
     "q235_graph_ann_sla",
     "q236_streaming_decontamination",
+    "q237_nn_descent_refine",
     "q216_ann_serving_sla",
     "q227_incremental_ivfsq_index",
     "q219_multiprobe_lsh",

@@ -4625,6 +4625,218 @@ Q235_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q237 — NN-descent graph refinement: neighbor-of-neighbor candidates
+# --------------------------------------------------------------------------
+
+_Q237_SAMPLE_MOD = 29  # audit sample: vec_id % 29 == 0
+
+
+def q237_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round (Dong et al., WWW 2011) over q232's graph —
+    the build-side upgrade the graph family's docstrings promise: a
+    node's candidate set is its current neighbors PLUS its neighbors'
+    neighbors (over the SYMMETRIZED knn ∪ bridge edge set, so 2-hop
+    reach crosses cells through the medoid links), exact distance is
+    computed ONLY on those candidate pairs — O(n·deg²), never n² — and
+    each node keeps its new top-m. Because the candidate set CONTAINS
+    the node's current edges, the refined list dominates the base
+    within-cell kNN by construction (pytest-locked).
+
+    Output: the measured audit — per a hash-sampled node set (vec_id %
+    29 == 0, the q221 bounded-audit convention), edge recall of the
+    base within-cell top-m vs the refined top-m against the exact top-m
+    truth (truth computed only for the sample: the bounded side
+    broadcasts). One row: (m, n_sampled, n_true, recall_before,
+    recall_after, improved).
+
+    Scale shape: the 2-hop expansion is one self-join of the edge table
+    (n·deg rows → n·deg² candidates); candidate verify is two id-keyed
+    joins against the vector table — the NN-descent cost model, all
+    corpus-keyed shuffles, no all-pairs stage; the truth side is
+    sample-bounded. Oracle: the shared graph CTEs + the same expansion
+    /rank/recall algebra (unreferenced CTEs in the shared head are
+    never executed by DuckDB's lazy CTE inlining)."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    knn = cell_knn_edges(emb, cents, m=_Q232_M).localCheckpoint(eager=True)
+    med = cell_medoids(emb, cents)
+    probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = knn.unionByName(bridges)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by 1-hop AND 2-hop
+    )
+
+    # Candidates: 1-hop ∪ 2-hop (never self); exact verify on candidates.
+    e2 = (
+        edges.select(F.col("src").alias("__mid"), "dst")
+        .join(edges.select("src", F.col("dst").alias("__mid")), on="__mid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cand = edges.unionByName(e2).distinct()
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    scored = (
+        cand.join(
+            va.select(F.col("vec_id").alias("src"), F.col("__v").alias("__sv")),
+            on="src",
+        )
+        .join(
+            va.select(F.col("vec_id").alias("dst"), F.col("__v").alias("__dv")),
+            on="dst",
+        )
+        .select(
+            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
+    refined = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q232_M)
+        .select("src", "dst")
+    )
+
+    # Audit on the hash sample: exact truth, base vs refined recall.
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue = (
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    n_true = strue.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.countDistinct("src").alias("ns"),
+    )
+    hb = knn.join(strue, on=["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("hb")
+    )
+    ha = refined.join(strue, on=["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("ha")
+    )
+    rb = F.round(
+        F.col("hb").cast("double") / F.greatest(F.col("nt"), F.lit(1))
+        + F.lit(1e-9),
+        6,
+    )
+    ra = F.round(
+        F.col("ha").cast("double") / F.greatest(F.col("nt"), F.lit(1))
+        + F.lit(1e-9),
+        6,
+    )
+    return (
+        n_true.crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(ha))
+        .select(
+            F.lit(_Q232_M).cast("long").alias("m"),
+            F.col("ns").cast("long").alias("n_sampled"),
+            F.col("nt").cast("long").alias("n_true"),
+            rb.alias("recall_before"),
+            ra.alias("recall_after"),
+            (ra >= rb).alias("improved"),
+        )
+    )
+
+
+_Q237_ORACLE_TEMPLATE = f"""
+WITH {_Q232_GRAPH_CTES},
+e2 AS (
+  SELECT a.src, b.dst
+  FROM edges a JOIN edges b ON a.dst = b.src AND b.dst <> a.src
+),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM e2
+  )
+),
+cscored AS (
+  SELECT c.src, c.dst, {_Q232_L2.format(a='sv', b='dv')} AS d
+  FROM cand c
+  JOIN vecs sv ON sv.vec_id = c.src
+  JOIN vecs dv ON dv.vec_id = c.dst
+),
+refined AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM cscored
+  ) WHERE r <= {_Q232_M}
+),
+sscored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_Q237_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+strue AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst) AS r
+    FROM sscored
+  ) WHERE r <= {_Q232_M}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt,
+         CAST(count(DISTINCT src) AS BIGINT) AS ns
+  FROM strue
+),
+hb AS (
+  SELECT count(*) AS hb FROM knn k JOIN strue t USING (src, dst)
+),
+ha AS (
+  SELECT count(*) AS ha FROM refined f JOIN strue t USING (src, dst)
+)
+SELECT CAST({_Q232_M} AS BIGINT) AS m,
+       ns AS n_sampled,
+       nt AS n_true,
+       round(CAST(hb AS DOUBLE) / greatest(nt, 1) + 1e-9, 6)
+         AS recall_before,
+       round(CAST(ha AS DOUBLE) / greatest(nt, 1) + 1e-9, 6)
+         AS recall_after,
+       round(CAST(ha AS DOUBLE) / greatest(nt, 1) + 1e-9, 6)
+         >= round(CAST(hb AS DOUBLE) / greatest(nt, 1) + 1e-9, 6)
+         AS improved
+FROM stats CROSS JOIN hb CROSS JOIN ha
+"""
+
+
+def q237_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q237 oracle: the shared graph CTEs (centroid literals) +
+    the 2-hop expansion, candidate rank, and recall algebra."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q237_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q237_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -5438,6 +5650,9 @@ SPECS = make_specs(
         ("q235_graph_ann_sla", q235_graph_ann_sla, Q235_ORACLE, (),
          "graph-ANN tuning SLA: the beam ladder measured rung by rung, "
          "minimal rung meeting recall@3 flagged"),
+        ("q237_nn_descent_refine", q237_nn_descent_refine, Q237_ORACLE, (),
+         "NN-descent graph refinement: neighbor-of-neighbor candidates, "
+         "exact verify, edge-recall audit before vs after"),
     ]
 )
 
@@ -5496,6 +5711,9 @@ SPECS["q232_graph_ann_recall"] = _dc.replace(
 )
 SPECS["q235_graph_ann_sla"] = _dc.replace(
     SPECS["q235_graph_ann_sla"], oracle_fn=q235_oracle_for
+)
+SPECS["q237_nn_descent_refine"] = _dc.replace(
+    SPECS["q237_nn_descent_refine"], oracle_fn=q237_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
