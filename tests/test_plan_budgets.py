@@ -152,6 +152,17 @@ BUDGETS = [
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.
     ("q237_nn_descent_refine", 14, [], ["CartesianProduct"]),
+    # Round-11 graph-lifecycle additions.
+    # Incremental graph serve: base edges read from the persisted table,
+    # insert edges checkpointed — the final plan is ONE bounded-candidate
+    # broadcast scoring pass + its rank window.
+    ("q238_incremental_graph_ann", 3, [], ["CartesianProduct"]),
+    # Round ladder: one recall row per round over checkpointed edge
+    # lists — audit joins + tiny crossJoins only.
+    ("q239_nn_descent_rounds", 14, [], ["CartesianProduct"]),
+    # Base-vs-refined serve: two q232 serve tails over checkpointed
+    # graphs + the 1-row aggregate crossJoin.
+    ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

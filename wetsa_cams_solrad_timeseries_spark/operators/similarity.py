@@ -1361,6 +1361,65 @@ def cell_knn_edges(
     return nodes.groupBy("cell").applyInPandas(kernel, schema="src long, dst long")
 
 
+def cell_knn_edges_incremental(
+    emb_df: DataFrame,
+    new_pred,
+    centroids,
+    m: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Directed top-m edges for the NEW nodes only (rows satisfying
+    ``new_pred``), each against ALL its cell-mates — history AND new —
+    under a FROZEN coarse quantizer: the graph-INSERT kernel of the
+    incremental graph-ANN lifecycle (HNSW-style insertion: a new node
+    links to its nearest existing neighbors; reverse links come from the
+    serve-time symmetrization, exactly as real HNSW adds bidirectional
+    edges on insert).
+
+    Cost shape: per cell ONE (|new ∩ cell| × |cell|) BLAS block — the
+    insert pays |new|·|cell| distances, never the base build's Σ|cell|²;
+    history-history edges are NEVER recomputed (they live in the
+    persisted edge table). Same round6 + (d, dst) lexsort arithmetic as
+    :func:`cell_knn_edges`, so the oracle's fold-based replay stays
+    bit-identical, and a cell with every node new degrades exactly to
+    the base kernel's edge set for those nodes."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(emb_df, centroids, id_col, emb_col, n_probe=1)
+    nodes = assigned.join(
+        emb_df.select(
+            F.col(id_col),
+            new_pred.alias("__isnew"),
+            to_double_array(F.col(emb_col)).alias("__v"),
+        ),
+        on=id_col,
+    ).select(F.col(id_col).alias("nid"), "cell", "__isnew", "__v")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["nid"].to_numpy()
+        isnew = pdf["__isnew"].to_numpy()
+        srcs = np.where(isnew)[0]
+        k = min(m, len(ids) - 1)
+        if len(srcs) == 0 or k <= 0:
+            return pd.DataFrame({"src": ids[:0], "dst": ids[:0]})
+        mat = np.array(list(pdf["__v"]), dtype=np.float64)
+        d = _pq_subdist_matrix(mat[srcs], mat)  # round6'd squared L2
+        d[np.arange(len(srcs)), srcs] = np.inf  # no self edges
+        order = np.lexsort(
+            (np.broadcast_to(ids, d.shape), d), axis=1
+        )[:, :k]
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids[srcs], k),
+                "dst": ids[order.ravel()],
+            }
+        )
+
+    return nodes.groupBy("cell").applyInPandas(kernel, schema="src long, dst long")
+
+
 def cell_medoids(
     emb_df: DataFrame,
     centroids,

@@ -371,7 +371,7 @@ def q56_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_centroid_values(
-    path: str, k: int = 16, n_iter: int = 2
+    path: str, k: int = 16, n_iter: int = 2, id_filter=None
 ) -> str | None:
     """The q56 trained centroids (for the embeddings parquet at ``path``)
     as a SQL ``VALUES`` list.
@@ -380,8 +380,10 @@ def _ivf_centroid_values(
     the engine's hash32 min-k training cap is applied Python-side
     (``hash_bounded_sample_py`` — a no-op under ``max_train`` rows, the
     identical subset above it), then the same numpy steps on the same
-    id-ordered float64 matrix yield identical centroids. Returns None
-    (oracle falls back to rows-only) when the testdata or DuckDB is
+    id-ordered float64 matrix yield identical centroids. ``id_filter``
+    restricts the training rows (the incremental lifecycle trains on the
+    HISTORY shard only — q227's ``_ivfsq_values`` convention). Returns
+    None (oracle falls back to rows-only) when the testdata or DuckDB is
     unavailable."""
     try:
         import duckdb
@@ -401,6 +403,8 @@ def _ivf_centroid_values(
         ).fetchall()
     except Exception:  # noqa: BLE001 — no oracle beats a broken import
         return None
+    if id_filter is not None:
+        rows = [r for r in rows if id_filter(r[0])]
     mat = hash_bounded_sample_py(
         [r[0] for r in rows],
         np.array([r[1] for r in rows], dtype=np.float64),
@@ -4255,14 +4259,17 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)  # reused by every measured beam
     )
-    return entry0, edges, with_dist, w, exact
+    # Trailing build parts (checkpointed knn, bridges) let q240 rewire
+    # the SAME build with NN-descent without re-paying Σ|cell|²;
+    # _q232_perq_recall unpacks only the first five.
+    return entry0, edges, with_dist, w, exact, knn, bridges
 
 
 def _q232_perq_recall(setup, beam_width: int) -> DataFrame:
     """The fixed-hop beam traversal + per-query recall at one beam
     width, over the shared q232 artifacts — the measured unit of the
     q235 ladder."""
-    entry0, edges, with_dist, w, exact = setup
+    entry0, edges, with_dist, w, exact = setup[:5]
     # Each hop consumes the accumulated set TWICE (score + union) and
     # the set is bounded (≤ |Q|·(1 + hops·beam·degree) rows), so
     # checkpoint per hop — lineage otherwise doubles per hop (the q208
@@ -4316,12 +4323,14 @@ _Q232_L2 = (
 
 
 def _q232_hop_ctes(
-    n_hops: int, beam: int = _Q232_BEAM, tag: str = ""
+    n_hops: int, beam: int = _Q232_BEAM, tag: str = "", edges_cte: str = "edges"
 ) -> str:
     """The beam traversal unrolled: per hop, score the accumulated set,
     keep the top-beam, expand neighbors, dedup-union. ``tag`` prefixes
     the CTE names so q235 can unroll SEVERAL beam widths side by side
-    in one statement (all rungs share the graph/entry CTEs)."""
+    in one statement (all rungs share the graph/entry CTEs);
+    ``edges_cte`` names the edge table so q240 can traverse the base
+    and the NN-descent-refined graph in the same statement."""
     parts = []
     for h in range(n_hops):
         parts.append(f"""s{tag}{h} AS (
@@ -4342,7 +4351,7 @@ c{tag}{h + 1} AS (
     SELECT query_id, node FROM c{tag}{h}
     UNION ALL
     SELECT b.query_id, e.dst AS node
-    FROM b{tag}{h} b JOIN edges e ON e.src = b.node
+    FROM b{tag}{h} b JOIN {edges_cte} e ON e.src = b.node
   )
 )""")
     return ",\n".join(parts)
@@ -4834,6 +4843,698 @@ def q237_oracle_for(sf_dir: str) -> str | None:
 
 
 Q237_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q238 — incremental graph-ANN index: persisted edges, insert-only updates
+# --------------------------------------------------------------------------
+
+_Q238_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def q238_incremental_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental lifecycle applied to the GRAPH index — the one
+    index family the cross-run matrix (q193 LSH / q197 PQ / q217 OPQ /
+    q227 IVF-SQ8 / q210 pHash / q201 postings) did not yet cover, and
+    the one whose production form (HNSW) is DEFINED by insertion: a new
+    node links to its nearest existing neighbors and receives reverse
+    links, the base graph is never rebuilt.
+
+    Frozen artifacts (trained on the HISTORY shard, ``vec_id % 10 !=
+    7``): the coarse centroids AND the per-cell medoid hubs persist in
+    one params table, written LAST as the generation commit gate (the
+    q197 commit-order lesson); the DIRECTED base edges (history-history
+    within-cell kNN + history→medoid bridges) persist as the edge table
+    — the index ITSELF, steady state never re-runs the Σ|cell|² base
+    build (tests/test_graph_incremental.py bombs the trainer, the batch
+    edge kernel, and the medoid picker).
+
+    Insert (every call — "the new shard arriving"): new nodes are
+    assigned under the frozen centroids; each links to its top-m nearest
+    cell-mates — history AND new — via ONE (|new ∩ cell| × |cell|) BLAS
+    block per cell (``cell_knn_edges_incremental``), plus bridges to the
+    frozen medoids; reverse links appear through the serve-time
+    symmetrization exactly as HNSW adds bidirectional edges. Insert cost
+    is |new|·|cell| distances, never Σ|cell|².
+
+    Serve: q232's fixed-hop beam from the query's nearest HISTORY
+    medoid, over base ∪ inserted edges, output (query_id, neighbor_id,
+    rank) for the new-shard queries — the steady-state surface where
+    drift would hurt. Scale shape: per hop the bounded candidate set
+    (≤ |Q|·(1+hops·beam·degree)) broadcasts into the edge-table and
+    vector scans, so the index never shuffles; at 100 TB the edge table
+    and the vector store are cell-partitioned (q227's layout) and the
+    insert reads only the cells that received new nodes.
+
+    Oracle: the ONE-PASS batch replay under the SAME history-trained
+    literals — history kNN among history, new kNN against all
+    cell-mates, one uniform bridge formula (valid because the medoids
+    are frozen), the unrolled beam — incremental ≡ batch."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_knn_edges_incremental,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    edges_t = f"wetsa_graphedges_{tag}_{_Q238_TOKEN}"
+    params_t = f"wetsa_graphparams_{tag}_{_Q238_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_graphedges_{tag}_*", edges_t),
+            (f"wetsa_graphparams_{tag}_*", params_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q238_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    def _build_artifacts():
+        cents = ivf_train_centroids(hist, k=16, n_iter=2)
+        # Parameter-sized collect: n_cells medoid ids — the frozen hubs.
+        medoids = {
+            r["cell"]: r["medoid"] for r in cell_medoids(hist, cents).collect()
+        }
+        return cents, medoids
+
+    def _base_edges(cents, med_df):
+        knn_h = cell_knn_edges(hist, cents, m=_Q232_M)
+        probes_h = ivf_assign(hist, cents, n_probe=1 + _Q232_BRIDGE)
+        bridges_h = (
+            probes_h.filter(F.col("probe_rank") >= 1)
+            .join(F.broadcast(med_df), on="cell")
+            .filter(F.col("vec_id") != F.col("medoid"))
+            .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+        )
+        return knn_h.unionByName(bridges_h)
+
+    artifacts = None
+    try:
+        if not spark.catalog.tableExists(params_t):
+            cents, medoids = _build_artifacts()
+            artifacts = (cents, medoids)
+            med_df = spark.createDataFrame(
+                sorted(medoids.items()), "cell int, medoid long"
+            )
+            _base_edges(cents, med_df).write.mode("overwrite").saveAsTable(
+                edges_t
+            )
+            # params LAST: the commit gate for the whole generation.
+            rows = [("cent", c, list(cents[c])) for c in range(len(cents))]
+            rows += [
+                ("medoid", c, [float(m)]) for c, m in sorted(medoids.items())
+            ]
+            spark.createDataFrame(
+                rows, "kind string, idx int, vals array<double>"
+            ).write.mode("overwrite").saveAsTable(params_t)
+        if artifacts is None:
+            cents_by_idx, medoids = {}, {}
+            for r in spark.table(params_t).collect():
+                if r["kind"] == "cent":
+                    cents_by_idx[r["idx"]] = list(r["vals"])
+                else:
+                    medoids[r["idx"]] = int(r["vals"][0])
+            artifacts = (
+                [cents_by_idx[i] for i in range(len(cents_by_idx))],
+                medoids,
+            )
+        base_edges = spark.table(edges_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if artifacts is None:
+            artifacts = _build_artifacts()
+        cents, medoids = artifacts
+        base_edges = _base_edges(
+            cents,
+            spark.createDataFrame(
+                sorted(medoids.items()), "cell int, medoid long"
+            ),
+        )
+    cents, medoids = artifacts
+    med_df = spark.createDataFrame(
+        sorted(medoids.items()), "cell int, medoid long"
+    )
+
+    # --- insert: the new shard, frozen quantizer + frozen hubs ---
+    new_knn = cell_knn_edges_incremental(emb, is_new, cents, m=_Q232_M)
+    probes_new = ivf_assign(
+        emb.filter(is_new), cents, n_probe=1 + _Q232_BRIDGE
+    ).localCheckpoint(eager=True)  # consumed by bridges AND entry
+    bridges_new = (
+        probes_new.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med_df), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = base_edges.unionByName(new_knn).unionByName(bridges_new)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed once per hop
+    )
+
+    # --- serve: q232's fixed-hop beam for the new-shard queries ---
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0 = (
+        probes_new.filter((F.col("probe_rank") == 0) & q_bound)
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"), F.col("medoid").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.filter(is_new & q_bound).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(F.broadcast(j), on=F.col("vec_id") == F.col("node")).select(
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node"))
+    cand = entry0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    return (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank")
+    )
+
+
+# The incremental graph's batch replay: assignment of ALL nodes under the
+# HISTORY-trained centroid literals; medoids among HISTORY only (the
+# frozen hubs); history kNN among history cell-mates, new kNN against ALL
+# cell-mates; ONE uniform bridge formula over all nodes (valid because
+# the hubs are frozen — history bridges at base build and new bridges at
+# insert evaluate the same expression); symmetrized union; the unrolled
+# beam; rank tail.
+_Q238_GRAPH_CTES = f"""vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+med AS (
+  SELECT cell, vec_id AS medoid FROM (
+    SELECT s.cell, s.vec_id,
+           row_number() OVER (PARTITION BY s.cell
+                              ORDER BY s.sim DESC, s.vec_id) AS r
+    FROM sims s JOIN assigned a ON a.vec_id = s.vec_id AND a.cell = s.cell
+    WHERE s.vec_id % 10 <> 7
+  ) WHERE r = 1
+),
+knnp_h AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+  WHERE a.vec_id % 10 <> 7 AND b.vec_id % 10 <> 7
+),
+knn_h AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knnp_h
+  ) WHERE r <= {_Q232_M}
+),
+knnp_n AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+  WHERE a.vec_id % 10 = 7
+),
+knn_n AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knnp_n
+  ) WHERE r <= {_Q232_M}
+),
+bridges AS (
+  SELECT rk.vec_id AS src, m.medoid AS dst
+  FROM ranked rk JOIN med m ON m.cell = rk.cell
+  WHERE rk.r BETWEEN 2 AND {1 + _Q232_BRIDGE} AND rk.vec_id <> m.medoid
+),
+edges AS (
+  SELECT src, dst FROM knn_h
+  UNION SELECT src, dst FROM knn_n
+  UNION SELECT src, dst FROM bridges
+  UNION SELECT dst AS src, src AS dst FROM knn_h
+  UNION SELECT dst AS src, src AS dst FROM knn_n
+  UNION SELECT dst AS src, src AS dst FROM bridges
+),
+c0 AS (
+  SELECT DISTINCT rk.vec_id AS query_id, m.medoid AS node
+  FROM ranked rk JOIN med m ON m.cell = rk.cell
+  WHERE rk.r = 1 AND rk.vec_id % 10 = 7 AND rk.vec_id < {_Q197_QBOUND}
+)"""
+
+
+_Q238_ORACLE_TEMPLATE = f"""
+WITH {_Q238_GRAPH_CTES},
+{_q232_hop_ctes(_Q232_HOPS)},
+fdist AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM c{_Q232_HOPS} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+)
+SELECT query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, node) AS r
+  FROM fdist
+) WHERE r <= {_Q232_K}
+"""
+
+
+def q238_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q238 oracle: centroids trained on the HISTORY shard
+    (q227's id_filter convention), the incremental graph's batch replay
+    + the unrolled beam."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    return None if values is None else _Q238_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q238_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q239 — NN-descent round ladder: per-round edge recall, monotone
+# --------------------------------------------------------------------------
+
+_Q239_ROUNDS = 2
+
+
+def _nn_descent_round(emb: DataFrame, graph: DataFrame, m: int) -> DataFrame:
+    """One NN-descent keep over a symmetrized candidate graph: candidates
+    = graph ∪ 2-hop(graph) (never self), exact round6-L2 verify on the
+    candidate pairs ONLY (O(n·deg²), never n²), per-src top-m with the
+    (d, dst) tie-break — q237's refine algebra as the shared kernel of
+    the round ladder (q239) and the refined-serving gate (q240).
+    Returns the DIRECTED refined edge list (src, dst)."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        l2sq_cols,
+    )
+
+    e2 = (
+        graph.select(F.col("src").alias("__mid"), "dst")
+        .join(graph.select("src", F.col("dst").alias("__mid")), on="__mid")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cand = graph.unionByName(e2).distinct()
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    scored = (
+        cand.join(
+            va.select(F.col("vec_id").alias("src"), F.col("__v").alias("__sv")),
+            on="src",
+        )
+        .join(
+            va.select(F.col("vec_id").alias("dst"), F.col("__v").alias("__dv")),
+            on="dst",
+        )
+        .select(
+            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("src", "dst")
+    )
+
+
+def _sym_edges(directed: DataFrame) -> DataFrame:
+    return directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def q239_nn_descent_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NN-descent LADDER — q235's rung-by-rung tuning discipline
+    applied to the build side: q237 measures ONE descent round; here
+    every round r ∈ {0..R} is measured over the SHARED base graph so the
+    build budget is priced the way the beam was (how many rounds does
+    this corpus need?). Round 0 = the within-cell kNN lists; round r+1 =
+    per-node top-m over (current symmetrized graph ∪ its 2-hop
+    expansion), with the medoid bridges re-added to each round's
+    candidate GRAPH (the long-range links keep cross-cell candidates
+    flowing every round, exactly as q237 used them once).
+
+    Monotonicity is structural, not sampled: round r+1's candidate set
+    CONTAINS round r's kept list, and by the exact-top-m exchange
+    argument a kept true edge can only ever be displaced by a CLOSER
+    edge — which is itself true — so per-round edge recall is
+    non-decreasing by construction (pytest-locked), and the measured
+    ladder shows where it saturates.
+
+    Output: one row per round (round, m, n_true, edge_recall) against
+    the exact top-m truth on the q237 hash sample. Scale shape: each
+    round is one edge-table self-join + two id-keyed vector joins —
+    O(n·deg²) candidates, never n²; the truth side is sample-bounded.
+    Oracle: the shared graph CTEs + the refine algebra unrolled once
+    per round."""
+    from functools import reduce
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    knn = cell_knn_edges(emb, cents, m=_Q232_M).localCheckpoint(eager=True)
+    med = cell_medoids(emb, cents)
+    probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+        .localCheckpoint(eager=True)  # re-added to every round's graph
+    )
+
+    lists = {0: knn}
+    graph = _sym_edges(knn.unionByName(bridges)).localCheckpoint(eager=True)
+    for r in range(1, _Q239_ROUNDS + 1):
+        refined = _nn_descent_round(emb, graph, _Q232_M).localCheckpoint(
+            eager=True
+        )  # consumed by the recall row AND the next round's graph
+        lists[r] = refined
+        if r < _Q239_ROUNDS:
+            graph = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
+                eager=True
+            )
+
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue = (
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)  # one consumer per round + the count
+    )
+    nt = strue.agg(F.count(F.lit(1)).alias("nt"))
+    frames = []
+    for r, lst in sorted(lists.items()):
+        h = lst.join(strue, on=["src", "dst"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        frames.append(
+            nt.crossJoin(F.broadcast(h)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(_Q232_M).cast("long").alias("m"),
+                F.col("nt").cast("long").alias("n_true"),
+                F.round(
+                    F.col("h").cast("double")
+                    / F.greatest(F.col("nt"), F.lit(1))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("edge_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _q239_round_ctes(r: int) -> str:
+    """One NN-descent round unrolled: candidates = current graph ∪ its
+    2-hop expansion, exact verify, per-src top-m keep, then the next
+    round's symmetrized candidate graph (bridges re-added)."""
+    g_in = "edges" if r == 1 else f"g{r - 1}"
+    return f"""e2_{r} AS (
+  SELECT a.src, b.dst
+  FROM {g_in} a JOIN {g_in} b ON a.dst = b.src AND b.dst <> a.src
+),
+cand_{r} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {g_in} UNION ALL SELECT src, dst FROM e2_{r}
+  )
+),
+cscored_{r} AS (
+  SELECT c.src, c.dst, {_Q232_L2.format(a='sv', b='dv')} AS d
+  FROM cand_{r} c
+  JOIN vecs sv ON sv.vec_id = c.src
+  JOIN vecs dv ON dv.vec_id = c.dst
+),
+refined_{r} AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM cscored_{r}
+  ) WHERE r <= {_Q232_M}
+),
+g{r} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM refined_{r} UNION ALL SELECT src, dst FROM bridges
+    UNION ALL SELECT dst AS src, src AS dst FROM refined_{r}
+    UNION ALL SELECT dst AS src, src AS dst FROM bridges
+  )
+)"""
+
+
+def _q239_recall_row(rnd: int, list_cte: str) -> str:
+    return f"""SELECT CAST({rnd} AS BIGINT) AS round,
+       CAST({_Q232_M} AS BIGINT) AS m,
+       (SELECT CAST(count(*) AS BIGINT) FROM strue) AS n_true,
+       round(CAST((SELECT count(*) FROM {list_cte} l
+                   JOIN strue t ON t.src = l.src AND t.dst = l.dst) AS DOUBLE)
+             / greatest((SELECT count(*) FROM strue), 1) + 1e-9, 6)
+         AS edge_recall"""
+
+
+_Q239_ORACLE_TEMPLATE = (
+    f"""
+WITH {_Q232_GRAPH_CTES},
+"""
+    + ",\n".join(_q239_round_ctes(r) for r in range(1, _Q239_ROUNDS + 1))
+    + f""",
+sscored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_Q237_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+strue AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst) AS r
+    FROM sscored
+  ) WHERE r <= {_Q232_M}
+)
+"""
+    + "\nUNION ALL\n".join(
+        _q239_recall_row(r, "knn" if r == 0 else f"refined_{r}")
+        for r in range(_Q239_ROUNDS + 1)
+    )
+)
+
+
+def q239_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q239 oracle: the shared graph CTEs + the refine algebra
+    unrolled once per round + one recall row per round."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q239_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q239_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q240 — refined-graph SERVING: the NN-descent payoff at the query surface
+# --------------------------------------------------------------------------
+
+
+def q240_refined_graph_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does NN-descent pay at the surface that matters? q237/q239
+    measure EDGE recall (build quality); this gate measures QUERY recall
+    — q232's fixed-hop beam run twice over the SHARED build artifacts,
+    once on the base graph and once on the rewired one (one NN-descent
+    round, bridges re-added for the long-range links), both against the
+    same exact-L2 truth. One row: (m, beam, hops, n_queries,
+    avg/min recall on each graph) — the number that decides whether the
+    descent rounds earn their O(n·deg²) cost in production serving,
+    completing the chain q232 (price the family) → q235 (tune the beam)
+    → q237/q239 (refine the build) → THIS (verify the refinement at the
+    serving surface).
+
+    Scale shape: the Σ|cell|² base build and the exact baseline are paid
+    ONCE (the shared checkpointed setup); the rewire is one edge-table
+    self-join + candidate-bounded verify; each traversal is q232's
+    bounded-candidate broadcast ladder. Oracle: the shared graph CTEs +
+    the refine round + BOTH unrolled beam chains (tagged hop CTEs over
+    `edges` and the rewired `g1`) in one statement."""
+    setup = _q232_setup(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    edges, bridges = setup[1], setup[6]
+    refined = _nn_descent_round(emb, edges, _Q232_M)
+    edges_r = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
+        eager=True  # consumed once per hop of the refined traversal
+    )
+    setup_r = (setup[0], edges_r) + setup[2:5]
+
+    perq_b = _q232_perq_recall(setup, _Q232_BEAM)
+    perq_r = _q232_perq_recall(setup_r, _Q232_BEAM)
+    agg_b = perq_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall_base"),
+        F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall_base"),
+    )
+    agg_r = perq_r.agg(
+        F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall_refined"),
+        F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall_refined"),
+    )
+    return agg_b.crossJoin(F.broadcast(agg_r)).select(
+        F.lit(_Q232_M).cast("long").alias("m"),
+        F.lit(_Q232_BEAM).cast("long").alias("beam"),
+        F.lit(_Q232_HOPS).cast("long").alias("hops"),
+        "n_queries",
+        "avg_recall_base",
+        "min_recall_base",
+        "avg_recall_refined",
+        "min_recall_refined",
+    )
+
+
+def _q240_serve_tail(tag: str, hops: int) -> str:
+    """fdist/served/hits/perq chain for one tagged traversal."""
+    return f"""fdist{tag} AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM c{tag}{hops} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+),
+served{tag} AS (
+  SELECT query_id, node AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, node) AS r
+    FROM fdist{tag}
+  ) WHERE r <= {_Q232_K}
+),
+hits{tag} AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served{tag} s ON s.query_id = e.query_id
+                    AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq{tag} AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q232_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits{tag} h ON h.query_id = e.query_id
+)"""
+
+
+_Q240_ORACLE_TEMPLATE = f"""
+WITH {_Q232_GRAPH_CTES},
+{_q239_round_ctes(1)},
+cb0 AS (SELECT query_id, node FROM c0),
+cr0 AS (SELECT query_id, node FROM c0),
+{_q232_hop_ctes(_Q232_HOPS, tag="b", edges_cte="edges")},
+{_q232_hop_ctes(_Q232_HOPS, tag="r", edges_cte="g1")},
+{_q240_serve_tail("b", _Q232_HOPS)},
+{_q240_serve_tail("r", _Q232_HOPS)},
+aggb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(recall) + 1e-9, 6) AS avg_recall_base,
+         round(min(recall) + 1e-9, 6) AS min_recall_base
+  FROM perqb
+),
+aggr AS (
+  SELECT round(avg(recall) + 1e-9, 6) AS avg_recall_refined,
+         round(min(recall) + 1e-9, 6) AS min_recall_refined
+  FROM perqr
+)
+SELECT CAST({_Q232_M} AS BIGINT) AS m,
+       CAST({_Q232_BEAM} AS BIGINT) AS beam,
+       CAST({_Q232_HOPS} AS BIGINT) AS hops,
+       n_queries, avg_recall_base, min_recall_base,
+       avg_recall_refined, min_recall_refined
+FROM aggb CROSS JOIN aggr
+"""
+
+
+def q240_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q240 oracle: shared graph CTEs + one refine round + both
+    tagged beam unrolls + both recall chains in one statement."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q240_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q240_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
@@ -5653,6 +6354,18 @@ SPECS = make_specs(
         ("q237_nn_descent_refine", q237_nn_descent_refine, Q237_ORACLE, (),
          "NN-descent graph refinement: neighbor-of-neighbor candidates, "
          "exact verify, edge-recall audit before vs after"),
+        ("q238_incremental_graph_ann", q238_incremental_graph_ann,
+         Q238_ORACLE, (),
+         "incremental graph-ANN index: persisted directed edges + "
+         "frozen hubs, HNSW-style insert, beam serve (incremental ≡ "
+         "batch oracle)"),
+        ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
+         "NN-descent round ladder: per-round edge recall vs exact "
+         "truth, monotone by construction"),
+        ("q240_refined_graph_serving", q240_refined_graph_serving,
+         Q240_ORACLE, (),
+         "refined-graph serving gate: q232's beam on base vs "
+         "NN-descent-rewired graph, query recall side by side"),
     ]
 )
 
@@ -5714,6 +6427,15 @@ SPECS["q235_graph_ann_sla"] = _dc.replace(
 )
 SPECS["q237_nn_descent_refine"] = _dc.replace(
     SPECS["q237_nn_descent_refine"], oracle_fn=q237_oracle_for
+)
+SPECS["q238_incremental_graph_ann"] = _dc.replace(
+    SPECS["q238_incremental_graph_ann"], oracle_fn=q238_oracle_for
+)
+SPECS["q239_nn_descent_rounds"] = _dc.replace(
+    SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
+)
+SPECS["q240_refined_graph_serving"] = _dc.replace(
+    SPECS["q240_refined_graph_serving"], oracle_fn=q240_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
