@@ -163,6 +163,13 @@ BUDGETS = [
     # Base-vs-refined serve: two q232 serve tails over checkpointed
     # graphs + the 1-row aggregate crossJoin.
     ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),
+    # PCA projection: scan → two fold expressions — zero exchanges,
+    # zero joins, zero Python (literal loadings, whole-stage codegen).
+    ("q241_pca_projection", 0, [], ["Join", "Python", "InPandas"]),
+    # PCA-screened ANN: checkpointed projection + broadcast screen +
+    # broadcast rerank + top-k windows + recall joins — never a
+    # cartesian or a sort-merge join.
+    ("q242_pca_ann_gate", 6, [], ["CartesianProduct", "SortMergeJoin"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

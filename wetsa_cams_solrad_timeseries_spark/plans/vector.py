@@ -5538,6 +5538,352 @@ Q240_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q241 — PCA projection: the dimension-reduction transform, distributed
+# --------------------------------------------------------------------------
+
+_Q241_COMPONENTS = 2
+
+
+def _pca_params(path: str, n_components: int):
+    """(mean, loadings) for the embeddings parquet at ``path`` — the
+    oracle twin of ``operators/decomposition.pca_fit``: the SAME
+    hash-bounded row selection (``hash_bounded_sample_py``) through the
+    SAME ``pca_core`` numpy steps yields bit-identical parameters, so
+    the SQL replay projects with literals that match the engine's to the
+    last bit (the ``_ivf_centroid_values`` discipline). None when the
+    testdata or DuckDB is unavailable."""
+    try:
+        import duckdb
+        import numpy as np
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        pca_core,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample_py,
+    )
+
+    try:
+        rows = duckdb.sql(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{path}') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:  # noqa: BLE001 — no oracle beats a broken import
+        return None
+    mat = hash_bounded_sample_py(
+        [r[0] for r in rows],
+        np.array([r[1] for r in rows], dtype=np.float64),
+    )
+    mean, comps, _ = pca_core(mat, n_components)
+    return mean, comps
+
+
+def _sql_double_array(vals) -> str:
+    return "CAST([{}] AS DOUBLE[])".format(
+        ", ".join(repr(float(x)) for x in vals)
+    )
+
+
+_PCA_FOLD = (
+    "round(list_sum([(v[i] - mu[i]) * {w}[i] "
+    f"FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6)"
+)
+
+
+def q241_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding table — the DIMENSION-REDUCTION transform
+    the index family's matrix (rotation=OPQ q214, scalar grid=SQ8 q220,
+    subspace codebooks=PQ q195) did not yet cover, in its analytic form:
+    every vector projected onto the two leading principal axes (the 2-D
+    map a curation UI plots a corpus with).
+
+    Training follows the repo's trainer discipline (hash-bounded sample,
+    driver-side numpy — ``operators/decomposition.pca_fit``; index
+    training is parameter-sized even in FAISS), with a TOTAL
+    deterministic rule for the basis (eigh + descending eigenvalue +
+    largest-component-positive sign), so the oracle twin reproduces the
+    loadings bit-for-bit and replays the projection over literals. The
+    PROJECTION — the data-sized pass — is two whole-stage-codegen fold
+    expressions (no Python, no shuffle: scan → project), round6'd for
+    the cross-engine fold parity every kernel here uses.
+
+    Scale shape: one corpus scan, zero exchanges; the alternative
+    full-corpus trainer input (``gram_moments``: scan-stage Arrow kernel
+    + one d²-key aggregation, d²+d+1 result rows) is implemented and
+    pytest-locked against the sample path for clusters where even the
+    bounded sample must not leave the executors."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        pca_fit,
+        pca_project_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=_Q241_COMPONENTS)
+    pcs = pca_project_cols(
+        to_double_array(F.col("embedding")), mean, comps
+    )
+    return emb.select(
+        "vec_id", pcs[0].alias("pc1"), pcs[1].alias("pc2")
+    )
+
+
+def q241_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q241 oracle: bit-identical (mean, loadings) literals +
+    the same round6 fold projection in SQL."""
+    params = _pca_params(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        _Q241_COMPONENTS,
+    )
+    if params is None:
+        return None
+    mean, comps = params
+    return f"""
+WITH params AS (
+  SELECT {_sql_double_array(mean)} AS mu,
+         {_sql_double_array(comps[0])} AS w1,
+         {_sql_double_array(comps[1])} AS w2
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       {_PCA_FOLD.format(w='w1')} AS pc1,
+       {_PCA_FOLD.format(w='w2')} AS pc2
+FROM vecs CROSS JOIN params
+"""
+
+
+Q241_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
+# q242 — PCA-screened ANN: low-rank candidate screen + exact rerank
+# --------------------------------------------------------------------------
+
+_Q242_RDIMS = 8
+_Q242_SCREEN_R = 30
+_Q242_K = 3
+_Q242_NQ = 8
+
+
+def q242_pca_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-screened ANN — the dimension-reduction rung of the index
+    ladder, priced on the same recall axis as the rest of the family
+    (q39 LSH / q56 IVF / q195 PQ / q213 rerank / q220 SQ8 / q224 binary
+    / q232 graph): candidates come from squared-L2 in the ``r``-dim
+    principal subspace (an 8× cheaper distance that needs only the
+    projected table), the top-``R`` survivors are reranked by exact
+    full-dim L2, recall@k measured against the exact baseline. One row:
+    (r_dims, screen_r, k, n_queries, avg_recall, min_recall).
+
+    Scale shape: projection is one scan-stage Arrow matmul per batch
+    (``pca_project_batches`` — r fold trees of d terms would bloat
+    codegen, the cell_knn_edges lesson); the screen broadcasts the
+    bounded query projections into the projected-corpus scan; the rerank
+    touches R·|Q| candidate rows only. At 100 TB the projected table is
+    the PERSISTED artifact (8 doubles vs 64 per row — an 8× scan saving
+    on every screen) and the full vectors are read only for candidates.
+
+    Oracle: bit-identical (mean, loadings) literals (the pca_fit twin),
+    fold-projected coordinates, the same screen/rerank/recall algebra."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        pca_fit,
+        pca_project_batches,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=_Q242_RDIMS)
+    proj = pca_project_batches(emb, mean, comps).localCheckpoint(
+        eager=True  # consumed by the corpus side AND the query side
+    )
+    qpred = F.col("vec_id") < _Q242_NQ
+    qp = proj.filter(qpred).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("__qp")
+    )
+    rscored = (
+        proj.select(F.col("vec_id").alias("neighbor_id"), "p")
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_cols(F.col("__qp"), F.col("p")).alias("rd"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rd").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        rscored.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= _Q242_SCREEN_R)
+        .select("query_id", "neighbor_id")
+    )
+
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.filter(qpred).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    rerank = (
+        va.join(
+            F.broadcast(cand.join(F.broadcast(qv), on="query_id")),
+            on=F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    served = (
+        rerank.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _Q242_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    exact = brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)  # hit join + query-universe join
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q242_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    return perq.agg(
+        F.lit(_Q242_RDIMS).cast("long").alias("r_dims"),
+        F.lit(_Q242_SCREEN_R).cast("long").alias("screen_r"),
+        F.lit(_Q242_K).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+        F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+    )
+
+
+def q242_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q242 oracle: (mean, loadings) literals, fold-projected
+    coordinates, reduced-space screen, exact rerank, recall algebra."""
+    params = _pca_params(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"), _Q242_RDIMS
+    )
+    if params is None:
+        return None
+    mean, comps = params
+    warrs = ",\n         ".join(
+        f"{_sql_double_array(w)} AS w{j + 1}" for j, w in enumerate(comps)
+    )
+    pfold = ",\n          ".join(
+        _PCA_FOLD.format(w=f"w{j + 1}") for j in range(len(comps))
+    )
+    return f"""
+WITH params AS (
+  SELECT {_sql_double_array(mean)} AS mu,
+         {warrs}
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         [{pfold}] AS p
+  FROM vecs CROSS JOIN params
+),
+rscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([(q.p[j] - c.p[j]) * (q.p[j] - c.p[j])
+                   FOR j IN range(1, {_Q242_RDIMS} + 1)]) + 1e-9, 6) AS rd
+  FROM proj q JOIN proj c
+    ON q.vec_id < {_Q242_NQ} AND c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rd, neighbor_id) AS r
+    FROM rscored
+  ) WHERE r <= {_Q242_SCREEN_R}
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS r
+    FROM rerank
+  ) WHERE r <= {_Q242_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q242_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q242_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q242_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+)
+SELECT CAST({_Q242_RDIMS} AS BIGINT) AS r_dims,
+       CAST({_Q242_SCREEN_R} AS BIGINT) AS screen_r,
+       CAST({_Q242_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall
+FROM perq
+"""
+
+
+Q242_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -6366,6 +6712,12 @@ SPECS = make_specs(
          Q240_ORACLE, (),
          "refined-graph serving gate: q232's beam on base vs "
          "NN-descent-rewired graph, query recall side by side"),
+        ("q241_pca_projection", q241_pca_projection, Q241_ORACLE, (),
+         "PCA projection: deterministic 2-component basis, "
+         "whole-stage-codegen fold projection (bit-identical twin)"),
+        ("q242_pca_ann_gate", q242_pca_ann_gate, Q242_ORACLE, (),
+         "PCA-screened ANN: low-rank candidate screen + exact rerank, "
+         "recall gate vs exact L2 baseline"),
     ]
 )
 
@@ -6436,6 +6788,12 @@ SPECS["q239_nn_descent_rounds"] = _dc.replace(
 )
 SPECS["q240_refined_graph_serving"] = _dc.replace(
     SPECS["q240_refined_graph_serving"], oracle_fn=q240_oracle_for
+)
+SPECS["q241_pca_projection"] = _dc.replace(
+    SPECS["q241_pca_projection"], oracle_fn=q241_oracle_for
+)
+SPECS["q242_pca_ann_gate"] = _dc.replace(
+    SPECS["q242_pca_ann_gate"], oracle_fn=q242_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
