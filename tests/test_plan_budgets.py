@@ -170,6 +170,10 @@ BUDGETS = [
     # broadcast rerank + top-k windows + recall joins — never a
     # cartesian or a sort-merge join.
     ("q242_pca_ann_gate", 6, [], ["CartesianProduct", "SortMergeJoin"]),
+    # Screen-depth SLA: 3 rungs × (rank filter + recall tail) over the
+    # ONE checkpointed rerank frame + the pick crossJoin — every
+    # exchange moves candidate- or rung-sized data only.
+    ("q243_pca_screen_sla", 26, [], ["CartesianProduct", "SortMergeJoin"]),
     # Tuned serving: ADC screen (broadcast LUT) + broadcast candidate
     # rerank + broadcast recall joins — the corpus never shuffles.
     ("q216_ann_serving_sla", 5, [], ["CartesianProduct", "SortMergeJoin"]),

@@ -429,3 +429,33 @@ def test_q237_refinement_dominates_base_graph(spark, sf_dir):
     assert row["recall_after"] >= row["recall_before"]
     assert row["n_true"] > 0 and row["n_sampled"] > 0
     assert 0.0 <= row["recall_before"] <= row["recall_after"] <= 1.0 + 1e-9
+
+
+def test_q243_ladder_pick_is_minimal_met_rung(spark, sf_dir):
+    # q243's structural contract, q235's shape on the PCA screen: one
+    # audit row per depth rung; recall is MONOTONE in depth (the rung
+    # candidate sets are prefixes of one ranking, so a deeper screen can
+    # only add candidates and the exact rerank can only improve); at
+    # most one row picked = the cheapest met rung.
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q243_LADDER,
+        _Q243_TARGET,
+        q243_pca_screen_sla,
+    )
+
+    rows = sorted(
+        q243_pca_screen_sla(spark, sf_dir).collect(),
+        key=lambda r: r["screen_r"],
+    )
+    assert [r["screen_r"] for r in rows] == list(_Q243_LADDER)
+    recalls = [r["avg_recall"] for r in rows]
+    assert recalls == sorted(recalls), f"screen recall not monotone: {recalls}"
+    assert all(0.0 <= x <= 1.0 + 1e-9 for x in recalls)
+    met = [r for r in rows if r["met"]]
+    picked = [r for r in rows if r["picked"]]
+    if met:
+        assert len(picked) == 1
+        assert picked[0]["screen_r"] == min(r["screen_r"] for r in met)
+        assert picked[0]["avg_recall"] >= _Q243_TARGET
+    else:
+        assert not picked

@@ -5884,6 +5884,263 @@ Q242_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q243 — PCA screen-depth SLA: the rung ladder from ONE scored pass
+# --------------------------------------------------------------------------
+
+_Q243_LADDER = (10, 30, 100)
+_Q243_TARGET = 0.9
+
+
+def q243_pca_screen_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning discipline on the PCA screen (q216 IVF / q228 hybrid /
+    q235 graph → THIS): q242's screen depth is a hand-picked constant —
+    here the whole depth ladder is measured and the minimal rung meeting
+    recall@3 ≥ 0.9 is flagged. Unlike q235 (each beam rung is a full
+    traversal), the PCA screen has the PREFIX PROPERTY: depth-R's
+    candidate set is the first R of ONE reduced-space ranking, so the
+    reduced scoring AND the exact rerank distances are computed ONCE at
+    the ladder maximum and every rung is a rank filter over the same
+    checkpointed frame — the q228 measure-once-serve-prefix trick.
+    Output: one row per rung (screen_r, r_dims, k, n_queries, avg/min
+    recall, met) with ``picked`` on the cheapest rung that met, the pick
+    computed in-plan (min over met rungs — broadcast 1-row aggregate)
+    and replayed by the oracle's scalar subquery.
+
+    Scale shape: one projected-corpus screen pass + ONE candidate rerank
+    at max depth (R_max·|Q| rows); rung count is a constant. The ladder
+    may saturate on this corpus (the q221 flat-S-curve convention) —
+    the audit records whichever is true."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        pca_fit,
+        pca_project_batches,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=_Q242_RDIMS)
+    proj = pca_project_batches(emb, mean, comps).localCheckpoint(eager=True)
+    qpred = F.col("vec_id") < _Q242_NQ
+    qp = proj.filter(qpred).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("__qp")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rd").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        proj.select(F.col("vec_id").alias("neighbor_id"), "p")
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_cols(F.col("__qp"), F.col("p")).alias("rd"),
+        )
+        .withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= max(_Q243_LADDER))
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.filter(qpred).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    rerank = (
+        va.join(
+            F.broadcast(cand.join(F.broadcast(qv), on="query_id")),
+            on=F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rr",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+        .localCheckpoint(eager=True)  # one rank filter per rung
+    )
+    exact = (
+        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # consumed by every rung
+    )
+
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    rows = None
+    for depth in _Q243_LADDER:
+        served = (
+            rerank.filter(F.col("rr") <= depth)
+            .withColumn("r", F.row_number().over(wd))
+            .filter(F.col("r") <= _Q242_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        perq = (
+            exact.select("query_id")
+            .distinct()
+            .join(F.broadcast(hits), on="query_id", how="left")
+            .select(
+                F.round(
+                    F.coalesce("h", F.lit(0)).cast("double") / _Q242_K
+                    + F.lit(1e-9),
+                    6,
+                ).alias("recall")
+            )
+        )
+        r = perq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+            F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+        ).select(
+            F.lit(depth).cast("long").alias("screen_r"),
+            F.lit(_Q242_RDIMS).cast("long").alias("r_dims"),
+            F.lit(_Q242_K).cast("long").alias("k"),
+            "n_queries",
+            "avg_recall",
+            "min_recall",
+            (F.col("avg_recall") >= F.lit(float(_Q243_TARGET))).alias("met"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    mr = rows.filter(F.col("met")).agg(F.min("screen_r").alias("__mr"))
+    return rows.crossJoin(F.broadcast(mr)).select(
+        "screen_r",
+        "r_dims",
+        "k",
+        "n_queries",
+        "avg_recall",
+        "min_recall",
+        "met",
+        F.coalesce(
+            F.col("met") & (F.col("screen_r") == F.col("__mr")), F.lit(False)
+        ).alias("picked"),
+    )
+
+
+def _q243_rung_sql(depth: int) -> str:
+    return f"""served_{depth} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS r
+    FROM rerank WHERE rr <= {depth}
+  ) WHERE r <= {_Q242_K}
+),
+hits_{depth} AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served_{depth} s ON s.query_id = e.query_id
+                       AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq_{depth} AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q242_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits_{depth} h ON h.query_id = e.query_id
+),
+row_{depth} AS (
+  SELECT CAST({depth} AS BIGINT) AS screen_r,
+         CAST({_Q242_RDIMS} AS BIGINT) AS r_dims,
+         CAST({_Q242_K} AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(recall) + 1e-9, 6) AS avg_recall,
+         round(min(recall) + 1e-9, 6) AS min_recall,
+         round(avg(recall) + 1e-9, 6) >= {_Q243_TARGET} AS met
+  FROM perq_{depth}
+)"""
+
+
+def q243_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q243 oracle: q242's literal-projected screen scored once
+    at the ladder max, one rank-filtered rung chain per depth, the pick
+    as a scalar subquery over the union."""
+    params = _pca_params(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"), _Q242_RDIMS
+    )
+    if params is None:
+        return None
+    mean, comps = params
+    warrs = ",\n         ".join(
+        f"{_sql_double_array(w)} AS w{j + 1}" for j, w in enumerate(comps)
+    )
+    pfold = ",\n          ".join(
+        _PCA_FOLD.format(w=f"w{j + 1}") for j in range(len(comps))
+    )
+    rungs = ",\n".join(_q243_rung_sql(d) for d in _Q243_LADDER)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row_{d}" for d in _Q243_LADDER
+    )
+    return f"""
+WITH params AS (
+  SELECT {_sql_double_array(mean)} AS mu,
+         {warrs}
+),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         [{pfold}] AS p
+  FROM vecs CROSS JOIN params
+),
+rscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([(q.p[j] - c.p[j]) * (q.p[j] - c.p[j])
+                   FOR j IN range(1, {_Q242_RDIMS} + 1)]) + 1e-9, 6) AS rd
+  FROM proj q JOIN proj c
+    ON q.vec_id < {_Q242_NQ} AND c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, rr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rd, neighbor_id) AS rr
+    FROM rscored
+  ) WHERE rr <= {max(_Q243_LADDER)}
+),
+rerank AS (
+  SELECT c.query_id, c.neighbor_id, c.rr,
+         {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c ON q.vec_id < {_Q242_NQ} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q242_K}
+),
+{rungs},
+ladder AS (
+{union}
+)
+SELECT screen_r, r_dims, k, n_queries, avg_recall, min_recall, met,
+       coalesce(met AND screen_r = (SELECT min(screen_r) FROM ladder
+                                    WHERE met), FALSE) AS picked
+FROM ladder
+"""
+
+
+Q243_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -6718,6 +6975,10 @@ SPECS = make_specs(
         ("q242_pca_ann_gate", q242_pca_ann_gate, Q242_ORACLE, (),
          "PCA-screened ANN: low-rank candidate screen + exact rerank, "
          "recall gate vs exact L2 baseline"),
+        ("q243_pca_screen_sla", q243_pca_screen_sla, Q243_ORACLE, (),
+         "PCA screen-depth SLA: the rung ladder from ONE scored pass "
+         "(prefix property), minimal depth meeting recall@3 picked "
+         "in-plan"),
     ]
 )
 
@@ -6794,6 +7055,9 @@ SPECS["q241_pca_projection"] = _dc.replace(
 )
 SPECS["q242_pca_ann_gate"] = _dc.replace(
     SPECS["q242_pca_ann_gate"], oracle_fn=q242_oracle_for
+)
+SPECS["q243_pca_screen_sla"] = _dc.replace(
+    SPECS["q243_pca_screen_sla"], oracle_fn=q243_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
