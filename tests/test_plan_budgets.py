@@ -148,6 +148,9 @@ BUDGETS = [
     # rollup — the shingle screen ran per micro-batch against the static
     # broadcast eval dictionary.
     ("q236_streaming_decontamination", 1, [], ["CartesianProduct", "Join"]),
+    # Streaming LSH near-dup: the drained pair scan — banding and the
+    # index probe ran per micro-batch inside the committed generations.
+    ("q244_streaming_lsh_neardup", 0, [], ["Join", "Python"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

@@ -470,3 +470,23 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_lsh_pairs_equal_batch_lsh(spark, sf_dir):
+    # q244's contract at the pair-set surface: the drained cross-batch
+    # candidate set equals the one-pass batch LSH (q33) exactly — batch
+    # boundaries, arrival order, and at-least-once re-execution cannot
+    # change which pairs surface, and no pair is emitted twice (the
+    # sorted-multiset compare would catch a duplicate emission).
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        q33_minhash_lsh,
+        q244_streaming_lsh_neardup,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in q244_streaming_lsh_neardup(spark, sf_dir).collect()
+    )
+    batch = sorted(tuple(r) for r in q33_minhash_lsh(spark, sf_dir).collect())
+    assert streamed, "streaming LSH surfaced no candidate pairs"
+    assert streamed == batch
+    assert len(streamed) == len(set(streamed)), "a pair was emitted twice"

@@ -268,6 +268,40 @@ FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
 
+def q244_streaming_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q33's MinHash-LSH near-dup discovery riding the ingest stream —
+    the CROSS-BATCH member the streaming curation family was missing
+    (q234's quality gate and q236's decontamination are per-batch
+    screens against static sides; near-dup needs STATE, because a
+    duplicate's partner may have arrived hours earlier): each
+    micro-batch appends its band rows to the accumulated band index
+    (batchId-gated generations, pairs-write-last commit gate) and probes
+    the index with its own bands, emitting canonicalized candidate
+    pairs. A pair surfaces exactly once — in the batch where its
+    later-arriving member lands — so the drained set is independent of
+    batch boundaries and arrival order, and the oracle is q33's batch
+    SQL VERBATIM (the q207 index ≡ recompute discipline applied to the
+    stream): stream-built near-dup ≡ one-pass batch LSH, proven at the
+    pair-set surface.
+
+    Scale shape: per batch one shingle→signature pass over the NEW
+    shard only (history text never re-read) + one band equi-join of
+    delta-sized new bands against the index — q193's probe shape on a
+    stream; at 100 TB the generation dirs become the bucketed band
+    table and the hot-bucket cap (q209) bounds probe fan-out."""
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        _split_documents,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.lsh_stream import (
+        streaming_lsh_pairs,
+    )
+
+    split_dir = _split_documents(spark, sf_dir, n_files=3)
+    return streaming_lsh_pairs(
+        spark, split_dir, n_perm=_N_PERM, bands=_BANDS
+    )
+
+
 # --------------------------------------------------------------------------
 # q209 — LSH candidate pairs under a hot-bucket occupancy cap
 # --------------------------------------------------------------------------
@@ -1107,6 +1141,10 @@ SPECS = make_specs(
         ("q31_dedup_exact", q31_dedup_exact, Q31_ORACLE, (), "exact hash dedup"),
         ("q32_ngram_jaccard", q32_ngram_jaccard, Q32_ORACLE, (), "n-gram Jaccard near-dup pairs"),
         ("q33_minhash_lsh", q33_minhash_lsh, Q33_ORACLE, (), "MinHash+LSH candidate pairs"),
+        ("q244_streaming_lsh_neardup", q244_streaming_lsh_neardup,
+         Q33_ORACLE, (),
+         "streaming MinHash-LSH near-dup: band index as cross-batch "
+         "state, exactly-once pairs (oracle = q33's batch SQL verbatim)"),
         ("q209_lsh_bucket_cap", q209_lsh_bucket_cap, Q209_ORACLE, (),
          "LSH candidates under a hot-bucket occupancy cap (boilerplate-"
          "skew lever; deterministic lowest-id retention)"),
