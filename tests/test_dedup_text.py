@@ -389,3 +389,49 @@ def test_dedup_gate_scurve_bends(spark):
     assert all(a <= b + 1e-12 for a, b in zip(rs, rs[1:])), rs  # monotone
     assert rs[0] < 1.0, rs  # the low end genuinely loses pairs
     assert rs[-1] > rs[0], rs  # and the curve actually bends upward
+
+
+def test_incremental_curation_steady_state_never_rebuilds(
+    spark, sf_dir, monkeypatch
+):
+    # q245's lifecycle contract: once the state generation exists
+    # (history md5 set + bucketed band index), a steady-state run loads
+    # both tables and never re-runs the history build. write_bucketed
+    # is build-path-only, so with it bombed the second run must still
+    # produce the identical attrition audit.
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        q245_incremental_curation,
+    )
+
+    first = sorted(
+        tuple(r) for r in q245_incremental_curation(spark, sf_dir).collect()
+    )
+    assert len(first) == 5 and first[0][2] > 0, first
+
+    import wetsa_cams_solrad_timeseries_spark.sinks.bucketed as bucketed
+
+    def boom(*a, **k):
+        raise AssertionError("steady-state run rebuilt the curation state")
+
+    monkeypatch.setattr(bucketed, "write_bucketed", boom)
+    second = sorted(
+        tuple(r) for r in q245_incremental_curation(spark, sf_dir).collect()
+    )
+    assert second == first
+
+
+def test_incremental_curation_attrition_is_monotone(spark, sf_dir):
+    # Every stage only removes documents: n_docs and n_tokens are
+    # non-increasing in stage order.
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        q245_incremental_curation,
+    )
+
+    rows = sorted(
+        q245_incremental_curation(spark, sf_dir).collect(),
+        key=lambda r: r["stage_ord"],
+    )
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["n_tokens"] for r in rows]
+    assert docs == sorted(docs, reverse=True), docs
+    assert toks == sorted(toks, reverse=True), toks

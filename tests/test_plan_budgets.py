@@ -151,6 +151,10 @@ BUDGETS = [
     # Streaming LSH near-dup: the drained pair scan — banding and the
     # index probe ran per micro-batch inside the committed generations.
     ("q244_streaming_lsh_neardup", 0, [], ["Join", "Python"]),
+    # Incremental curation: five 1-row audit aggregates over the
+    # checkpointed stage survivor frames (stage joins ran at checkpoint
+    # time under the q193 probe shape) — one exchange per audit row.
+    ("q245_incremental_curation", 5, [], ["CartesianProduct", "Join"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

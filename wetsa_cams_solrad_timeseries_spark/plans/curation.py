@@ -2614,6 +2614,440 @@ GROUP BY d.source
 """
 
 
+# --------------------------------------------------------------------------
+# q245 — incremental curation: the day's shard against persisted state
+# --------------------------------------------------------------------------
+
+_Q245_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def q245_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q229's curation pipeline in its INCREMENTAL form — the shape a
+    production ingest actually runs every day: curate ONLY the new shard
+    (doc_id % 10 == 7) against PERSISTED history state, never re-reading
+    or re-curating the history corpus. History is immutable
+    (first-seen-wins): a new doc is dropped if its text already exists
+    in the curated store, or near-matches it, regardless of ids.
+
+    Persisted state (the q193/q227/q238 lifecycle): the curated
+    history's (a) exact-dedup md5 set and (b) MinHash band index — the
+    index bucketed on the probe key (``sinks/bucketed.py``), written
+    LAST as the generation commit gate; steady state loads both and the
+    history corpus is re-read only for the CANDIDATE docs of the LSH
+    verify (a semi-join on the bounded candidate id set —
+    tests/test_graph_incremental.py bombs ``write_bucketed`` to prove
+    the build path never re-runs).
+
+    Stages on the new shard, each with an attrition audit row
+    (stage_ord, stage, n_docs, n_tokens):
+      0. ingest_new         — the arriving shard;
+      1. quality            — the shared q36/q90 scan-stage gate;
+      2. exact_vs_history   — md5 ∉ history set AND lowest-id within the
+                              shard's own md5 group (q31's canonical rule
+                              under history immutability);
+      3. lsh_vs_history     — band-probe the persisted index AND the
+                              shard's own bands; exact-Jaccard verify ≥
+                              0.5 on candidates only; drop a new doc that
+                              verifies against ANY history doc or a
+                              lower-id shard-mate;
+      4. decontaminate      — q104's 4-shingle screen (eval set static,
+                              from the ORIGINAL corpus).
+
+    Scale shape: per run, work is proportional to the new shard (scan
+    gate, one md5 anti-join against a key-only table, shingle→signature
+    →bands over the shard, one bucketed-index probe whose only Exchange
+    is the delta side) plus the candidate set (verify). Oracle: the
+    batch replay — history state recomputed inline from the same
+    predicates — because incremental ≡ batch is exactly the property
+    persisted curation state must hold."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BANDS as _LSH_BANDS,
+        _N_PERM as _LSH_PERMS,
+        quality_score_expr,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    trimmed = F.trim(F.col("text"))
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"[ \t\n\r]+"))
+    )
+    d0n = (
+        docs.filter(is_new)
+        .select(
+            "doc_id", "source", "text", ws_tokens.cast("long").alias("n_tokens")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def hist_q() -> DataFrame:
+        # The curated store: history docs past the quality gate. LAZY —
+        # executed only when the state tables must be (re)built.
+        return docs.filter(~is_new).filter(
+            quality_score_expr(F.col("text")) >= _Q229_QUALITY
+        )
+
+    def hist_bands(hq: DataFrame) -> DataFrame:
+        return lsh_band_rows(
+            minhash_signatures(
+                word_shingles(hq, "doc_id", "text", n=2),
+                "doc_id",
+                n_perm=_LSH_PERMS,
+            ),
+            "doc_id",
+            n_perm=_LSH_PERMS,
+            bands=_LSH_BANDS,
+        )
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    hash_t = f"wetsa_curhash_{tag}_{_Q245_TOKEN}"
+    band_t = f"wetsa_curband_{tag}_{_Q245_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_curhash_{tag}_*", hash_t),
+            (f"wetsa_curband_{tag}_*", band_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q245_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(band_t):
+            hq = hist_q().localCheckpoint(eager=True)  # hash AND band build
+            hq.select(F.md5("text").alias("__md5")).distinct().write.mode(
+                "overwrite"
+            ).saveAsTable(hash_t)
+            # Band index LAST: the commit gate for the state generation.
+            write_bucketed(
+                hist_bands(hq), band_t, "bucket", n_buckets=16,
+                sort_col="bucket",
+            )
+        hist_md5 = spark.table(hash_t)
+        hist_idx = spark.table(band_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        hq = hist_q().localCheckpoint(eager=True)
+        hist_md5 = hq.select(F.md5("text").alias("__md5")).distinct()
+        hist_idx = hist_bands(hq)
+
+    # 1. quality gate on the shard.
+    s1 = d0n.filter(
+        quality_score_expr(F.col("text")) >= _Q229_QUALITY
+    ).localCheckpoint(eager=True)
+
+    # 2. exact dedup vs history + within-shard canonical survivor.
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__md5", F.md5(F.col("text")))
+        .join(maybe_broadcast(hist_md5), on="__md5", how="left_anti")
+        .drop("__md5")
+        .localCheckpoint(eager=True)
+    )
+
+    # 3. LSH near-dup vs history and within the shard.
+    new_sh = word_shingles(s2, "doc_id", "text", n=2).localCheckpoint(
+        eager=True
+    )
+    probe = lsh_band_rows(
+        minhash_signatures(new_sh, "doc_id", n_perm=_LSH_PERMS),
+        "doc_id",
+        n_perm=_LSH_PERMS,
+        bands=_LSH_BANDS,
+    ).localCheckpoint(eager=True)  # probes the index AND itself
+    cand_h = (
+        probe.select(F.col("doc_id").alias("new_id"), "bucket")
+        .join(
+            hist_idx.select(F.col("doc_id").alias("hist_id"), "bucket"),
+            on="bucket",
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # semi-join bound + verify join
+    )
+    cand_n = (
+        probe.select(F.col("doc_id").alias("id_a"), "bucket")
+        .join(probe.select(F.col("doc_id").alias("id_b"), "bucket"), on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify vs history: shingle ONLY the candidate history docs.
+    hist_cand_docs = docs.filter(~is_new).join(
+        cand_h.select(F.col("hist_id").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="semi",
+    )
+    hist_sh = word_shingles(hist_cand_docs, "doc_id", "text", n=2)
+    a_n = new_sh.select(
+        F.col("doc_id").alias("new_id"), F.col("shingle_hash").alias("h")
+    )
+    b_h = hist_sh.select(
+        F.col("doc_id").alias("hist_id"), F.col("shingle_hash").alias("h")
+    )
+    common_h = (
+        cand_h.join(a_n, on="new_id")
+        .join(b_h, on=["hist_id", "h"])
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_new = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sz_hist = hist_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac_h = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    dups_h = (
+        common_h.join(
+            sz_new.select(F.col("doc_id").alias("new_id"), F.col("sz").alias("sz_a")),
+            on="new_id",
+        )
+        .join(
+            sz_hist.select(
+                F.col("doc_id").alias("hist_id"), F.col("sz").alias("sz_b")
+            ),
+            on="hist_id",
+        )
+        .filter(F.round(jac_h + F.lit(1e-9), 6) >= _Q229_JACCARD)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    a2 = new_sh.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_hash").alias("h")
+    )
+    b2 = new_sh.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle_hash").alias("h")
+    )
+    common_n = (
+        cand_n.join(a2, on="id_a")
+        .join(b2, on=["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    dups_n = (
+        common_n.join(
+            sz_new.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            on="id_a",
+        )
+        .join(
+            sz_new.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            on="id_b",
+        )
+        .filter(F.round(jac_h + F.lit(1e-9), 6) >= _Q229_JACCARD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = (
+        s2.join(dups_h, on="doc_id", how="left_anti")
+        .join(dups_n, on="doc_id", how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    # 4. decontaminate: eval shingles static, from the ORIGINAL corpus.
+    is_eval = F.col("doc_id") % _Q104_EVAL_MOD == 0
+    eval_sh = _shingles4(docs.filter(is_eval)).select("sh").distinct()
+    contaminated = (
+        _shingles4(s3.filter(~is_eval))
+        .join(maybe_broadcast(eval_sh), on="sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = (
+        s3.filter(~is_eval)
+        .join(contaminated, on="doc_id", how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    def _row(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        _row(d0n, 0, "ingest_new")
+        .unionByName(_row(s1, 1, "quality"))
+        .unionByName(_row(s2, 2, "exact_vs_history"))
+        .unionByName(_row(s3, 3, "lsh_vs_history"))
+        .unionByName(_row(s4, 4, "decontaminate"))
+    )
+
+
+def _q245_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BAND_LIST,
+        _MINHASH_COLS,
+        _h32,
+        quality_score_sql,
+        shingles_sql_from,
+    )
+
+    ws_tok = (
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+')) "
+        "END AS BIGINT)"
+    )
+    sh4 = _q104_shingle_sql()
+    audit_row = (
+        "SELECT CAST({o} AS BIGINT) AS stage_ord, '{n}' AS stage, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM {src}"
+    )
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, source, text, {ws_tok} AS n_tokens FROM documents
+  WHERE doc_id % 10 = 7
+),
+histq AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 10 <> 7 AND {quality_score_sql('text')} >= {_Q229_QUALITY}
+),
+hist_md5 AS (SELECT DISTINCT md5(text) AS m FROM histq),
+s1 AS (SELECT * FROM d0 WHERE {quality_score_sql('text')} >= {_Q229_QUALITY}),
+s2 AS (
+  SELECT * FROM s1
+  WHERE md5(text) NOT IN (SELECT m FROM hist_md5)
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+{shingles_sql_from('s2')},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+),
+hw AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM histq
+),
+hsh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_distinct([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))])
+              ELSE [array_to_string(ws, ' ')] END AS shs
+  FROM hw
+),
+hsh AS (
+  SELECT DISTINCT doc_id, {_h32('s')} AS h
+  FROM (SELECT doc_id, unnest(shs) AS s FROM hsh0)
+),
+hsigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM hsh GROUP BY doc_id
+),
+hbanded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM hsigs
+),
+cand_h AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM banded n JOIN hbanded h ON n.bucket = h.bucket
+),
+cand_n AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes_n AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sizes_h AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+common_h AS (
+  SELECT c.new_id, c.hist_id, count(*) AS n_common
+  FROM cand_h c
+  JOIN sh sa ON sa.doc_id = c.new_id
+  JOIN hsh sb ON sb.doc_id = c.hist_id AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+dups_h AS (
+  SELECT DISTINCT new_id AS doc_id
+  FROM common_h
+  JOIN sizes_n za ON za.doc_id = new_id
+  JOIN sizes_h zb ON zb.doc_id = hist_id
+  WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6)
+          >= {_Q229_JACCARD}
+),
+common_n AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand_n c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+dups_n AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common_n
+  JOIN sizes_n za ON za.doc_id = id_a
+  JOIN sizes_n zb ON zb.doc_id = id_b
+  WHERE round(n_common * 1.0 / (za.sz + zb.sz - n_common) + 1e-9, 6)
+          >= {_Q229_JACCARD}
+),
+s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM dups_h)
+    AND doc_id NOT IN (SELECT doc_id FROM dups_n)
+),
+etoks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM documents WHERE doc_id % {_Q104_EVAL_MOD} = 0
+  )
+),
+esh0 AS (
+  SELECT doc_id, {sh4} AS sh FROM etoks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+esh AS (SELECT DISTINCT sh FROM esh0 WHERE sh IS NOT NULL),
+ctoks AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+    FROM s3 WHERE doc_id % {_Q104_EVAL_MOD} <> 0
+  )
+),
+csh AS (
+  SELECT doc_id, {sh4} AS sh FROM ctoks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM csh
+  WHERE sh IS NOT NULL AND sh IN (SELECT sh FROM esh)
+),
+s4 AS (
+  SELECT * FROM s3
+  WHERE doc_id % {_Q104_EVAL_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+{audit_row.format(o=0, n='ingest_new', src='d0')}
+UNION ALL {audit_row.format(o=1, n='quality', src='s1')}
+UNION ALL {audit_row.format(o=2, n='exact_vs_history', src='s2')}
+UNION ALL {audit_row.format(o=3, n='lsh_vs_history', src='s3')}
+UNION ALL {audit_row.format(o=4, n='decontaminate', src='s4')}
+"""
+
+
+Q245_ORACLE = _q245_oracle()
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -2638,6 +3072,11 @@ SPECS = make_specs(
          Q236_ORACLE, (),
          "streaming decontamination: per-batch shingle screen against "
          "the static broadcast eval dictionary"),
+        ("q245_incremental_curation", q245_incremental_curation,
+         Q245_ORACLE, (),
+         "incremental curation: the new shard against persisted history "
+         "state (md5 set + bucketed band index), per-stage attrition "
+         "audit (incremental ≡ batch oracle)"),
         ("q105_small_qty_revenue", q105_small_qty_revenue, Q105_ORACLE, (),
          "TPC-H Q17 decorrelated aggregate-rejoin"),
         ("q106_large_orders", q106_large_orders, Q106_ORACLE, (),
