@@ -435,3 +435,53 @@ def test_incremental_curation_attrition_is_monotone(spark, sf_dir):
     toks = [r["n_tokens"] for r in rows]
     assert docs == sorted(docs, reverse=True), docs
     assert toks == sorted(toks, reverse=True), toks
+
+
+def test_banding_ladder_nests_and_pick_is_minimal(spark, sf_dir):
+    # q246's structural contracts: candidate sets NEST across the
+    # banding ladder (a coarser band block's equality implies equality
+    # of its finer halves), so recall is monotone in band count; the
+    # picked rung is the cheapest met one.
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _N_PERM,
+        _Q246_BANDINGS,
+        _Q246_TARGET,
+        q246_banding_sla,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.relational import table
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        word_shingles(docs, "doc_id", "text", n=2), "doc_id", n_perm=_N_PERM
+    ).localCheckpoint(eager=True)
+    sets = {
+        b: {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(
+                sigs, "doc_id", n_perm=_N_PERM, bands=b
+            ).collect()
+        }
+        for b in _Q246_BANDINGS
+    }
+    for coarse, fine in zip(_Q246_BANDINGS, _Q246_BANDINGS[1:]):
+        assert sets[coarse] <= sets[fine], (coarse, fine)
+
+    rows = sorted(
+        q246_banding_sla(spark, sf_dir).collect(), key=lambda r: r["bands"]
+    )
+    assert [r["bands"] for r in rows] == list(_Q246_BANDINGS)
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    met = [r for r in rows if r["met"]]
+    picked = [r for r in rows if r["picked"]]
+    if met:
+        assert len(picked) == 1
+        assert picked[0]["bands"] == min(r["bands"] for r in met)
+        assert picked[0]["recall"] >= _Q246_TARGET
+    else:
+        assert not picked

@@ -155,6 +155,10 @@ BUDGETS = [
     # checkpointed stage survivor frames (stage joins ran at checkpoint
     # time under the q193 probe shape) — one exchange per audit row.
     ("q245_incremental_curation", 5, [], ["CartesianProduct", "Join"]),
+    # Banding SLA: 3 rungs × (band explode + bucket self-join + audit
+    # join) over the shared checkpointed signatures + the pick join —
+    # signature and truth passes paid once.
+    ("q246_banding_sla", 20, [], ["CartesianProduct"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

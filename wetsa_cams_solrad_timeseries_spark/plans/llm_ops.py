@@ -895,6 +895,185 @@ FROM per CROSS JOIN ncand
 
 
 # --------------------------------------------------------------------------
+# q246 — LSH banding SLA: minimal band count meeting candidate recall
+# --------------------------------------------------------------------------
+
+_Q246_BANDINGS = (2, 4, 8)
+_Q246_TAU = 0.5
+_Q246_TARGET = 0.9
+
+
+def q246_banding_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate→derive tuning discipline (q216 IVF / q228 hybrid / q235
+    graph / q243 PCA) applied to the DEDUP family: q33's banding (b=4,
+    r=4) is a hand-picked point on the LSH S-curve — here the whole
+    banding ladder over the SAME 16-permutation signatures is measured
+    against exact Jaccard-τ truth and the minimal band count meeting
+    candidate recall ≥ 0.9 is flagged. Cost is the band count itself:
+    b IS the index rows per document and the probe fan-out, so the
+    cheapest met rung is what a production dedup index should persist.
+
+    Structural monotonicity (pytest-locked): a banding's bands are
+    concatenations of the next-finer banding's — equality of an r=4
+    minhash block implies equality of both r=2 halves — so the
+    candidate sets NEST (cand(b=2) ⊆ cand(b=4) ⊆ cand(b=8)) and recall
+    is non-decreasing in b; the ladder shows where it saturates (the
+    q221 flat-S-curve convention applies on this near-exact-dup
+    corpus).
+
+    Scale shape: ONE shingle pass and ONE signature pass shared by all
+    rungs (checkpointed); each rung is a band explode (b× signature
+    rows) + one bucket self-join + a pair-sized audit join; the exact
+    truth side is the gate's cost and runs on a bounded audit sample in
+    production (here the corpus is the sample). Oracle: the shared
+    shingle/signature SQL + one banding CTE per rung + the pick as a
+    scalar subquery."""
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        jaccard_pairs_dense,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=2).localCheckpoint(
+        eager=True  # consumed by the exact truth AND the signatures
+    )
+    exact = (
+        jaccard_pairs_dense(sh, "doc_id", threshold=_Q246_TAU)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # one audit join per rung
+    )
+    sigs = minhash_signatures(sh, "doc_id", n_perm=_N_PERM).localCheckpoint(
+        eager=True  # one banding per rung
+    )
+    nt = exact.agg(F.count(F.lit(1)).alias("nt"))
+    rows = None
+    for b in _Q246_BANDINGS:
+        cand = lsh_candidate_pairs(sigs, "doc_id", n_perm=_N_PERM, bands=b)
+        h = exact.join(cand, on=["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        r = (
+            nt.crossJoin(F.broadcast(h))
+            .select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(_N_PERM // b).cast("long").alias("rows_per_band"),
+                F.lit(_Q246_TAU).alias("tau"),
+                F.col("nt").cast("long").alias("n_true"),
+                F.col("h").cast("long").alias("hits"),
+                F.round(
+                    F.col("h").cast("double")
+                    / F.nullif(F.col("nt").cast("double"), F.lit(0.0))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("recall"),
+            )
+            .withColumn(
+                "met",
+                F.coalesce(
+                    F.col("recall") >= F.lit(float(_Q246_TARGET)), F.lit(False)
+                ),
+            )
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    mb = rows.filter(F.col("met")).agg(F.min("bands").alias("__mb"))
+    return rows.crossJoin(F.broadcast(mb)).select(
+        "bands",
+        "rows_per_band",
+        "tau",
+        "n_true",
+        "hits",
+        "recall",
+        "met",
+        F.coalesce(
+            F.col("met") & (F.col("bands") == F.col("__mb")), F.lit(False)
+        ).alias("picked"),
+    )
+
+
+def _band_list_sql(bands: int) -> str:
+    rows_per_band = _N_PERM // bands
+    return ", ".join(
+        "md5(concat_ws('_', '{b}', {cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows_per_band + i} AS VARCHAR)"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+def _q246_rung_sql(bands: int) -> str:
+    return f"""banded_{bands} AS (
+  SELECT doc_id, unnest([{_band_list_sql(bands)}]) AS bucket
+  FROM sigs
+),
+cand_{bands} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded_{bands} a
+  JOIN banded_{bands} b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+row_{bands} AS (
+  SELECT CAST({bands} AS BIGINT) AS bands,
+         CAST({_N_PERM // bands} AS BIGINT) AS rows_per_band,
+         CAST({_Q246_TAU} AS DOUBLE) AS tau,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM exact e JOIN cand_{bands} c
+            ON c.id_a = e.id_a AND c.id_b = e.id_b) AS hits,
+         round((SELECT count(*) FROM exact e JOIN cand_{bands} c
+                  ON c.id_a = e.id_a AND c.id_b = e.id_b) * 1.0
+               / nullif((SELECT count(*) FROM exact), 0) + 1e-9, 6)
+           AS recall
+)"""
+
+
+Q246_ORACLE = (
+    f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN sizes sa ON co.id_a = sa.doc_id
+  JOIN sizes sb ON co.id_b = sb.doc_id
+  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 1e-9, 6)
+          >= {_Q246_TAU}
+),
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+"""
+    + ",\n".join(_q246_rung_sql(b) for b in _Q246_BANDINGS)
+    + f""",
+ladder AS (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT *, coalesce(recall >= {_Q246_TARGET}, FALSE) AS met "
+        f"FROM row_{b}"
+        for b in _Q246_BANDINGS
+    )
+    + """
+)
+SELECT bands, rows_per_band, tau, n_true, hits, recall, met,
+       coalesce(met AND bands = (SELECT min(bands) FROM ladder WHERE met),
+                FALSE) AS picked
+FROM ladder
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # q222 — sequence packing: concat-then-chunk layout for LM training shards
 # --------------------------------------------------------------------------
 
@@ -1145,6 +1324,10 @@ SPECS = make_specs(
          Q33_ORACLE, (),
          "streaming MinHash-LSH near-dup: band index as cross-batch "
          "state, exactly-once pairs (oracle = q33's batch SQL verbatim)"),
+        ("q246_banding_sla", q246_banding_sla, Q246_ORACLE, (),
+         "LSH banding SLA: the (b, r) ladder over shared signatures vs "
+         "exact Jaccard truth, minimal band count meeting recall picked "
+         "in-plan"),
         ("q209_lsh_bucket_cap", q209_lsh_bucket_cap, Q209_ORACLE, (),
          "LSH candidates under a hot-bucket occupancy cap (boilerplate-"
          "skew lever; deterministic lowest-id retention)"),
