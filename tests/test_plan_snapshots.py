@@ -45,6 +45,17 @@ CASES = [
     # Multimodal kernel chain: Arrow hash pass + banded candidates +
     # popcount verify (the checkpointed-subtree shape).
     ("phash_neardup", "q208_phash_neardup"),
+    # Round-11 families.
+    # Incremental graph serve: persisted edge-table scan + bounded-
+    # candidate broadcast scoring + the rank window (a broadcast→SMJ
+    # flip here is exactly what the counters can miss).
+    ("graph_incremental_serve", "q238_incremental_graph_ann"),
+    # PCA projection: scan → fold projection, NO exchange/join/Python —
+    # the snapshot pins that the whole query stays one codegen stage.
+    ("pca_projection", "q241_pca_projection"),
+    # Banding SLA: 3 rung subplans (band explode + bucket self-join +
+    # audit join) over one checkpointed signature scan + the pick join.
+    ("banding_sla", "q246_banding_sla"),
 ]
 
 
