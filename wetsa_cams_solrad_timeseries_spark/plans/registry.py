@@ -49,16 +49,18 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # MUST be pinned ahead of the automatic rotation so their fresh row
 # lands on the changed code.
 _PIN_FIRST = (
-    # Round 11: the four new queries land first (q228 hybrid SLA, q229
-    # end-to-end curation, q230 semantic contamination, q231 stream→
-    # serve parity); then every query whose kernel or oracle text
+    # Round 11: the round's new queries land first (q228–q237 pinned
+    # here; q238–q246 are tier-1 never-checked and auto-front-load right
+    # behind the pins); then every query whose kernel or oracle text
     # changed this round — q216 (recall denominator = actual pair
     # count), q227 (empty-probe guard), q219 (multiprobe single-dot
     # restructure), q194/q207 (oracle factored into _q194_rank_ctes —
-    # text-equivalent, pinned to prove it). The streaming family rides
-    # along per the round-10 verdict: its authoritative rows date to
-    # r03–r05 and the rotation alone would leave a regression hidden
-    # for ~4 rounds.
+    # text-equivalent, pinned to prove it), and q232/q235/q237 (the
+    # shared _q232_setup/_q232_perq_recall/hop-CTE plumbing gained
+    # build-part passthroughs for q240 — behavior-identical, pinned to
+    # prove it). The streaming family rides along per the round-10
+    # verdict: its authoritative rows date to r03–r05 and the rotation
+    # alone would leave a regression hidden for ~4 rounds.
     "q228_hybrid_retrieval_sla",
     "q229_curation_pipeline",
     "q230_semantic_contamination",
