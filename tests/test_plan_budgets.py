@@ -159,6 +159,12 @@ BUDGETS = [
     # join) over the shared checkpointed signatures + the pick join —
     # signature and truth passes paid once.
     ("q246_banding_sla", 20, [], ["CartesianProduct"]),
+    # Filtered ANN: q56's probe shape + one scan-stage predicate on the
+    # inverted lists + the recall tail — never a cartesian or SMJ.
+    ("q247_filtered_ann_gate", 7, [], ["CartesianProduct", "SortMergeJoin"]),
+    # TF-IDF: tokenize-explode + two keyed aggs + broadcast 1-row corpus
+    # count + per-source top-k window — pure JVM, no Python anywhere.
+    ("q248_tfidf_top_terms", 6, [], ["CartesianProduct", "Python", "InPandas"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

@@ -499,18 +499,33 @@ def ann_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    candidate_pred=None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe each query's ``n_probe`` nearest cells, exact-
     score only those candidates. Candidate volume ≈ corpus × n_probe /
     n_cells; the candidate join is an equi-join on the cell id — the
     second of the two standard ANN scale paths next to SRP-LSH
-    (``ann_topk_lsh``)."""
+    (``ann_topk_lsh``).
+
+    ``candidate_pred`` (a Column predicate over ``emb_df``'s columns)
+    restricts the inverted lists — FILTERED ANN in its PRE-filter form:
+    the predicate applies before cell assignment, so it pushes down into
+    the corpus scan (at scale: partition/stats pruning on the metadata
+    column) and every probed candidate already satisfies it. The
+    quantizer still trains on the FULL corpus (the filter changes per
+    query family; the index is shared). The alternative — post-filtering
+    an unfiltered top-k — silently returns < k rows whenever the filter
+    is selective; this form keeps k results at the same probe budget."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     centroids = ivf_train_centroids(emb_df, k=n_cells)
-    # Inverted lists: every corpus vector in its 1 nearest cell.
-    assigned = ivf_assign(emb_df, centroids, id_col, emb_col, n_probe=1).select(
+    # Inverted lists: every (qualifying) corpus vector in its 1 nearest
+    # cell — the candidate filter prunes BEFORE assignment.
+    list_src = (
+        emb_df.filter(candidate_pred) if candidate_pred is not None else emb_df
+    )
+    assigned = ivf_assign(list_src, centroids, id_col, emb_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
     # Query side: probe the n_probe nearest cells.

@@ -1074,6 +1074,107 @@ FROM ladder
 
 
 # --------------------------------------------------------------------------
+# q248 — per-source TF-IDF top terms: the corpus-characterization op
+# --------------------------------------------------------------------------
+
+_Q248_TOPK = 5
+
+
+def q248_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keyword extraction — the corpus-characterization
+    member of the text family (q35 lang-id says what LANGUAGE a slice
+    is, q36 how CLEAN, q97 how many TOKENS; this says what it's ABOUT):
+    for every source, the top-5 terms by tf·idf with the smoothed
+    sklearn-convention idf = ln((N+1)/(df+1)) + 1 — the weighting a
+    mixture designer reads before assigning domain weights (q101) and
+    the same statistic the BM25 retrieval path (q194) builds on.
+
+    Determinism: scores round6 BEFORE the per-source rank (a libm ulp
+    in ln() must not flip an ordering the oracle replays), ties break
+    on the term string. Scale shape: one tokenize-explode (scan-stage,
+    doc-length-bounded), two keyed aggregations (term×source tf,
+    term df), a 1-row corpus count broadcast into the scoring join,
+    and a per-source top-k window — corpus-linear, no all-pairs stage;
+    at 100 TB the (term, source) aggregate is the only wide state and
+    its keys are Zipf-skewed exactly where AQE skew handling applies."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=True)  # consumed by the tf AND df aggs
+    )
+    tfs = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tfs.join(dfs, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q248_TOPK)
+
+
+Q248_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+tfs AS (SELECT source, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tfs.source, tfs.term,
+         CAST(tfs.tf AS BIGINT) AS tf,
+         CAST(dfs.df AS BIGINT) AS df,
+         round(tfs.tf * (ln((n.n + 1.0) / (dfs.df + 1.0)) + 1.0) + 1e-9, 6)
+           AS score
+  FROM tfs JOIN dfs USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {_Q248_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # q222 — sequence packing: concat-then-chunk layout for LM training shards
 # --------------------------------------------------------------------------
 
@@ -1328,6 +1429,9 @@ SPECS = make_specs(
          "LSH banding SLA: the (b, r) ladder over shared signatures vs "
          "exact Jaccard truth, minimal band count meeting recall picked "
          "in-plan"),
+        ("q248_tfidf_top_terms", q248_tfidf_top_terms, Q248_ORACLE, (),
+         "per-source TF-IDF top terms: smoothed idf, round6-before-rank "
+         "determinism, per-source top-k window"),
         ("q209_lsh_bucket_cap", q209_lsh_bucket_cap, Q209_ORACLE, (),
          "LSH candidates under a hot-bucket occupancy cap (boilerplate-"
          "skew lever; deterministic lowest-id retention)"),

@@ -6141,6 +6141,206 @@ Q243_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q247 — filtered ANN: metadata predicate pushed INTO the IVF probe
+# --------------------------------------------------------------------------
+
+_Q247_LABEL_MAX = 3
+_Q247_K = 3
+_Q247_NPROBE = 4
+_Q247_NQ = 8
+
+
+def q247_filtered_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production ANN variant every serving
+    stack needs and the family matrix did not yet cover: top-k neighbors
+    AMONG THE ROWS SATISFYING A METADATA PREDICATE (here label < 3,
+    ~30% selectivity), measured against the exact filtered baseline.
+
+    The filter is applied in its PRE-filter form (FAISS's IDSelector /
+    filtered-HNSW semantics): the predicate prunes the inverted lists
+    BEFORE cell assignment — at scale it pushes down into the corpus
+    scan as a partition/stats prune on the metadata column — so every
+    probed candidate already qualifies and the query still yields k
+    results at the same probe budget. The naive alternative
+    (post-filter an unfiltered top-k) silently under-returns whenever
+    the filter is selective; the gate row's measured recall is the
+    number that says whether the SHARED quantizer (trained on the full
+    corpus — the filter changes per query family, the index does not)
+    still probes well under this predicate. Output: (k, n_probe,
+    selectivity, n_queries, avg_recall, min_recall).
+
+    Scale shape: identical to q56 plus one scan-stage predicate; the
+    exact truth side is query-bounded. Oracle: the literal-centroid
+    assignment CTEs with the label filter on the inverted lists and the
+    exact filtered baseline."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    flt = F.col("label") < _Q247_LABEL_MAX
+    served = ann_topk_ivf(
+        emb,
+        query_ids_pred=lambda c: c < _Q247_NQ,
+        k=_Q247_K,
+        n_cells=16,
+        n_probe=_Q247_NPROBE,
+        candidate_pred=flt,
+    ).select("query_id", "neighbor_id")
+    exact = (
+        brute_force_topk(
+            emb.filter(flt), emb.filter(F.col("vec_id") < _Q247_NQ), k=_Q247_K
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # hit join + query-universe join
+    )
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q247_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    sel = emb.agg(
+        F.round(
+            F.avg(flt.cast("double")) + F.lit(1e-9), 6
+        ).alias("selectivity")
+    )
+    return (
+        perq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+            F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+        )
+        .crossJoin(F.broadcast(sel))
+        .select(
+            F.lit(_Q247_K).cast("long").alias("k"),
+            F.lit(_Q247_NPROBE).cast("long").alias("n_probe"),
+            "selectivity",
+            "n_queries",
+            "avg_recall",
+            "min_recall",
+        )
+    )
+
+
+_Q247_ORACLE_TEMPLATE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (
+  SELECT rk.vec_id AS neighbor_id, rk.cell
+  FROM ranked rk JOIN vecs vv ON vv.vec_id = rk.vec_id
+  WHERE rk.r = 1 AND vv.label < {_Q247_LABEL_MAX}
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE r <= {_Q247_NPROBE} AND vec_id < {_Q247_NQ}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_cos('qv.v', 'nv.v')} AS cosine
+  FROM cand c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {_Q247_K}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c
+    ON q.vec_id < {_Q247_NQ} AND c.vec_id <> q.vec_id
+  WHERE c.label < {_Q247_LABEL_MAX}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM escored
+  ) WHERE r <= {_Q247_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q247_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+),
+sel AS (
+  SELECT round(avg(CASE WHEN label < {_Q247_LABEL_MAX} THEN 1.0 ELSE 0.0 END)
+               + 1e-9, 6) AS selectivity
+  FROM vecs
+)
+SELECT CAST({_Q247_K} AS BIGINT) AS k,
+       CAST({_Q247_NPROBE} AS BIGINT) AS n_probe,
+       (SELECT selectivity FROM sel) AS selectivity,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall
+FROM perq
+"""
+
+
+def q247_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q247 oracle: centroid literals (full-corpus trainer —
+    the index is shared across filters), label-filtered inverted lists,
+    exact filtered baseline, recall algebra."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q247_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q247_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -6979,6 +7179,9 @@ SPECS = make_specs(
          "PCA screen-depth SLA: the rung ladder from ONE scored pass "
          "(prefix property), minimal depth meeting recall@3 picked "
          "in-plan"),
+        ("q247_filtered_ann_gate", q247_filtered_ann_gate, Q247_ORACLE, (),
+         "filtered ANN: metadata predicate pre-filters the inverted "
+         "lists, recall gate vs the exact filtered baseline"),
     ]
 )
 
@@ -7058,6 +7261,9 @@ SPECS["q242_pca_ann_gate"] = _dc.replace(
 )
 SPECS["q243_pca_screen_sla"] = _dc.replace(
     SPECS["q243_pca_screen_sla"], oracle_fn=q243_oracle_for
+)
+SPECS["q247_filtered_ann_gate"] = _dc.replace(
+    SPECS["q247_filtered_ann_gate"], oracle_fn=q247_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
