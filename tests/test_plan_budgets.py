@@ -165,6 +165,9 @@ BUDGETS = [
     # TF-IDF: tokenize-explode + two keyed aggs + broadcast 1-row corpus
     # count + per-source top-k window — pure JVM, no Python anywhere.
     ("q248_tfidf_top_terms", 6, [], ["CartesianProduct", "Python", "InPandas"]),
+    # Streaming PCA encode: the drained projected-generation scan — the
+    # fold projection ran scan-stage inside each micro-batch.
+    ("q249_streaming_pca_encode", 0, [], ["Join", "Python", "InPandas"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

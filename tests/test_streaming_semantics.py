@@ -490,3 +490,22 @@ def test_streaming_lsh_pairs_equal_batch_lsh(spark, sf_dir):
     assert streamed, "streaming LSH surfaced no candidate pairs"
     assert streamed == batch
     assert len(streamed) == len(set(streamed)), "a pair was emitted twice"
+
+
+def test_streaming_pca_encode_equals_batch_projection(spark, sf_dir):
+    # q249's contract: a frozen basis + per-row projection means the
+    # drained stream-built projected table equals the one-pass batch
+    # projection exactly (same rows, same round6 coordinates).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q241_pca_projection,
+        q249_streaming_pca_encode,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in q249_streaming_pca_encode(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in q241_pca_projection(spark, sf_dir).collect()
+    )
+    assert streamed, "streaming PCA encode drained no rows"
+    assert streamed == batch

@@ -6341,6 +6341,56 @@ Q247_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q249 — streaming PCA encode: the frozen basis riding the ingest stream
+# --------------------------------------------------------------------------
+
+
+def q249_streaming_pca_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q241's PCA projection riding the ingest stream — the streaming
+    member of the dimension-reduction family, completing the pattern
+    every other index transform already has (q203 PQ encode, q218 OPQ
+    encode, q234/q236 curation screens, q244 near-dup): the basis is
+    FROZEN (trained once on the batch corpus before the stream starts —
+    the frozen-codebook discipline; embeddings drift is a retrain
+    decision, not a per-batch one), each arriving micro-batch projects
+    its vectors through the two codegen folds and appends a batchId-
+    gated generation. Because the projection is a pure per-row
+    transform over a static parameter set, the drained frame must equal
+    the one-pass batch projection — so the oracle is q241's SQL
+    VERBATIM (the q244/q207 index ≡ recompute discipline), and the
+    >1-micro-batch assertion lives in `streaming_transform`.
+
+    Scale shape: per micro-batch one scan-stage projection + one
+    append; at 100 TB this is where the projected table (q242/q243's
+    8×-cheaper screen artifact) is actually built — on the stream, so
+    the screen index is servable while the corpus grows."""
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        pca_fit,
+        pca_project_cols,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_transform,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=_Q241_COMPONENTS)
+    split_dir = _split_embeddings(spark, sf_dir)
+
+    def project(bdf: DataFrame) -> DataFrame:
+        pcs = pca_project_cols(
+            to_double_array(F.col("embedding")), mean, comps
+        )
+        return bdf.select(
+            "vec_id", pcs[0].alias("pc1"), pcs[1].alias("pc2")
+        )
+
+    return streaming_transform(spark, split_dir, project)
+
+
+# --------------------------------------------------------------------------
 # q208 — perceptual-hash (dHash) near-dup over the multimodal payload
 # --------------------------------------------------------------------------
 
@@ -7182,6 +7232,10 @@ SPECS = make_specs(
         ("q247_filtered_ann_gate", q247_filtered_ann_gate, Q247_ORACLE, (),
          "filtered ANN: metadata predicate pre-filters the inverted "
          "lists, recall gate vs the exact filtered baseline"),
+        ("q249_streaming_pca_encode", q249_streaming_pca_encode,
+         Q241_ORACLE, (),
+         "streaming PCA encode: frozen basis riding ingest, drained "
+         "projections ≡ batch (oracle = q241's SQL verbatim)"),
     ]
 )
 
@@ -7264,6 +7318,9 @@ SPECS["q243_pca_screen_sla"] = _dc.replace(
 )
 SPECS["q247_filtered_ann_gate"] = _dc.replace(
     SPECS["q247_filtered_ann_gate"], oracle_fn=q247_oracle_for
+)
+SPECS["q249_streaming_pca_encode"] = _dc.replace(
+    SPECS["q249_streaming_pca_encode"], oracle_fn=q241_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
