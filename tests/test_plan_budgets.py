@@ -168,6 +168,9 @@ BUDGETS = [
     # Streaming PCA encode: the drained projected-generation scan — the
     # fold projection ran scan-stage inside each micro-batch.
     ("q249_streaming_pca_encode", 0, [], ["Join", "Python", "InPandas"]),
+    # Descent-depth SLA: 3 depths × q232's bounded serve tail over
+    # checkpointed rewired graphs + the pick crossJoin.
+    ("q250_descent_depth_sla", 26, [], ["CartesianProduct"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

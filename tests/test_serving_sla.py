@@ -459,3 +459,34 @@ def test_q243_ladder_pick_is_minimal_met_rung(spark, sf_dir):
         assert picked[0]["avg_recall"] >= _Q243_TARGET
     else:
         assert not picked
+
+
+def test_q250_depth_ladder_pick_is_minimal_met_rung(spark, sf_dir):
+    # q250's structural contract: one row per descent depth; at most one
+    # picked = the cheapest met depth; depth 0 equals q232's serving
+    # recall (same beam over the same base graph).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q239_ROUNDS,
+        _Q250_TARGET,
+        q232_graph_ann_recall,
+        q250_descent_depth_sla,
+    )
+
+    rows = sorted(
+        q250_descent_depth_sla(spark, sf_dir).collect(),
+        key=lambda r: r["rounds"],
+    )
+    assert [r["rounds"] for r in rows] == list(range(_Q239_ROUNDS + 1))
+    assert all(0.0 <= r["avg_recall"] <= 1.0 + 1e-9 for r in rows)
+    met = [r for r in rows if r["met"]]
+    picked = [r for r in rows if r["picked"]]
+    if met:
+        assert len(picked) == 1
+        assert picked[0]["rounds"] == min(r["rounds"] for r in met)
+        assert picked[0]["avg_recall"] >= _Q250_TARGET
+    else:
+        assert not picked
+    base = q232_graph_ann_recall(spark, sf_dir).collect()[0]
+    assert rows[0]["avg_recall"] == pytest.approx(
+        base["avg_recall"], abs=1e-9
+    )

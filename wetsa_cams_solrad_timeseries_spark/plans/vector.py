@@ -6341,6 +6341,160 @@ Q247_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q250 — NN-descent depth SLA: minimal rounds whose SERVING recall meets
+# --------------------------------------------------------------------------
+
+_Q250_TARGET = 0.9
+
+
+def q250_descent_depth_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last composition in the graph family's tuning story: q239
+    measures EDGE recall per descent round and q240 measures serving on
+    ONE rewire — this derives the build budget itself: for every
+    descent depth r ∈ {0..2} the SERVING recall (q232's beam at the
+    deployed width) is measured over the r-round-rewired graph, and the
+    MINIMAL depth meeting avg recall@3 ≥ 0.9 is flagged — the number
+    that decides how many O(n·deg²) build rounds a deployment actually
+    pays for, derived from the metric that matters (query recall, not
+    the edge-recall proxy). Output: one row per depth (rounds, beam,
+    hops, k, n_queries, avg/min recall, met, picked), the pick computed
+    in-plan and replayed by the oracle's scalar subquery.
+
+    Scale shape: the Σ|cell|² base build, the entry set, and the exact
+    baseline are paid ONCE (shared checkpointed setup); each additional
+    depth costs one O(n·deg²) rewire + one bounded beam traversal.
+    Oracle: the shared graph CTEs + both refine rounds + three tagged
+    beam unrolls + the ladder/pick algebra in one statement."""
+    setup = _q232_setup(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    entry0, base_edges, with_dist, w, exact = setup[:5]
+    bridges = setup[6]
+
+    graphs = {0: base_edges}
+    g = base_edges
+    for r in range(1, _Q239_ROUNDS + 1):
+        refined = _nn_descent_round(emb, g, _Q232_M)
+        g = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
+            eager=True  # serve traversal + next round's expansion
+        )
+        graphs[r] = g
+
+    rows = None
+    for r, edges_r in sorted(graphs.items()):
+        perq = _q232_perq_recall(
+            (entry0, edges_r, with_dist, w, exact), _Q232_BEAM
+        )
+        row = perq.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+            F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+        ).select(
+            F.lit(r).cast("long").alias("rounds"),
+            F.lit(_Q232_BEAM).cast("long").alias("beam"),
+            F.lit(_Q232_HOPS).cast("long").alias("hops"),
+            F.lit(_Q232_K).cast("long").alias("k"),
+            "n_queries",
+            "avg_recall",
+            "min_recall",
+            (F.col("avg_recall") >= F.lit(float(_Q250_TARGET))).alias("met"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    mr = rows.filter(F.col("met")).agg(F.min("rounds").alias("__mr"))
+    return rows.crossJoin(F.broadcast(mr)).select(
+        "rounds",
+        "beam",
+        "hops",
+        "k",
+        "n_queries",
+        "avg_recall",
+        "min_recall",
+        "met",
+        F.coalesce(
+            F.col("met") & (F.col("rounds") == F.col("__mr")), F.lit(False)
+        ).alias("picked"),
+    )
+
+
+def _q250_depth_chain(rnd: int) -> str:
+    """Entry alias + hop chain + serve tail for one descent depth."""
+    tag = f"d{rnd}"
+    edges_cte = "edges" if rnd == 0 else f"g{rnd}"
+    return (
+        f"c{tag}0 AS (SELECT query_id, node FROM c0),\n"
+        + _q232_hop_ctes(_Q232_HOPS, tag=tag, edges_cte=edges_cte)
+        + ",\n"
+        + _q240_serve_tail(tag, _Q232_HOPS)
+    )
+
+
+def _q250_depth_row(rnd: int) -> str:
+    return f"""SELECT CAST({rnd} AS BIGINT) AS rounds,
+       CAST({_Q232_BEAM} AS BIGINT) AS beam,
+       CAST({_Q232_HOPS} AS BIGINT) AS hops,
+       CAST({_Q232_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall,
+       coalesce(round(avg(recall) + 1e-9, 6) >= {_Q250_TARGET}, FALSE) AS met
+FROM perqd{rnd}"""
+
+
+_Q250_ORACLE_TEMPLATE = (
+    f"""
+WITH {_Q232_GRAPH_CTES},
+"""
+    + ",\n".join(_q239_round_ctes(r) for r in range(1, _Q239_ROUNDS + 1))
+    + ",\n"
+    + ",\n".join(_q250_depth_chain(r) for r in range(_Q239_ROUNDS + 1))
+    + ",\nladder AS (\n"
+    + "\nUNION ALL\n".join(
+        _q250_depth_row(r) for r in range(_Q239_ROUNDS + 1)
+    )
+    + """
+)
+SELECT rounds, beam, hops, k, n_queries, avg_recall, min_recall, met,
+       coalesce(met AND rounds = (SELECT min(rounds) FROM ladder WHERE met),
+                FALSE) AS picked
+FROM ladder
+"""
+)
+
+
+def q250_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q250 oracle: shared graph CTEs + both refine rounds +
+    one tagged beam unroll per depth + the ladder/pick algebra.
+
+    The statement references the rewired graphs g1/g2 (and their whole
+    upstream refine chains) from MULTIPLE consumers — three hop CTEs per
+    depth plus the next refine round — and DuckDB's default CTE
+    INLINING re-evaluates the full upstream per reference, which blows
+    the q239-sized subtree up exponentially (measured: >120 s at
+    sf0.001 vs ~10 s materialized). Force MATERIALIZED on every
+    multiply-referenced heavy CTE; semantics are unchanged."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    sql = _Q250_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values)
+    heavy = (
+        ["vecs", "sims", "ranked", "assigned", "knn", "edges", "c0", "exact"]
+        + [
+            n
+            for r in range(1, _Q239_ROUNDS + 1)
+            for n in (f"e2_{r}", f"cand_{r}", f"cscored_{r}",
+                      f"refined_{r}", f"g{r}")
+        ]
+    )
+    for name in heavy:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return sql
+
+
+Q250_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q249 — streaming PCA encode: the frozen basis riding the ingest stream
 # --------------------------------------------------------------------------
 
@@ -7236,6 +7390,10 @@ SPECS = make_specs(
          Q241_ORACLE, (),
          "streaming PCA encode: frozen basis riding ingest, drained "
          "projections ≡ batch (oracle = q241's SQL verbatim)"),
+        ("q250_descent_depth_sla", q250_descent_depth_sla, Q250_ORACLE, (),
+         "NN-descent depth SLA: serving recall per descent round over "
+         "the shared build, minimal depth meeting recall@3 picked "
+         "in-plan"),
     ]
 )
 
@@ -7321,6 +7479,9 @@ SPECS["q247_filtered_ann_gate"] = _dc.replace(
 )
 SPECS["q249_streaming_pca_encode"] = _dc.replace(
     SPECS["q249_streaming_pca_encode"], oracle_fn=q241_oracle_for
+)
+SPECS["q250_descent_depth_sla"] = _dc.replace(
+    SPECS["q250_descent_depth_sla"], oracle_fn=q250_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
