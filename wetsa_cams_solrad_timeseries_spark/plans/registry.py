@@ -71,6 +71,7 @@ _PIN_FIRST = (
     "q235_graph_ann_sla",
     "q236_streaming_decontamination",
     "q237_nn_descent_refine",
+    "q56_ann_ivf_topk",  # ann_topk_ivf gained candidate_pred (default-off)
     "q216_ann_serving_sla",
     "q227_incremental_ivfsq_index",
     "q219_multiprobe_lsh",
