@@ -171,6 +171,11 @@ BUDGETS = [
     # Descent-depth SLA: 3 depths × q232's bounded serve tail over
     # checkpointed rewired graphs + the pick crossJoin.
     ("q250_descent_depth_sla", 26, [], ["CartesianProduct"]),
+    # Selectivity ladder: 3 rungs × (filtered cell join + serve/truth
+    # windows + recall tail) over ONE checkpointed assignment + probe
+    # pass — never an SMJ or cartesian.
+    ("q251_filter_selectivity_ladder", 40, [],
+     ["CartesianProduct", "SortMergeJoin"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

@@ -490,3 +490,31 @@ def test_q250_depth_ladder_pick_is_minimal_met_rung(spark, sf_dir):
     assert rows[0]["avg_recall"] == pytest.approx(
         base["avg_recall"], abs=1e-9
     )
+
+
+def test_q251_selectivity_ladder_shape_and_q247_consistency(spark, sf_dir):
+    # q251's structural contract: one row per predicate over the shared
+    # index, recalls in [0,1]; and the label<3 rung must agree exactly
+    # with q247's standalone gate (same predicate, queries, k, n_probe —
+    # two spellings of the same measurement may not drift apart).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q251_LABEL_MAXES,
+        q247_filtered_ann_gate,
+        q251_filter_selectivity_ladder,
+    )
+
+    rows = sorted(
+        q251_filter_selectivity_ladder(spark, sf_dir).collect(),
+        key=lambda r: r["label_max"],
+    )
+    assert [r["label_max"] for r in rows] == list(_Q251_LABEL_MAXES)
+    sels = [r["selectivity"] for r in rows]
+    assert sels == sorted(sels) and all(0 < s < 1 for s in sels)
+    assert all(
+        0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0 + 1e-9 for r in rows
+    )
+    g = q247_filtered_ann_gate(spark, sf_dir).collect()[0]
+    r3 = next(r for r in rows if r["label_max"] == 3)
+    assert r3["avg_recall"] == pytest.approx(g["avg_recall"], abs=1e-9)
+    assert r3["min_recall"] == pytest.approx(g["min_recall"], abs=1e-9)
+    assert r3["selectivity"] == pytest.approx(g["selectivity"], abs=1e-9)

@@ -6495,6 +6495,291 @@ Q250_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
 # --------------------------------------------------------------------------
+# q251 — filtered-ANN selectivity ladder: where does the index stop probing?
+# --------------------------------------------------------------------------
+
+_Q251_LABEL_MAXES = (1, 3, 8)  # ~10% / ~30% / ~80% selectivity
+
+
+def q251_filter_selectivity_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q247 at three selectivities over the SAME shared index — the
+    measurement behind the filtered-search folklore ("below ~10%
+    selectivity, switch from pre-filtered ANN to exact search over the
+    filtered subset"): as the predicate gets MORE selective the probed
+    cells hold fewer qualifying candidates, so recall decays while the
+    exact-scan alternative gets CHEAPER — this ladder records where
+    this corpus's crossover is instead of assuming it. One row per
+    predicate (label_max, selectivity, n_queries, avg/min recall),
+    every rung sharing ONE quantizer, ONE corpus assignment pass, and
+    ONE probe pass (checkpointed; rungs differ only in the scan-stage
+    candidate filter). Note recall is NOT structurally monotone across
+    rungs — each rung's truth set changes with the filter — which is
+    exactly why it has to be measured.
+
+    Scale shape: one assignment kernel pass + one probe pass shared by
+    all rungs; each rung adds a filtered cell equi-join + a
+    query-bounded exact-truth baseline. Oracle: the literal-centroid
+    CTEs + one filtered candidate/truth chain per rung."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    assigned = (
+        ivf_assign(emb, cents, n_probe=1)
+        .join(emb.select("vec_id", "label"), on="vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "label")
+        .localCheckpoint(eager=True)  # one rung filter per predicate
+    )
+    qpred = F.col("vec_id") < _Q247_NQ
+    probes = (
+        ivf_assign(emb.filter(qpred), cents, n_probe=_Q247_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select(
+        "vec_id", "label", v.alias("__v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("__n"),
+    ).localCheckpoint(eager=True)  # corpus + query + truth consumers
+    qv = va.filter(qpred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+
+    def cos(av, an, bv, bn):
+        dot = F.aggregate(
+            F.zip_with(av, bv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(
+            dot / F.nullif(an * bn, F.lit(0.0)) + F.lit(1e-9), 6
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    rows = None
+    for lmax in _Q251_LABEL_MAXES:
+        flt = F.col("label") < lmax
+        cand = (
+            probes.join(assigned.filter(flt), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        served = (
+            cand.join(F.broadcast(qv), on="query_id")
+            .join(
+                va.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("__v").alias("__cv"),
+                    F.col("__n").alias("__cn"),
+                ),
+                on="neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                cos(
+                    F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn")
+                ).alias("cosine"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q247_K)
+            .select("query_id", "neighbor_id")
+        )
+        exact = (
+            va.filter(flt)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("__v").alias("__cv"),
+                F.col("__n").alias("__cn"),
+            )
+            .crossJoin(F.broadcast(qv))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cos(
+                    F.col("__qv"), F.col("__qn"), F.col("__cv"), F.col("__cn")
+                ).alias("cosine"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q247_K)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)  # hit join + universe join
+        )
+        hits = (
+            exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        perq = (
+            exact.select("query_id")
+            .distinct()
+            .join(F.broadcast(hits), on="query_id", how="left")
+            .select(
+                F.round(
+                    F.coalesce("h", F.lit(0)).cast("double") / _Q247_K
+                    + F.lit(1e-9),
+                    6,
+                ).alias("recall")
+            )
+        )
+        sel = emb.agg(
+            F.round(
+                F.avg(flt.cast("double")) + F.lit(1e-9), 6
+            ).alias("selectivity")
+        )
+        row = (
+            perq.agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+                F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+            )
+            .crossJoin(F.broadcast(sel))
+            .select(
+                F.lit(lmax).cast("long").alias("label_max"),
+                "selectivity",
+                F.lit(_Q247_K).cast("long").alias("k"),
+                F.lit(_Q247_NPROBE).cast("long").alias("n_probe"),
+                "n_queries",
+                "avg_recall",
+                "min_recall",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def _q251_rung_sql(lmax: int) -> str:
+    return f"""cand_{lmax} AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+  WHERE a.label < {lmax}
+),
+scored_{lmax} AS (
+  SELECT c.query_id, c.neighbor_id, {_cos('qv.v', 'nv.v')} AS cosine
+  FROM cand_{lmax} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.neighbor_id
+),
+served_{lmax} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored_{lmax}
+  ) WHERE r <= {_Q247_K}
+),
+escored_{lmax} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c
+    ON q.vec_id < {_Q247_NQ} AND c.vec_id <> q.vec_id
+  WHERE c.label < {lmax}
+),
+exact_{lmax} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM escored_{lmax}
+  ) WHERE r <= {_Q247_K}
+),
+perq_{lmax} AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q247_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact_{lmax}) e
+  LEFT JOIN (
+    SELECT e2.query_id, count(*) AS h
+    FROM exact_{lmax} e2
+    JOIN served_{lmax} s ON s.query_id = e2.query_id
+                        AND s.neighbor_id = e2.neighbor_id
+    GROUP BY 1
+  ) h ON h.query_id = e.query_id
+),
+row_{lmax} AS (
+  SELECT CAST({lmax} AS BIGINT) AS label_max,
+         (SELECT round(avg(CASE WHEN label < {lmax} THEN 1.0 ELSE 0.0 END)
+                       + 1e-9, 6) FROM vecs) AS selectivity,
+         CAST({_Q247_K} AS BIGINT) AS k,
+         CAST({_Q247_NPROBE} AS BIGINT) AS n_probe,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(recall) + 1e-9, 6) AS avg_recall,
+         round(min(recall) + 1e-9, 6) AS min_recall
+  FROM perq_{lmax}
+)"""
+
+
+_Q251_ORACLE_TEMPLATE = (
+    f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id, v,
+         sqrt({_DOT.format(a='v', b='v', dim=_DIM)}) AS nrm
+  FROM vecs
+),
+cents(cell, c) AS (VALUES __IVF_VALUES__),
+sims AS (
+  SELECT u.vec_id, ct.cell,
+         round(list_sum([u.v[i] / (CASE WHEN u.nrm = 0 THEN 1 ELSE u.nrm END) * ct.c[i]
+                   FOR i IN range(1, {_DIM} + 1)]) + 1e-9, 6) AS sim
+  FROM unit u CROSS JOIN cents ct
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+  FROM sims
+),
+assigned AS (
+  SELECT rk.vec_id AS neighbor_id, rk.cell, vv.label
+  FROM ranked rk JOIN vecs vv ON vv.vec_id = rk.vec_id
+  WHERE rk.r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE r <= {_Q247_NPROBE} AND vec_id < {_Q247_NQ}
+),
+"""
+    + ",\n".join(_q251_rung_sql(m) for m in _Q251_LABEL_MAXES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM row_{m}" for m in _Q251_LABEL_MAXES
+    )
+)
+
+
+def q251_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q251 oracle: shared assignment/probe CTEs + one filtered
+    candidate/truth chain per selectivity rung."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q251_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q251_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
+# --------------------------------------------------------------------------
 # q249 — streaming PCA encode: the frozen basis riding the ingest stream
 # --------------------------------------------------------------------------
 
@@ -7394,6 +7679,10 @@ SPECS = make_specs(
          "NN-descent depth SLA: serving recall per descent round over "
          "the shared build, minimal depth meeting recall@3 picked "
          "in-plan"),
+        ("q251_filter_selectivity_ladder", q251_filter_selectivity_ladder,
+         Q251_ORACLE, (),
+         "filtered-ANN selectivity ladder: q247 at three predicates "
+         "over one shared index — recall vs selectivity, measured"),
     ]
 )
 
@@ -7482,6 +7771,9 @@ SPECS["q249_streaming_pca_encode"] = _dc.replace(
 )
 SPECS["q250_descent_depth_sla"] = _dc.replace(
     SPECS["q250_descent_depth_sla"], oracle_fn=q250_oracle_for
+)
+SPECS["q251_filter_selectivity_ladder"] = _dc.replace(
+    SPECS["q251_filter_selectivity_ladder"], oracle_fn=q251_oracle_for
 )
 SPECS["q233_hybrid_sla_from_index"] = _dc.replace(
     SPECS["q233_hybrid_sla_from_index"], oracle_fn=q228_oracle_for
