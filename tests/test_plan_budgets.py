@@ -176,6 +176,9 @@ BUDGETS = [
     # pass — never an SMJ or cartesian.
     ("q251_filter_selectivity_ladder", 40, [],
      ["CartesianProduct", "SortMergeJoin"]),
+    # Streaming quantile digest: drained generation scan + the grid-
+    # bounded merge/read-off tail + the exact-audit aggregate.
+    ("q252_streaming_quantile_digest", 6, [], ["CartesianProduct", "Python"]),
     # NN-descent round: one edge self-join (n·deg² candidates), two
     # id-keyed verify joins, per-src rank, sample-bounded audit joins —
     # the NN-descent cost model; no all-pairs stage.

@@ -54,3 +54,22 @@ def test_estimates_within_one_bin_of_exact(spark, sf_dir):
         # Centroid mean of the picked bin is within one bin width of the
         # exact percentile — the accuracy bound a fixed-grid digest owes.
         assert abs(r["est_sketch"] - r["exact_pct"]) <= _Q191_BIN_W
+
+
+def test_streaming_digest_equals_batch_sketch(spark, sf_dir):
+    # q252's contract: per-micro-batch digests merged at read-off equal
+    # the one-pass batch sketch row for row — batch boundaries cannot
+    # change a losslessly-mergeable summary.
+    from wetsa_cams_solrad_timeseries_spark.plans.advanced import (
+        q191_quantile_sketch_merge,
+        q252_streaming_quantile_digest,
+    )
+
+    streamed = sorted(
+        tuple(r)
+        for r in q252_streaming_quantile_digest(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in q191_quantile_sketch_merge(spark, sf_dir).collect()
+    )
+    assert streamed and streamed == batch

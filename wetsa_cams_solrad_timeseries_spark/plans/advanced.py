@@ -3441,6 +3441,15 @@ def q191_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("w"),
         F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("s"),
     )
+    return _q191_readoff(digests, li)
+
+
+def _q191_readoff(digests: DataFrame, li: DataFrame) -> DataFrame:
+    """Merge + quantile read-off + exact-audit tail over ANY pile of
+    per-shard digest rows ``(…, bin, w, s)`` — shard structure is
+    irrelevant because the decimal merge is associative-exact, which is
+    precisely what lets q252 feed per-MICRO-BATCH digests through the
+    identical tail and still match q191's oracle verbatim."""
     merged = digests.groupBy("bin").agg(
         F.sum("w").alias("mw"), F.sum("s").alias("ms")
     )
@@ -3491,6 +3500,82 @@ def q191_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return picked.join(maybe_broadcast(exact_long), on="qlevel")
+
+
+def q252_streaming_quantile_digest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q191's mergeable quantile digest as STREAMING STATE — the sketch
+    family's answer to "what are the corpus percentiles while it is
+    still arriving": each micro-batch reduces to its own bounded
+    fixed-centroid digest (one groupBy(bin) inside the batch — the
+    batch never leaves the executors row-wise) and appends it as a
+    batchId-gated generation; the final read-off merges all committed
+    digests by decimal-exact per-bin addition. Because the merge is
+    associative-exact and shard structure is irrelevant to the merged
+    digest, drained-and-merged ≡ one-pass batch sketch — the oracle is
+    q191's SQL VERBATIM (the q244/q249 discipline), and a pytest
+    asserts Spark-side row equality with q191.
+
+    Scale shape: per micro-batch one map-side-combinable grouped
+    aggregate producing ≤ ~103 rows (the literal grid bound), one
+    append; the read-off works on generations·bins rows. This is the
+    digest lifecycle a 100 TB ingest runs: per-batch summaries, exact
+    merge, quantiles always current; the exact-percentile audit column
+    runs at verification scale only."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_transform,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    split_dir = _split_lineitem(spark, sf_dir)
+
+    def digest(bdf: DataFrame) -> DataFrame:
+        return (
+            bdf.select(
+                F.floor(F.col("l_extendedprice") / F.lit(_Q191_BIN_W))
+                .cast("int")
+                .alias("bin"),
+                "l_extendedprice",
+            )
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("w"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(27,6)")
+                ).alias("s"),
+            )
+        )
+
+    digests = streaming_transform(spark, split_dir, digest)
+    return _q191_readoff(digests, li)
+
+
+def _split_lineitem(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Lineitem twin of curation._split_documents (same artifact
+    discipline) — the multi-file replay input for fact-table streams."""
+    import os
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+    from wetsa_cams_solrad_timeseries_spark.plans.pipeline_ops import (
+        _PROC_TOKEN,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_li_split_*_{sf_tag}*"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"wetsa_li_split_{_PROC_TOKEN}_{sf_tag}_f{n_files}",
+        ),
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_extendedprice"
+        ).repartition(n_files).write.mode("overwrite").parquet(split_dir)
+    return split_dir
 
 
 _Q191_LEVELS_SQL = ", ".join(f"CAST({q} AS DOUBLE)" for q in _Q191_LEVELS)
@@ -4187,6 +4272,10 @@ SPECS = make_specs(
         ("q191_quantile_sketch_merge", q191_quantile_sketch_merge,
          Q191_ORACLE, (),
          "mergeable fixed-centroid quantile digest (lossless merge)"),
+        ("q252_streaming_quantile_digest", q252_streaming_quantile_digest,
+         Q191_ORACLE, (),
+         "streaming quantile digest: per-micro-batch bounded summaries, "
+         "decimal-exact merge at read-off (oracle = q191's SQL verbatim)"),
         ("q192_pagerank_converged", q192_pagerank_converged, Q192_ORACLE, (),
          "PageRank looped to convergence (early-stop proof)"),
         ("q193_incremental_dedup", q193_incremental_dedup, Q193_ORACLE, (),
