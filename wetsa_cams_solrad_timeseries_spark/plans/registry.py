@@ -72,6 +72,7 @@ _PIN_FIRST = (
     "q236_streaming_decontamination",
     "q237_nn_descent_refine",
     "q56_ann_ivf_topk",  # ann_topk_ivf gained candidate_pred (default-off)
+    "q191_quantile_sketch_merge",  # read-off tail factored into _q191_readoff
     "q216_ann_serving_sla",
     "q227_incremental_ivfsq_index",
     "q219_multiprobe_lsh",
