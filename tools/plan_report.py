@@ -68,6 +68,7 @@ GLOBAL_WINDOW_OK = {
     # occupied centroid bin of a LITERAL grid (≤ ~103 bins for
     # l_extendedprice / 1024), corpus-size independent:
     "q191_quantile_sketch_merge",
+    "q252_streaming_quantile_digest",  # q191's read-off tail verbatim
 }
 
 
