@@ -34,6 +34,31 @@ from pyspark.sql import functions as F
 from wetsa_cams_solrad_timeseries_spark.functions.arrays import to_double_array
 
 
+def round6_spark(arr):
+    """Round a float64 ndarray to 6 places with EXACTLY Spark's
+    ``F.round(double, 6)`` semantics — HALF_UP over the double's
+    shortest decimal representation (``BigDecimal.valueOf``), not
+    numpy's scale/rint/divide, which can disagree at grid boundaries
+    on the very same input double. Vectorized over the off-grid
+    residue only, so the common already-6dp case stays numpy-fast."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    fast = np.round(arr, 6)
+    # np.round and HALF_UP-on-repr can only disagree within half an
+    # ulp-of-scaling of the midpoint grid; re-do only suspects exactly.
+    scaled = arr * 1e6
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    suspects = np.argwhere(frac < 1e-6)
+    for idx in suspects:
+        t = tuple(idx)
+        fast[t] = float(
+            Decimal(repr(float(arr[t]))).quantize(q, rounding=ROUND_HALF_UP)
+        )
+    return fast
+
+
 def pca_core(mat, n_components: int):
     """(mean, loadings, explained_variance_ratio) from an (n, d) float64
     matrix — the numpy steps shared bit-for-bit by the Spark trainer and
@@ -108,12 +133,14 @@ def pca_project_batches(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Distributed projection to ``len(comps)`` dims as ONE BLAS matmul
-    per Arrow batch — the many-component path (r fold trees of d terms
-    each would bloat codegen; the kernel does identical arithmetic in a
-    few BLAS calls, the ``cell_knn_edges`` lesson). Output rows
-    ``(id, p array<double>)``, each element round6'd so the oracle's
-    sequential-fold replay agrees within the nudge."""
+    """Distributed projection to ``len(comps)`` dims vectorized per
+    Arrow batch — the many-component path (r fold trees of d terms
+    each would bloat codegen, the ``cell_knn_edges`` lesson). The
+    accumulation is one AXPY per input dim (``acc += (v_i-μ_i)·w_i``),
+    NOT a blocked matmul, so every projected element is produced by
+    exactly the same sequence of IEEE ops as the JVM fold /
+    DuckDB list-fold replay — the two paths are bit-identical
+    (pytest asserts worst == 0), not merely within a round6 nudge."""
     import numpy as np
     import pandas as pd
 
@@ -123,7 +150,13 @@ def pca_project_batches(
     def kernel(batches):
         for pdf in batches:
             mat = np.array(list(pdf[emb_col]), dtype=np.float64)
-            proj = np.round((mat - mu) @ wt + 1e-9, 6)
+            if mat.size == 0:
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "p": []})
+                continue
+            acc = np.zeros((mat.shape[0], wt.shape[1]))
+            for i in range(wt.shape[0]):
+                acc += (mat[:, i] - mu[i])[:, None] * wt[i][None, :]
+            proj = round6_spark(acc + 1e-9)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "p": list(proj)}
             )
@@ -156,7 +189,9 @@ def gram_moments(
             ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
             yield pd.DataFrame(
                 {
-                    "i": np.concatenate(([-1], np.arange(d), ii.ravel())),
+                    "i": np.concatenate(
+                        ([-1], np.arange(d), ii.ravel())
+                    ).astype("int32"),
                     "j": np.concatenate(
                         ([-1], np.full(d, -1), jj.ravel())
                     ).astype("int32"),

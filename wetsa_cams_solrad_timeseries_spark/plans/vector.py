@@ -6214,7 +6214,7 @@ def q247_filtered_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = emb.agg(
         F.round(
-            F.avg(flt.cast("double")) + F.lit(1e-9), 6
+            F.avg(F.when(flt, 1.0).otherwise(0.0)) + F.lit(1e-9), 6
         ).alias("selectivity")
     )
     return (
@@ -6487,7 +6487,16 @@ def q250_oracle_for(sf_dir: str) -> str | None:
         ]
     )
     for name in heavy:
-        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+        target = f"{name} AS ("
+        # The hint is load-bearing (>120 s exponential re-evaluation
+        # without it) — a silent miss after a cosmetic CTE rename must
+        # fail loudly here, not resurface as a driver-gate timeout.
+        if target not in sql:
+            raise AssertionError(
+                f"q250 oracle: heavy CTE '{name}' not found for "
+                "MATERIALIZED injection — template drifted"
+            )
+        sql = sql.replace(target, f"{name} AS MATERIALIZED (", 1)
     return sql
 
 
@@ -6642,7 +6651,7 @@ def q251_filter_selectivity_ladder(
         )
         sel = emb.agg(
             F.round(
-                F.avg(flt.cast("double")) + F.lit(1e-9), 6
+                F.avg(F.when(flt, 1.0).otherwise(0.0)) + F.lit(1e-9), 6
             ).alias("selectivity")
         )
         row = (

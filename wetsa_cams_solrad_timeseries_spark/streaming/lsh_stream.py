@@ -95,10 +95,18 @@ def streaming_lsh_pairs(
         sigs = minhash_signatures(sh, id_col, n_perm=n_perm)
         banded = lsh_band_rows(sigs, id_col, n_perm=n_perm, bands=bands)
         banded.write.mode("overwrite").parquet(bands_out)  # index append
-        # Probe: the NEW batch's bands against the accumulated index
-        # (committed generations through this batch — the read includes
-        # the bands just written, so same-batch pairs surface too).
-        accum = spark.read.parquet(*_committed("bands"))
+        # Probe: the NEW batch's bands against the accumulated index.
+        # Prior generations are admitted only once FULLY committed —
+        # pairs/_SUCCESS, the batch commit gate — plus this batch's own
+        # fresh bands (so same-batch pairs surface). Gating on the pairs
+        # marker (not bands/_SUCCESS) means a crash between the two
+        # writes leaves a half-done generation invisible to every later
+        # probe, with no reliance on foreachBatch running sequentially.
+        prior = [
+            p.replace(os.sep + "pairs", os.sep + "bands")
+            for p in _committed("pairs")
+        ]
+        accum = spark.read.parquet(*prior, bands_out)
         newb = spark.read.parquet(bands_out)
         pairs = (
             newb.select(F.col(id_col).alias("__id_n"), "bucket")
