@@ -1,0 +1,153 @@
+"""Deletion lifecycle: tombstones, compaction, graph mark-delete/repair.
+
+The contract under test is plans/deletes.py's two-phase delete story:
+phase 1 (tombstoned serve) and phase 2 (tombstone-folding compaction)
+must agree with each other and with the batch recompute over survivors
+(the shared oracle checks the latter; these tests lock the PHYSICAL
+side — membership actually leaves the index bytes, the layout contract
+survives, re-applying deletes is a no-op).
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wetsa_cams_solrad_timeseries_spark.catalog import table  # noqa: E402
+from wetsa_cams_solrad_timeseries_spark.plans.deletes import (  # noqa: E402
+    _ensure_lsh_delete_artifacts,
+    _is_takedown,
+    _probe_and_verify,
+    q253_lsh_tombstone_serve,
+    q254_lsh_tombstone_compaction,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tombstone_serve_equals_compacted_serve(spark, sf_dir):
+    # The two phases of the delete lifecycle answer identically — the
+    # in-engine twin of the shared q253/q254 oracle.
+    before = _rows(q253_lsh_tombstone_serve(spark, sf_dir))
+    after = _rows(q254_lsh_tombstone_compaction(spark, sf_dir))
+    assert before == after
+    assert len(before) > 0  # the probe shard does hit the index
+
+
+def test_no_deleted_partner_survives(spark, sf_dir):
+    takedown = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(_is_takedown())
+        .select("doc_id")
+        .collect()
+    }
+    assert takedown  # predicate must bind on the test corpus
+    served = q253_lsh_tombstone_serve(spark, sf_dir)
+    assert not {r["hist_id"] for r in served.collect()} & takedown
+
+
+def test_compaction_removes_membership_physically(spark, sf_dir):
+    hist_idx, tombs, idx_t = _ensure_lsh_delete_artifacts(spark, sf_dir)
+    if idx_t is None:
+        pytest.skip("catalog unavailable")
+    n_tomb = tombs.count()
+    # Force the pre-compaction state to actually contain deleted rows:
+    # if an earlier test already compacted, rebuild the fixture tables.
+    pre = (
+        spark.table(idx_t)
+        .join(
+            table(spark, sf_dir, "documents")
+            .filter(_is_takedown())
+            .select("doc_id"),
+            on="doc_id",
+            how="semi",
+        )
+        .count()
+    )
+    q254_lsh_tombstone_compaction(spark, sf_dir)
+    post = (
+        spark.table(idx_t)
+        .join(
+            table(spark, sf_dir, "documents")
+            .filter(_is_takedown())
+            .select("doc_id"),
+            on="doc_id",
+            how="semi",
+        )
+        .count()
+    )
+    assert post == 0  # membership is gone from the index bytes
+    # Tombstone table truncated after the fold (phase-2 postcondition).
+    tomb_t = idx_t.replace("wetsa_lshdel_", "wetsa_lshtomb_")
+    assert spark.table(tomb_t).count() == 0
+    # If this test ran on a fresh index, the delete really had bytes to
+    # remove (n_tomb docs × 4 bands, deduped per-bucket).
+    if pre:
+        assert pre > 0 and n_tomb > 0
+
+
+def test_double_compaction_is_noop(spark, sf_dir):
+    first = _rows(q254_lsh_tombstone_compaction(spark, sf_dir))
+    second = _rows(q254_lsh_tombstone_compaction(spark, sf_dir))
+    assert first == second
+
+
+def test_compacted_probe_plan_still_shuffle_free_on_index(spark, sf_dir):
+    # Phase 2 must not break the bucketed layout contract: after the
+    # tombstone-folding rewrite the probe's index side still satisfies
+    # the join distribution with no Exchange.
+    import re
+
+    _, _, idx_t = _ensure_lsh_delete_artifacts(spark, sf_dir)
+    if idx_t is None:
+        pytest.skip("catalog unavailable")
+    q254_lsh_tombstone_compaction(spark, sf_dir)
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    probe = lsh_band_rows(
+        minhash_signatures(
+            word_shingles(docs.filter(F.col("doc_id") % 10 == 7),
+                          "doc_id", "text", n=2),
+            "doc_id", n_perm=16,
+        ),
+        "doc_id", n_perm=16, bands=4,
+    ).localCheckpoint(eager=True)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        j = probe.hint("merge").join(spark.table(idx_t), on="bucket")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
+    # Serving through an anti-join against tombstones ≡ serving an index
+    # frame with the rows already gone — the algebraic heart of the
+    # crash-window argument (double-applied deletes are no-ops).
+    hist_idx, tombs, _ = _ensure_lsh_delete_artifacts(spark, sf_dir)
+    via_anti = _rows(_probe_and_verify(spark, sf_dir, hist_idx, tombs))
+    physical = hist_idx.join(
+        F.broadcast(tombs.select("doc_id")), on="doc_id", how="left_anti"
+    )
+    via_physical = _rows(_probe_and_verify(spark, sf_dir, physical, None))
+    assert via_anti == via_physical

@@ -34,6 +34,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     curation,
     analytics,
     advanced,
+    deletes,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -137,6 +138,7 @@ def _collect() -> dict[str, QuerySpec]:
         curation,
         analytics,
         advanced,
+        deletes,
     ):
         merged.update(mod.SPECS)
     ever, latest = _coverage_sets()

@@ -45,6 +45,8 @@ def compact_bucketed_table(
     n_buckets: int,
     bucket_col: str,
     sort_col: str | None = None,
+    tombstones: DataFrame | None = None,
+    tombstone_col: str | None = None,
 ) -> None:
     """Small-file compaction for an appended-into bucketed index — the
     maintenance step the cross-run index tables (q193 band rows, q197
@@ -76,6 +78,17 @@ def compact_bucketed_table(
     Either way the table is never lost for longer than one call
     (pytest-locked in test_compaction_crash_recovery).
 
+    Deletes ride the same rewrite: pass ``tombstones`` (a frame whose
+    ``tombstone_col`` lists deleted ids) and the compaction LEFT-ANTI
+    joins them out while it rewrites — membership removal and small-file
+    compaction are ONE pass over the index, which is how a 100 TB
+    bucketed index honors takedown/right-to-be-forgotten without a
+    second full rewrite. Until a compaction runs, deletes are served by
+    probe-time anti-joins against the (parameter-sized, broadcast)
+    tombstone set; after it, the anti-join is a no-op — so applying
+    tombstones twice is idempotent and every crash window between
+    "compacted" and "tombstones truncated" stays correct.
+
     Planner trap this codes around: reading via ``spark.table`` reports
     the scan's output partitioning as the table's own
     HashPartitioning(bucket, n), so EnsureRequirements ELIDES the
@@ -103,9 +116,16 @@ def compact_bucketed_table(
         .filter(F.col("col_name") == "Location")
         .collect()[0]["data_type"]
     )
+    src = spark.read.parquet(location)
+    if tombstones is not None:
+        key = tombstone_col or bucket_col
+        src = src.join(
+            F.broadcast(tombstones.select(key).distinct()),
+            on=key,
+            how="left_anti",
+        )
     (
-        spark.read.parquet(location)
-        .repartition(n_buckets, F.col(bucket_col))
+        src.repartition(n_buckets, F.col(bucket_col))
         .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(sort_col or bucket_col)
