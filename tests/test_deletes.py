@@ -140,6 +140,108 @@ def test_compacted_probe_plan_still_shuffle_free_on_index(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_mark_delete_excludes_results_only(spark, sf_dir):
+    # q255: tombstoned nodes can never be RESULTS; the graph index
+    # shared with q238 is byte-untouched (routing preserved is what the
+    # oracle proves — the beam replay traverses deleted nodes too).
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _vec_takedown_pred,
+        q255_graph_tombstone_serve,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    deleted = {
+        r["vec_id"] for r in emb.filter(_vec_takedown_pred()).collect()
+    }
+    assert deleted
+    out = q255_graph_tombstone_serve(spark, sf_dir).collect()
+    assert out
+    assert not {r["neighbor_id"] for r in out} & deleted
+
+
+def test_graph_repair_steady_state_never_rebuilds(spark, sf_dir, monkeypatch):
+    # q256's base build (trainer + Σ|cell|² batch kernel) runs once; the
+    # repair phase re-links via cell_knn_edges_incremental and re-elects
+    # hubs via cell_medoids over affected cells only — those stay live,
+    # the base-build stages must not.
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        q256_graph_delete_repair,
+    )
+
+    first = sorted(
+        tuple(r) for r in q256_graph_delete_repair(spark, sf_dir).collect()
+    )
+    assert first
+
+    import wetsa_cams_solrad_timeseries_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError("repair run re-ran a base-build stage")
+
+    monkeypatch.setattr(sim, "ivf_train_centroids", boom)
+    monkeypatch.setattr(sim, "cell_knn_edges", boom)
+    second = sorted(
+        tuple(r) for r in q256_graph_delete_repair(spark, sf_dir).collect()
+    )
+    assert second == first
+
+
+def test_graph_repair_relinks_affected_only(spark, sf_dir, monkeypatch):
+    # The repair kernels receive the affected flag: every flagged src
+    # must hold a stored edge into the deleted set, and the flagged
+    # count must be strictly smaller than the survivor count (the
+    # affected-only cost claim — a rebuild would flag everyone).
+    import wetsa_cams_solrad_timeseries_spark.operators.similarity as sim
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _ensure_graph_delete_artifacts,
+        _vec_takedown_pred,
+        q256_graph_delete_repair,
+    )
+
+    _, _, edges, _ = _ensure_graph_delete_artifacts(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    deleted = {
+        r["vec_id"] for r in emb.filter(_vec_takedown_pred()).collect()
+    }
+    expected_affected = {
+        r["src"]
+        for r in edges.filter(F.col("kind") == "knn").collect()
+        if r["dst"] in deleted
+    } - deleted
+    n_survivors = emb.count() - len(deleted)
+
+    real = sim.cell_knn_edges_incremental
+    flagged_per_call = []
+
+    def spy(emb_df, new_pred, *a, **k):
+        flagged_per_call.append(
+            emb_df.filter(new_pred).select("vec_id").collect()
+        )
+        return real(emb_df, new_pred, *a, **k)
+
+    monkeypatch.setattr(sim, "cell_knn_edges_incremental", spy)
+    q256_graph_delete_repair(spark, sf_dir)
+    flagged = {r["vec_id"] for rows in flagged_per_call for r in rows}
+    assert len(flagged_per_call) == 2  # history + inserted kernels
+    assert flagged == expected_affected
+    assert len(flagged) < n_survivors
+
+
+def test_deleted_unreachable_after_repair(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _vec_takedown_pred,
+        q256_graph_delete_repair,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    deleted = {
+        r["vec_id"] for r in emb.filter(_vec_takedown_pred()).collect()
+    }
+    out = q256_graph_delete_repair(spark, sf_dir).collect()
+    assert out
+    assert not {r["neighbor_id"] for r in out} & deleted
+
+
 def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
     # Serving through an anti-join against tombstones ≡ serving an index
     # frame with the rows already gone — the algebraic heart of the

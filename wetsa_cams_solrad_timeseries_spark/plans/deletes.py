@@ -335,6 +335,432 @@ Q253_ORACLE = _lsh_survivor_oracle()
 Q254_ORACLE = Q253_ORACLE
 
 
+# --------------------------------------------------------------------------
+# q255 — graph-ANN mark-delete serve (hnswlib markDelete semantics)
+# --------------------------------------------------------------------------
+
+_VEC_TAKEDOWN_MOD, _VEC_TAKEDOWN_RES = 13, 4
+
+
+def _vec_takedown_pred():
+    return (F.col("vec_id") % 10 != 7) & (
+        F.col("vec_id") % _VEC_TAKEDOWN_MOD == _VEC_TAKEDOWN_RES
+    )
+
+
+def q255_graph_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of the delete lifecycle on the GRAPH index — hnswlib's
+    ``markDelete``: tombstoned history nodes keep ROUTING (the beam
+    traverses them freely, so deleting a hub cannot disconnect the
+    graph — the property that makes mark-delete safe where naive edge
+    removal is not), they just cannot be RESULTS. The serve path is
+    q238's beam verbatim with one broadcast anti-join between traversal
+    and the rank window, so ranks recompute over survivors; the index
+    (frozen centroids/medoids + persisted base edges + inserted edges)
+    is byte-untouched and SHARED with q238 — the same index takes the
+    delete, which is the point.
+
+    Scale shape: q238's exactly, plus an O(|takedown|) broadcast
+    anti-join on the candidate-sized serve frame. Delete latency is one
+    parameter-sized write; no graph bytes move until q256's repair.
+
+    Oracle: q238's batch replay with the tombstone exclusion applied at
+    the SAME place — after the unrolled beam, before the rank tail —
+    proving routing-through-deleted is preserved while results exclude
+    them."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q238_incremental_graph_ann,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    tombs = emb.filter(_vec_takedown_pred()).select("vec_id")
+    return q238_incremental_graph_ann(spark, sf_dir, tombstones=tombs)
+
+
+def q255_oracle_for(sf_dir: str) -> str | None:
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _ivf_centroid_values,
+        _Q238_ORACLE_TEMPLATE,
+    )
+
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    if values is None:
+        return None
+    sql = _Q238_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values)
+    target = "WHERE c.node <> c.query_id"
+    if target not in sql:
+        raise AssertionError(
+            "q255 oracle: q238 template drifted — rank-tail WHERE not found"
+        )
+    return sql.replace(
+        target,
+        target
+        + f" AND NOT (c.node % 10 <> 7 AND"
+        f" c.node % {_VEC_TAKEDOWN_MOD} = {_VEC_TAKEDOWN_RES})",
+        1,
+    )
+
+
+# --------------------------------------------------------------------------
+# q256 — graph delete repair: affected-only re-link ≡ survivor rebuild
+# --------------------------------------------------------------------------
+
+_Q256_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def _ensure_graph_delete_artifacts(spark: SparkSession, sf_dir: str):
+    """The q256 index generation: frozen (centroids, medoids) params +
+    kind-tagged directed edges (knn/bridge, with the bridge's cell) +
+    the per-node probe table — built ONCE over the post-insert state
+    (q238's base build + insert), params written LAST as the commit
+    gate. The probe table is part of the index on purpose: probe ranks
+    depend only on (node, frozen centroids), so the repair phase reads
+    them instead of re-assigning the corpus — at 100 TB it is
+    cell-partitioned and the repair's read prunes to affected cells.
+
+    Returns (cents, medoids dict, edges_df, probes_df)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_knn_edges_incremental,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q232_BRIDGE,
+        _Q232_M,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    edges_t = f"wetsa_gdeledges_{tag}_{_Q256_TOKEN}"
+    probes_t = f"wetsa_gdelprobes_{tag}_{_Q256_TOKEN}"
+    params_t = f"wetsa_gdelparams_{tag}_{_Q256_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_gdeledges_{tag}_*", edges_t),
+            (f"wetsa_gdelprobes_{tag}_*", probes_t),
+            (f"wetsa_gdelparams_{tag}_*", params_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q256_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    def _build():
+        cents = ivf_train_centroids(hist, k=16, n_iter=2)
+        medoids = {
+            r["cell"]: r["medoid"] for r in cell_medoids(hist, cents).collect()
+        }
+        med_df = spark.createDataFrame(
+            sorted(medoids.items()), "cell int, medoid long"
+        )
+        probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+        knn = cell_knn_edges(hist, cents, m=_Q232_M).unionByName(
+            cell_knn_edges_incremental(emb, is_new, cents, m=_Q232_M)
+        )
+        bridges = (
+            probes.filter(F.col("probe_rank") >= 1)
+            .join(F.broadcast(med_df), on="cell")
+            .filter(F.col("vec_id") != F.col("medoid"))
+            .select(
+                F.col("vec_id").alias("src"),
+                F.col("medoid").alias("dst"),
+                "cell",
+            )
+        )
+        edges = knn.select(
+            "src", "dst", F.lit("knn").alias("kind"),
+            F.lit(None).cast("int").alias("cell"),
+        ).unionByName(
+            bridges.select("src", "dst", F.lit("bridge").alias("kind"), "cell")
+        )
+        return cents, medoids, edges, probes
+
+    built = None
+    try:
+        if not spark.catalog.tableExists(params_t):
+            built = _build()
+            cents, medoids, edges, probes = built
+            edges.write.mode("overwrite").saveAsTable(edges_t)
+            probes.write.mode("overwrite").saveAsTable(probes_t)
+            rows = [("cent", c, list(cents[c])) for c in range(len(cents))]
+            rows += [
+                ("medoid", c, [float(m)]) for c, m in sorted(medoids.items())
+            ]
+            spark.createDataFrame(
+                rows, "kind string, idx int, vals array<double>"
+            ).write.mode("overwrite").saveAsTable(params_t)  # commit gate
+        cents_by_idx, medoids = {}, {}
+        for r in spark.table(params_t).collect():
+            if r["kind"] == "cent":
+                cents_by_idx[r["idx"]] = list(r["vals"])
+            else:
+                medoids[r["idx"]] = int(r["vals"][0])
+        cents = [cents_by_idx[i] for i in range(len(cents_by_idx))]
+        return cents, medoids, spark.table(edges_t), spark.table(probes_t)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if built is None:
+            built = _build()
+        return built
+
+
+def q256_graph_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 2 on the graph index: REPAIR — affected survivors re-link,
+    after which the served graph provably equals a from-scratch build
+    over the survivors, at affected-only cost:
+
+    - **affected kNN srcs** = survivors holding ≥1 stored edge to a
+      deleted node. Only they re-link (one (|affected ∩ cell| ×
+      |surviving cell-mates|) BLAS block per touched cell — history
+      srcs against history survivors, inserted srcs against all
+      survivors, mirroring the build's two kernels). Every UNAFFECTED
+      list already equals the rebuild's: its top-m contained no deleted
+      node, and top-m over a subset equals top-m over the set when the
+      winners survive — that argmax-restriction argument is the whole
+      repair ≡ rebuild theorem, pytest-locked against a bombed trainer.
+    - **affected hubs**: cells whose frozen medoid was deleted elect the
+      next-best survivor (the deterministic (sim desc, id) rule over
+      that cell's surviving history members only); bridge rows of
+      affected cells rewrite from the persisted probe table (probe
+      ranks depend only on (node, frozen centroids) — deletes cannot
+      change them), other cells' bridges are kept as-is minus deleted
+      srcs.
+
+    Serve: q238's beam over the repaired symmetrized graph; deleted
+    nodes have no edges left, so they are unreachable — no result
+    filter needed, unlike q255's mark-delete phase.
+
+    Oracle: q238's one-pass batch replay with the corpus pre-filtered
+    to survivors (one WHERE on the root CTE — everything downstream
+    recomputes over survivors by construction), under the SAME
+    full-history-trained centroid literals (frozen means frozen):
+    repair ≡ rebuild, checked end to end at the serve surface."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges_incremental,
+        cell_medoids,
+        ivf_assign,
+        l2sq_cols,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q197_QBOUND,
+        _Q232_BEAM,
+        _Q232_HOPS,
+        _Q232_K,
+        _Q232_M,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    deleted = _vec_takedown_pred()
+    cents, medoids, edges, probes = _ensure_graph_delete_artifacts(
+        spark, sf_dir
+    )
+
+    del_ids = emb.filter(deleted).select("vec_id").localCheckpoint(eager=True)
+    # Affected kNN srcs: survivors with a stored edge into the deleted set.
+    knn_stored = edges.filter(F.col("kind") == "knn").select("src", "dst")
+    affected = (
+        knn_stored.join(
+            F.broadcast(del_ids.withColumnRenamed("vec_id", "dst")), on="dst"
+        )
+        .select(F.col("src").alias("vec_id"))
+        .distinct()
+        .join(F.broadcast(del_ids), on="vec_id", how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+    # Re-link: build's two kernels restricted to (affected, survivors).
+    surv = emb.join(F.broadcast(del_ids), on="vec_id", how="left_anti")
+    aff_flagged = surv.join(
+        F.broadcast(affected.withColumn("__aff", F.lit(True))),
+        on="vec_id",
+        how="left",
+    ).withColumn("__aff", F.coalesce("__aff", F.lit(False)))
+    relink_h = cell_knn_edges_incremental(
+        aff_flagged.filter(~is_new),
+        F.col("__aff") & ~is_new,
+        cents,
+        m=_Q232_M,
+    )
+    relink_n = cell_knn_edges_incremental(
+        aff_flagged, F.col("__aff") & is_new, cents, m=_Q232_M
+    )
+    kept_knn = (
+        knn_stored.join(
+            F.broadcast(del_ids.withColumnRenamed("vec_id", "src")),
+            on="src",
+            how="left_anti",
+        )
+        .join(
+            F.broadcast(affected.withColumnRenamed("vec_id", "src")),
+            on="src",
+            how="left_anti",
+        )
+    )
+    repaired_knn = kept_knn.unionByName(relink_h).unionByName(relink_n)
+
+    # Hub repair: cells whose frozen medoid was deleted elect the
+    # next-best surviving history member; their bridge rows rewrite from
+    # the persisted probe table. n_cells is parameter-sized, so the
+    # affected-cell set is a driver-side literal by design.
+    mod, res = _VEC_TAKEDOWN_MOD, _VEC_TAKEDOWN_RES
+    aff_cells = sorted(
+        c for c, m in medoids.items() if m % 10 != 7 and m % mod == res
+    )
+    kept_med = [(c, m) for c, m in sorted(medoids.items()) if c not in aff_cells]
+    if aff_cells:
+        cell_members = (
+            probes.filter(
+                (F.col("probe_rank") == 0) & F.col("cell").isin(aff_cells)
+            )
+            .select("vec_id", "cell")
+            .join(F.broadcast(del_ids), on="vec_id", how="left_anti")
+            .filter(F.col("vec_id") % 10 != 7)
+        )
+        member_vecs = emb.join(cell_members.select("vec_id"), on="vec_id",
+                               how="semi")
+        new_med = [
+            (r["cell"], r["medoid"])
+            for r in cell_medoids(member_vecs, cents).collect()
+            if r["cell"] in aff_cells
+        ]
+    else:
+        new_med = []
+    med_df = spark.createDataFrame(
+        sorted(kept_med + new_med), "cell int, medoid long"
+    )
+    kept_bridges = (
+        edges.filter(F.col("kind") == "bridge")
+        .filter(~F.col("cell").isin(aff_cells) if aff_cells else F.lit(True))
+        .join(
+            F.broadcast(del_ids.withColumnRenamed("vec_id", "src")),
+            on="src",
+            how="left_anti",
+        )
+        .select("src", "dst")
+    )
+    new_bridges = (
+        probes.filter(
+            (F.col("probe_rank") >= 1)
+            & (F.col("cell").isin(aff_cells) if aff_cells else F.lit(False))
+        )
+        .join(F.broadcast(del_ids), on="vec_id", how="left_anti")
+        .join(F.broadcast(med_df), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = repaired_knn.unionByName(kept_bridges).unionByName(new_bridges)
+    edges_r = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # Serve: q238's beam over the repaired graph, entry at the repaired
+    # hub of each query's nearest cell.
+    q_bound = (F.col("vec_id") < _Q197_QBOUND) & is_new
+    entry0 = (
+        probes.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(q_bound).select("vec_id"), on="vec_id", how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.join(
+        emb.filter(q_bound).select("vec_id"), on="vec_id", how="semi"
+    ).select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(
+            F.broadcast(j), on=F.col("vec_id") == F.col("node")
+        ).select(
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("node")
+    )
+    cand = entry0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges_r, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    return (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank")
+    )
+
+
+def q256_oracle_for(sf_dir: str) -> str | None:
+    """Repair ≡ rebuild: q238's replay with the corpus pre-filtered to
+    survivors at the root CTE (everything downstream — assignment,
+    medoids, kNN, bridges, entry, beam — recomputes over survivors by
+    construction), under the SAME full-history-trained centroids."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _ivf_centroid_values,
+        _Q238_ORACLE_TEMPLATE,
+    )
+
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    if values is None:
+        return None
+    sql = _Q238_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values)
+    target = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    if target not in sql:
+        raise AssertionError(
+            "q256 oracle: q238 template drifted — root vecs CTE not found"
+        )
+    return sql.replace(
+        target,
+        target
+        + f"\n  WHERE NOT (vec_id % 10 <> 7 AND"
+        f" vec_id % {_VEC_TAKEDOWN_MOD} = {_VEC_TAKEDOWN_RES})",
+        1,
+    )
+
+
+Q255_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+Q256_ORACLE = None  # LAZY — oracle_fn resolved at call time
+
+
+import dataclasses as _dc
+
 SPECS = make_specs(
     [
         ("q253_lsh_tombstone_serve", q253_lsh_tombstone_serve, Q253_ORACLE,
@@ -342,5 +768,17 @@ SPECS = make_specs(
         ("q254_lsh_tombstone_compaction", q254_lsh_tombstone_compaction,
          Q254_ORACLE, (),
          "index delete phase 2: tombstone-folding compaction"),
+        ("q255_graph_tombstone_serve", q255_graph_tombstone_serve,
+         Q255_ORACLE, (),
+         "graph delete phase 1: hnswlib mark-delete (routes, never results)"),
+        ("q256_graph_delete_repair", q256_graph_delete_repair,
+         Q256_ORACLE, (),
+         "graph delete phase 2: affected-only repair == survivor rebuild"),
     ]
+)
+SPECS["q255_graph_tombstone_serve"] = _dc.replace(
+    SPECS["q255_graph_tombstone_serve"], oracle_fn=q255_oracle_for
+)
+SPECS["q256_graph_delete_repair"] = _dc.replace(
+    SPECS["q256_graph_delete_repair"], oracle_fn=q256_oracle_for
 )

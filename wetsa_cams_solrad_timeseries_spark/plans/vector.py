@@ -4852,7 +4852,9 @@ Q237_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 _Q238_TOKEN = __import__("uuid").uuid4().hex[:12]
 
 
-def q238_incremental_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q238_incremental_graph_ann(
+    spark: SparkSession, sf_dir: str, tombstones: DataFrame | None = None
+) -> DataFrame:
     """The incremental lifecycle applied to the GRAPH index — the one
     index family the cross-run matrix (q193 LSH / q197 PQ / q217 OPQ /
     q227 IVF-SQ8 / q210 pHash / q201 postings) did not yet cover, and
@@ -5045,9 +5047,20 @@ def q238_incremental_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("dst").alias("node")
         )
         cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    served = with_dist(cand).filter(F.col("node") != F.col("query_id"))
+    if tombstones is not None:
+        # hnswlib markDelete semantics (q255): tombstoned nodes keep
+        # ROUTING — the beam above traverses them freely, so deleting a
+        # hub cannot disconnect the graph — they just cannot be RESULTS.
+        # The anti-join sits between traversal and the rank window, so
+        # ranks recompute over the survivors.
+        served = served.join(
+            F.broadcast(tombstones.select(F.col("vec_id").alias("node"))),
+            on="node",
+            how="left_anti",
+        )
     return (
-        with_dist(cand)
-        .filter(F.col("node") != F.col("query_id"))
+        served
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _Q232_K)
         .select("query_id", F.col("node").alias("neighbor_id"), "rank")
