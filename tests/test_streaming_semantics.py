@@ -492,6 +492,58 @@ def test_streaming_lsh_pairs_equal_batch_lsh(spark, sf_dir):
     assert len(streamed) == len(set(streamed)), "a pair was emitted twice"
 
 
+def test_streaming_graph_insert_equals_one_shot_edge_set(spark, sf_dir):
+    # q257's contract at the EDGE-SET surface (stronger than the serve
+    # surface its oracle checks): the drained displacement-merged
+    # neighbor lists equal cell_knn_edges_incremental's one-shot insert
+    # exactly — top-m(top-m(S1) ∪ S2) = top-m(S1 ∪ S2) by induction over
+    # micro-batches, so batch boundaries and arrival order cannot move
+    # a single edge.
+    from pyspark.sql import functions as F
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges_incremental,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q232_M,
+        _split_embeddings,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
+        streaming_graph_insert,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+    cents = ivf_train_centroids(hist, k=16, n_iter=2)
+    split_dir = _split_embeddings(
+        spark, sf_dir, n_files=3, pred=is_new, variant="new"
+    )
+    hist_members = ivf_assign(hist, cents, n_probe=1).join(
+        hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
+        on="vec_id",
+    ).select("vec_id", "cell", "__v")
+    streamed = sorted(
+        tuple(r)
+        for r in streaming_graph_insert(
+            spark, split_dir, hist_members, cents, m=_Q232_M
+        ).collect()
+    )
+    one_shot = sorted(
+        tuple(r)
+        for r in cell_knn_edges_incremental(
+            emb, is_new, cents, m=_Q232_M
+        ).collect()
+    )
+    assert streamed, "streaming insert produced no edges"
+    assert streamed == one_shot
+
+
 def test_streaming_pca_encode_equals_batch_projection(spark, sf_dir):
     # q249's contract: a frozen basis + per-row projection means the
     # drained stream-built projected table equals the one-pass batch

@@ -1383,6 +1383,7 @@ def cell_knn_edges_incremental(
     m: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    with_dist: bool = False,
 ) -> DataFrame:
     """Directed top-m edges for the NEW nodes only (rows satisfying
     ``new_pred``), each against ALL its cell-mates — history AND new —
@@ -1418,21 +1419,29 @@ def cell_knn_edges_incremental(
         srcs = np.where(isnew)[0]
         k = min(m, len(ids) - 1)
         if len(srcs) == 0 or k <= 0:
-            return pd.DataFrame({"src": ids[:0], "dst": ids[:0]})
+            out = {"src": ids[:0], "dst": ids[:0]}
+            if with_dist:
+                out["d"] = np.zeros(0)
+            return pd.DataFrame(out)
         mat = np.array(list(pdf["__v"]), dtype=np.float64)
         d = _pq_subdist_matrix(mat[srcs], mat)  # round6'd squared L2
         d[np.arange(len(srcs)), srcs] = np.inf  # no self edges
         order = np.lexsort(
             (np.broadcast_to(ids, d.shape), d), axis=1
         )[:, :k]
-        return pd.DataFrame(
-            {
-                "src": np.repeat(ids[srcs], k),
-                "dst": ids[order.ravel()],
-            }
-        )
+        out = {
+            "src": np.repeat(ids[srcs], k),
+            "dst": ids[order.ravel()],
+        }
+        if with_dist:
+            # The streaming displacement merge (q257) needs the edge
+            # weights: top-m(top-m(S₁) ∪ S₂) = top-m(S₁ ∪ S₂) only
+            # works when the stored list carries its (d, dst) sort key.
+            out["d"] = np.take_along_axis(d, order, axis=1).ravel()
+        return pd.DataFrame(out)
 
-    return nodes.groupBy("cell").applyInPandas(kernel, schema="src long, dst long")
+    schema = "src long, dst long" + (", d double" if with_dist else "")
+    return nodes.groupBy("cell").applyInPandas(kernel, schema=schema)
 
 
 def cell_medoids(

@@ -1229,14 +1229,25 @@ def q200_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _split_embeddings(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+def _split_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 2,
+    pred=None,
+    variant: str = "",
+) -> str:
     """Embeddings twin of :func:`_split_events` (same artifact
-    discipline: process-unique token, _SUCCESS gate, sweep + atexit)."""
+    discipline: process-unique token, _SUCCESS gate, sweep + atexit).
+    ``pred``/``variant`` carve a sub-shard replay (q257 streams the NEW
+    shard only — history is the pre-existing index side); ``variant``
+    keys the artifact dir so filtered and full splits coexist."""
     import tempfile
 
     from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
 
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) + (
+        f"v{variant}" if variant else ""
+    )
     split_dir = claim_artifact_dir(
         os.path.join(tempfile.gettempdir(), f"wetsa_emb_split_*_{sf_tag}*"),
         _SPLIT_TOKEN,
@@ -1246,9 +1257,10 @@ def _split_embeddings(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str
         ),
     )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-            n_files
-        ).write.mode("overwrite").parquet(split_dir)
+        src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if pred is not None:
+            src = src.filter(pred)
+        src.repartition(n_files).write.mode("overwrite").parquet(split_dir)
     return split_dir
 
 
@@ -7560,6 +7572,139 @@ def q212_oracle_for(sf_dir: str) -> str | None:
 Q212_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q257 — streaming graph insert: displacement merge ≡ one-shot insert
+# --------------------------------------------------------------------------
+
+
+def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q238's insert riding the ingest stream — the graph member of the
+    streaming index-maintenance family (q203/q218/q249 encode twins,
+    q244 LSH bands), and the one round 11 left open: new-shard vectors
+    arrive as micro-batches (multi-file replay, maxFilesPerTrigger=1)
+    and each batch inserts into the accumulated neighbor lists under
+    the frozen history-trained quantizer via the DISPLACEMENT MERGE
+    (streaming/graph_insert_stream.py): batch nodes link top-m against
+    all present cell-mates; prior new nodes in touched cells merge
+    their stored (d, dst) lists with the batch's distances and keep the
+    top-m. top-m(top-m(S₁) ∪ S₂) = top-m(S₁ ∪ S₂), so by induction the
+    drained lists are the one-shot insert's EDGE SET exactly —
+    independent of batch boundaries and arrival order — and the serve
+    surface (q238's beam for the new-shard queries) matches q238's
+    output byte for byte. Oracle: q238's batch replay VERBATIM.
+
+    Scale shape: per batch (|batch| + |prior ∩ touched cells|) ×
+    |touched cell| distances, never Σ|cell|²; generation dirs with
+    edges-written-last commit gates handle at-least-once re-execution;
+    at 100 TB the generations become a cell-partitioned edge table and
+    touched-cell reads prune by partition."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
+        streaming_graph_insert,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+    cents = ivf_train_centroids(hist, k=16, n_iter=2)
+    med_df = cell_medoids(hist, cents)
+
+    # Stream the NEW shard through the insert loop.
+    split_dir = _split_embeddings(
+        spark, sf_dir, n_files=3, pred=is_new, variant="new"
+    )
+    hist_members = ivf_assign(hist, cents, n_probe=1).join(
+        hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
+        on="vec_id",
+    ).select("vec_id", "cell", "__v")
+    new_knn = streaming_graph_insert(
+        spark, split_dir, hist_members, cents, m=_Q232_M
+    )
+
+    # Assemble the full graph exactly as q238 does (base + bridges are
+    # node-local / frozen-hub derived — order-independent by nature).
+    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes_all.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med_df), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = base_knn.unionByName(new_knn).unionByName(bridges)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0 = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.join(
+        emb.filter(is_new & q_bound).select("vec_id"), on="vec_id", how="semi"
+    ).select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(
+            F.broadcast(j), on=F.col("vec_id") == F.col("node")
+        ).select(
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("node")
+    )
+    cand = entry0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    return (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank")
+    )
+
+
+Q257_ORACLE = None  # LAZY — q238's oracle verbatim (stream ≡ batch insert)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -7673,6 +7818,9 @@ SPECS = make_specs(
          "incremental graph-ANN index: persisted directed edges + "
          "frozen hubs, HNSW-style insert, beam serve (incremental ≡ "
          "batch oracle)"),
+        ("q257_streaming_graph_insert", q257_streaming_graph_insert,
+         Q257_ORACLE, (),
+         "streaming graph insert: displacement merge == one-shot insert"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -7769,6 +7917,9 @@ SPECS["q237_nn_descent_refine"] = _dc.replace(
 )
 SPECS["q238_incremental_graph_ann"] = _dc.replace(
     SPECS["q238_incremental_graph_ann"], oracle_fn=q238_oracle_for
+)
+SPECS["q257_streaming_graph_insert"] = _dc.replace(
+    SPECS["q257_streaming_graph_insert"], oracle_fn=q238_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
