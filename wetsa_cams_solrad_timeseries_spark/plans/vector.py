@@ -4272,9 +4272,11 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=True)  # reused by every measured beam
     )
     # Trailing build parts (checkpointed knn, bridges) let q240 rewire
-    # the SAME build with NN-descent without re-paying Σ|cell|²;
-    # _q232_perq_recall unpacks only the first five.
-    return entry0, edges, with_dist, w, exact, knn, bridges
+    # the SAME build with NN-descent without re-paying Σ|cell|²; the
+    # quantizer-side parts (cents, med, probes) let q258 erect the
+    # sparse upper layer on the SAME build. _q232_perq_recall unpacks
+    # only the first five.
+    return entry0, edges, with_dist, w, exact, knn, bridges, cents, med, probes
 
 
 def _q232_perq_recall(setup, beam_width: int) -> DataFrame:
@@ -7705,6 +7707,257 @@ def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q257_ORACLE = None  # LAZY — q238's oracle verbatim (stream ≡ batch insert)
 
 
+# --------------------------------------------------------------------------
+# q258 — multi-layer HNSW descent: sparse upper layer refines the entry
+# --------------------------------------------------------------------------
+
+_Q258_GHOPS = 3  # greedy (beam=1) hops on the upper layer
+_Q258_L1_MOD, _Q258_L1_RES = 7, 3  # ~14% sparse upper-layer membership
+
+
+def q258_hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-layer HIERARCHY rung of the graph family — q232's
+    single-layer NSW is HNSW with the upper-layer walk collapsed to one
+    medoid step; this query erects a real sparse upper layer and prices
+    what the hierarchy buys ON THE SAME BUILD (setup shared with
+    q232/q235/q240 — the Σ|cell|² base is paid once per call):
+
+    - **layer 1**: a deterministic ~1/7 node subset (``vec_id % 7 = 3``)
+      with every cell's medoid PINNED in (real HNSW pins its entry
+      point at the top; pinning the hubs keeps every cell reachable and
+      the entry step well-defined), wired with the SAME construction
+      restricted to the layer — within-cell kNN over layer members +
+      medoid bridges, symmetrized. Sparser layer ⇒ the same m edges
+      span longer distances — exactly the long-range links upper HNSW
+      layers exist to provide.
+    - **descent**: entry at the query's nearest-cell medoid, then
+      ``g_hops`` GREEDY hops (beam = 1 — HNSW's ef=1 upper-layer walk)
+      over the layer-1 graph; the best node visited becomes the
+      layer-0 entry, from which q232's fixed-hop beam runs unchanged.
+
+    Output: one gate row (m, g_hops, beam, hops, n_l1, n_queries,
+    avg/min recall@k vs exact) — directly comparable to q232's row, so
+    the ladder shows what the hierarchy is worth on this corpus.
+
+    Scale shape: layer-1 build is Σ|cell ∩ L1|² ≈ Σ|cell|²/49 — the
+    classic geometric-layer argument that upper layers are build-free
+    in relative terms; the greedy walk adds hops·1·degree bounded rows
+    per query. Oracle: the shared graph CTEs + the layer-1 CTEs + the
+    greedy chain (hop CTEs at beam=1) + the beam chain, unrolled."""
+    setup = _q232_setup(spark, sf_dir)
+    entry0, edges, with_dist, w, exact = setup[:5]
+    cents, med, probes = setup[7], setup[8], setup[9]
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    l1_ids = (
+        emb.filter(F.col("vec_id") % _Q258_L1_MOD == _Q258_L1_RES)
+        .select("vec_id")
+        .unionByName(med.select(F.col("medoid").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=True)  # membership + the audit count
+    )
+    l1_emb = emb.join(l1_ids, on="vec_id", how="semi")
+    knn1 = cell_knn_edges(l1_emb, cents, m=_Q232_M)
+    bridges1 = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(l1_ids, on="vec_id", how="semi")
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed1 = knn1.unionByName(bridges1)
+    edges1 = (
+        directed1.unionByName(
+            directed1.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # Greedy upper-layer walk (beam = 1) from the medoid entry.
+    cand = entry0
+    for _ in range(_Q258_GHOPS):
+        best = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 1)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = best.join(edges1, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    e0 = (
+        with_dist(cand)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", "node")
+        .localCheckpoint(eager=True)
+    )
+
+    # Layer-0 beam from the refined entry — q232's loop unchanged.
+    cand = e0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    served = (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q232_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    n_l1 = l1_ids.agg(F.count(F.lit(1)).cast("long").alias("n_l1"))
+    return (
+        perq.agg(
+            F.lit(_Q232_M).cast("long").alias("m"),
+            F.lit(_Q258_GHOPS).cast("long").alias("g_hops"),
+            F.lit(_Q232_BEAM).cast("long").alias("beam"),
+            F.lit(_Q232_HOPS).cast("long").alias("hops"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+            F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+        )
+        .crossJoin(F.broadcast(n_l1))
+        .select(
+            "m", "g_hops", "beam", "hops", "n_l1",
+            "n_queries", "avg_recall", "min_recall",
+        )
+    )
+
+
+_Q258_ORACLE_TEMPLATE = f"""
+WITH {_Q232_GRAPH_CTES},
+l1 AS (
+  SELECT vec_id FROM vecs WHERE vec_id % {_Q258_L1_MOD} = {_Q258_L1_RES}
+  UNION SELECT medoid AS vec_id FROM med
+),
+knn1p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN l1 la ON la.vec_id = a.vec_id
+  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  JOIN l1 lb ON lb.vec_id = b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+),
+knn1 AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knn1p
+  ) WHERE r <= {_Q232_M}
+),
+bridges1 AS (
+  SELECT rk.vec_id AS src, m.medoid AS dst
+  FROM ranked rk
+  JOIN l1 l ON l.vec_id = rk.vec_id
+  JOIN med m ON m.cell = rk.cell
+  WHERE rk.r BETWEEN 2 AND {1 + _Q232_BRIDGE} AND rk.vec_id <> m.medoid
+),
+edges1 AS (
+  SELECT src, dst FROM knn1
+  UNION SELECT src, dst FROM bridges1
+  UNION SELECT dst AS src, src AS dst FROM knn1
+  UNION SELECT dst AS src, src AS dst FROM bridges1
+),
+cg0 AS (SELECT query_id, node FROM c0),
+{_q232_hop_ctes(_Q258_GHOPS, beam=1, tag="g", edges_cte="edges1")},
+e0 AS (
+  SELECT query_id, node FROM (
+    SELECT c.query_id, c.node,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {_Q232_L2.format(a='qv', b='nv')}, c.node) AS r
+    FROM cg{_Q258_GHOPS} c
+    JOIN vecs qv ON qv.vec_id = c.query_id
+    JOIN vecs nv ON nv.vec_id = c.node
+  ) WHERE r = 1
+),
+cz0 AS (SELECT query_id, node FROM e0),
+{_q232_hop_ctes(_Q232_HOPS, beam=_Q232_BEAM, tag="z")},
+fdist AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM cz{_Q232_HOPS} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+),
+served AS (
+  SELECT query_id, node AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, node) AS r
+    FROM fdist
+  ) WHERE r <= {_Q232_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q232_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+)
+SELECT CAST({_Q232_M} AS BIGINT) AS m,
+       CAST({_Q258_GHOPS} AS BIGINT) AS g_hops,
+       CAST({_Q232_BEAM} AS BIGINT) AS beam,
+       CAST({_Q232_HOPS} AS BIGINT) AS hops,
+       (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_l1,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall
+FROM perq
+"""
+
+
+def q258_oracle_for(sf_dir: str) -> str | None:
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    return None if values is None else _Q258_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q258_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -7821,6 +8074,9 @@ SPECS = make_specs(
         ("q257_streaming_graph_insert", q257_streaming_graph_insert,
          Q257_ORACLE, (),
          "streaming graph insert: displacement merge == one-shot insert"),
+        ("q258_hnsw_multilayer", q258_hnsw_multilayer, Q258_ORACLE, (),
+         "multi-layer HNSW: sparse pinned-hub upper layer, greedy "
+         "descent refines the layer-0 entry, recall gate vs exact"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -7920,6 +8176,9 @@ SPECS["q238_incremental_graph_ann"] = _dc.replace(
 )
 SPECS["q257_streaming_graph_insert"] = _dc.replace(
     SPECS["q257_streaming_graph_insert"], oracle_fn=q238_oracle_for
+)
+SPECS["q258_hnsw_multilayer"] = _dc.replace(
+    SPECS["q258_hnsw_multilayer"], oracle_fn=q258_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
