@@ -242,6 +242,81 @@ def test_deleted_unreachable_after_repair(spark, sf_dir):
     assert not {r["neighbor_id"] for r in out} & deleted
 
 
+def test_cell_local_compaction_touches_affected_dirs_only(spark, sf_dir):
+    # q259's physical contract: the dynamic-partition-overwrite rewrite
+    # replaces exactly the cell directories holding tombstoned rows;
+    # every other partition keeps its exact files (path, size, mtime).
+    import os as _os
+
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _ensure_ivfsq_delete_artifacts,
+        _vec_takedown_pred,
+        compact_partitioned_cells,
+    )
+
+    *_, codes_t, _, tombs = _ensure_ivfsq_delete_artifacts(spark, sf_dir)
+    if codes_t is None:
+        pytest.skip("catalog unavailable")
+    location = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {codes_t}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+
+    def snapshot():
+        snap = {}
+        for root, _dirs, files in _os.walk(location):
+            for f in files:
+                p = _os.path.join(root, f)
+                st = _os.stat(p)
+                snap[p] = (st.st_size, st.st_mtime_ns)
+        return snap
+
+    # Pre-state may already be compacted by an earlier test/call — only
+    # assert the byte-identity property when the compaction binds.
+    tomb_rows = tombs.count()
+    before = snapshot()
+    affected = compact_partitioned_cells(
+        spark, codes_t, tombs, id_col="neighbor_id", part_col="cell"
+    )
+    after = snapshot()
+    if tomb_rows and affected:
+        aff_frag = [f"{_os.sep}cell={c}{_os.sep}" for c in affected]
+
+        def is_affected(p):
+            return any(fr in p for fr in aff_frag)
+
+        untouched_before = {p: v for p, v in before.items()
+                            if not is_affected(p)}
+        untouched_after = {p: v for p, v in after.items()
+                           if not is_affected(p)}
+        assert untouched_before == untouched_after
+        assert {p for p in before if is_affected(p)} != {
+            p for p in after if is_affected(p)
+        }
+    # Deleted membership is physically gone either way.
+    emb = table(spark, sf_dir, "embeddings")
+    gone = (
+        spark.table(codes_t)
+        .join(
+            emb.filter(_vec_takedown_pred()).select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            on="neighbor_id",
+            how="semi",
+        )
+        .count()
+    )
+    assert gone == 0
+    # Re-compaction with the same tombstones is a no-op (idempotent).
+    assert (
+        compact_partitioned_cells(
+            spark, codes_t, tombs, id_col="neighbor_id", part_col="cell"
+        )
+        == []
+    )
+
+
 def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
     # Serving through an anti-join against tombstones ≡ serving an index
     # frame with the rows already gone — the algebraic heart of the

@@ -759,6 +759,321 @@ Q255_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 Q256_ORACLE = None  # LAZY — oracle_fn resolved at call time
 
 
+# --------------------------------------------------------------------------
+# q259 — cell-LOCAL delete compaction on the partitioned IVF-SQ8 index
+# --------------------------------------------------------------------------
+
+_Q259_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def _ensure_ivfsq_delete_artifacts(spark: SparkSession, sf_dir: str):
+    """q259's generation: frozen (coarse, vmin, step) params + the
+    history code table directory-PARTITIONED BY CELL (q227's layout) +
+    the takedown tombstone table. Params written LAST as the commit
+    gate. Returns (coarse, vmin, step, codes_table_name_or_None,
+    codes_df, tombstones_df)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        hash_bounded_sample,
+        ivfsq_encode,
+        ivfsq_train,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q223_CELLS
+
+    emb = table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 10 != 7)
+    tombs = emb.filter(_vec_takedown_pred()).select("vec_id")
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    codes_t = f"wetsa_sqdelcodes_{tag}_{_Q259_TOKEN}"
+    params_t = f"wetsa_sqdelparams_{tag}_{_Q259_TOKEN}"
+    tomb_t = f"wetsa_sqdeltomb_{tag}_{_Q259_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_sqdelcodes_{tag}_*", codes_t),
+            (f"wetsa_sqdelparams_{tag}_*", params_t),
+            (f"wetsa_sqdeltomb_{tag}_*", tomb_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q259_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    artifacts = None
+    try:
+        if not spark.catalog.tableExists(params_t):
+            coarse, vmin, step = ivfsq_train(
+                hash_bounded_sample(hist), cells=_Q223_CELLS
+            )
+            artifacts = (coarse, vmin, step)
+            (
+                ivfsq_encode(hist, coarse, vmin, step)
+                .select(F.col("vec_id").alias("neighbor_id"), "cell", "cd")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .saveAsTable(codes_t)
+            )
+            rows = [("coarse", c, list(coarse[c])) for c in range(_Q223_CELLS)]
+            rows += [("vmin", 0, list(vmin)), ("step", 0, list(step))]
+            spark.createDataFrame(
+                rows, "kind string, idx int, vals array<double>"
+            ).write.mode("overwrite").saveAsTable(params_t)  # commit gate
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        elif not spark.catalog.tableExists(tomb_t):
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        if artifacts is None:
+            coarse = [None] * _Q223_CELLS
+            vmin = step = None
+            for r in spark.table(params_t).collect():
+                if r["kind"] == "coarse":
+                    coarse[r["idx"]] = list(r["vals"])
+                elif r["kind"] == "vmin":
+                    vmin = list(r["vals"])
+                else:
+                    step = list(r["vals"])
+            artifacts = (coarse, vmin, step)
+        coarse, vmin, step = artifacts
+        return coarse, vmin, step, codes_t, spark.table(codes_t), spark.table(
+            tomb_t
+        )
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if artifacts is None:
+            artifacts = ivfsq_train(
+                hash_bounded_sample(hist), cells=_Q223_CELLS
+            )
+        coarse, vmin, step = artifacts
+        codes = ivfsq_encode(hist, coarse, vmin, step).select(
+            F.col("vec_id").alias("neighbor_id"), "cell", "cd"
+        )
+        return coarse, vmin, step, None, codes, tombs
+
+
+def compact_partitioned_cells(
+    spark: SparkSession,
+    table_name: str,
+    tombstones: DataFrame,
+    id_col: str,
+    part_col: str = "cell",
+) -> list[int]:
+    """Cell-LOCAL delete compaction for a directory-partitioned index:
+    resolve the partitions that actually contain tombstoned rows (a
+    parameter-sized collect — takedown lists are thousands of ids, so
+    affected cells ≤ min(|takedown|, n_cells)), rewrite ONLY those
+    directories via dynamic partition overwrite with the survivors, and
+    DROP any partition left with zero survivors (dynamic overwrite
+    cannot rewrite a partition it has no rows for — the empty-cell
+    edge). Every other partition's files are untouched bytes —
+    pytest-locked by listing (path, size, mtime) before/after. Returns
+    the affected partition values.
+
+    At 100 TB this is THE delete story for partitioned indexes: delete
+    cost scales with the affected partitions' size, never the index
+    size, and concurrent probes keep partition-pruning straight through
+    the rewrite."""
+    tomb = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+    cur = spark.table(table_name)
+    affected = sorted(
+        r[part_col]
+        for r in cur.join(F.broadcast(tomb), on=id_col, how="semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    survivors = (
+        cur.filter(F.col(part_col).isin(affected))
+        .join(F.broadcast(tomb), on=id_col, how="left_anti")
+        .localCheckpoint(eager=True)
+    )
+    surviving_cells = {
+        r[part_col] for r in survivors.select(part_col).distinct().collect()
+    }
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if surviving_cells:
+            survivors.select(*cur.columns).write.mode(
+                "overwrite"
+            ).insertInto(table_name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    for c in affected:
+        if c not in surviving_cells:
+            spark.sql(
+                f"ALTER TABLE {table_name} DROP IF EXISTS "
+                f"PARTITION ({part_col}={c})"
+            )
+    return affected
+
+
+def q259_ivfsq_delete_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete lifecycle on the cell-PARTITIONED index layout (q227's
+    — the literal file-level inverted list): takedown ids tombstone
+    first, then compaction rewrites ONLY the partition directories that
+    contain deleted rows (dynamic partition overwrite — delete cost ∝
+    affected cells, never index size; untouched cell dirs keep their
+    exact bytes, pytest-locked) and truncates the tombstones.
+
+    The serve tail is q227's probe verbatim — probed-cell set pushed
+    into the partition-pruned scan — plus a broadcast anti-join against
+    the tombstone table, which is EMPTY after a successful compaction:
+    the anti-join is the crash-window guard (a crash mid-rewrite or
+    before the truncate leaves tombstones that still filter correctly;
+    double-applied deletes are no-ops), and in steady state it
+    broadcasts an empty set. Output is invariant across every crash
+    state, which is the whole point.
+
+    Oracle: q227's batch replay under the SAME pre-delete-trained
+    frozen literals with deleted candidates excluded — serve-after-
+    cell-local-compaction ≡ batch-over-survivors."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ivf_cell_ranks,
+        ivfsq_encode,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q197_QBOUND,
+        _Q223_CELLS,
+        _Q223_K,
+        _Q227_NPROBE,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    coarse, vmin, step, codes_t, hist_codes, tombs = (
+        _ensure_ivfsq_delete_artifacts(spark, sf_dir)
+    )
+    if codes_t is not None:
+        compact_partitioned_cells(
+            spark, codes_t, tombs, id_col="neighbor_id", part_col="cell"
+        )
+        tomb_t = codes_t.replace("wetsa_sqdelcodes_", "wetsa_sqdeltomb_")
+        empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint()
+        empty.write.mode("overwrite").saveAsTable(tomb_t)
+        hist_codes = spark.table(codes_t)
+        tombs = spark.table(tomb_t)
+
+    new_codes = ivfsq_encode(emb.filter(is_new), coarse, vmin, step).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "cd"
+    )
+    q_src = emb.filter(is_new & (F.col("vec_id") < _Q197_QBOUND))
+    probes = ivf_cell_ranks(q_src, coarse).filter(
+        F.col("crank") <= _Q227_NPROBE
+    )
+    probed_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    in_probed = (
+        F.col("cell").isin(*probed_cells) if probed_cells else F.lit(False)
+    )
+    index = (
+        hist_codes.filter(in_probed)
+        .unionByName(new_codes.filter(in_probed))
+        # Crash-window guard: empty in steady state, correct in every
+        # partial-compaction state.
+        .join(
+            F.broadcast(tombs.select(F.col("vec_id").alias("neighbor_id"))),
+            on="neighbor_id",
+            how="left_anti",
+        )
+    )
+
+    mn = F.array(*[F.lit(x) for x in vmin])
+    st = F.array(*[F.lit(x) for x in step])
+    recon = index.select(
+        "neighbor_id",
+        "cell",
+        F.transform(
+            F.col("cd"),
+            lambda c, i: F.round(
+                F.get(mn, i) + c.cast("double") * F.get(st, i) + F.lit(1e-9),
+                6,
+            ),
+        ).alias("__hv"),
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in coarse[c]]) for c in range(_Q223_CELLS)],
+        "cell int, cvec array<double>",
+    )
+    v = to_double_array(F.col("embedding"))
+    qres = (
+        probes.join(
+            F.broadcast(
+                q_src.select(
+                    F.col("vec_id").alias("query_id"), v.alias("__qv")
+                )
+            ),
+            on="query_id",
+        )
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("__qv"), F.col("cvec"), lambda a, b: a - b
+            ).alias("__qr"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qr"), F.col("__hv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        recon.join(F.broadcast(qres), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= _Q223_K)
+
+
+def q259_oracle_for(sf_dir: str) -> str | None:
+    """q227's oracle with deleted candidates excluded at the scoring
+    join — frozen literals stay pre-delete-trained (frozen means
+    frozen)."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q227_oracle_for,
+    )
+
+    sql = q227_oracle_for(sf_dir)
+    if sql is None:
+        return None
+    target = "JOIN qres q ON q.cell = r.cell AND r.neighbor_id <> q.query_id"
+    if target not in sql:
+        raise AssertionError(
+            "q259 oracle: q227/q223 template drifted — scoring join not found"
+        )
+    return sql.replace(
+        target,
+        target
+        + f"\n   AND NOT (r.neighbor_id % 10 <> 7 AND"
+        f" r.neighbor_id % {_VEC_TAKEDOWN_MOD} = {_VEC_TAKEDOWN_RES})",
+        1,
+    )
+
+
+Q259_ORACLE = None  # LAZY — oracle_fn resolved at call time
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -774,6 +1089,9 @@ SPECS = make_specs(
         ("q256_graph_delete_repair", q256_graph_delete_repair,
          Q256_ORACLE, (),
          "graph delete phase 2: affected-only repair == survivor rebuild"),
+        ("q259_ivfsq_delete_compaction", q259_ivfsq_delete_compaction,
+         Q259_ORACLE, (),
+         "cell-local delete compaction on the partitioned IVF-SQ8 index"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(
@@ -781,4 +1099,7 @@ SPECS["q255_graph_tombstone_serve"] = _dc.replace(
 )
 SPECS["q256_graph_delete_repair"] = _dc.replace(
     SPECS["q256_graph_delete_repair"], oracle_fn=q256_oracle_for
+)
+SPECS["q259_ivfsq_delete_compaction"] = _dc.replace(
+    SPECS["q259_ivfsq_delete_compaction"], oracle_fn=q259_oracle_for
 )
