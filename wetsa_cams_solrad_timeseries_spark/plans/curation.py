@@ -2098,7 +2098,9 @@ def _shingles4(df: DataFrame) -> DataFrame:
     )
 
 
-def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q229_curation_pipeline(
+    spark: SparkSession, sf_dir: str, takedown_pred=None
+) -> DataFrame:
     """The verified curation stages composed into ONE DataFrame plan with
     a per-stage attrition audit — the raw-scrape→training-layout run a
     pretraining data owner actually executes, proving the operators
@@ -2159,8 +2161,22 @@ def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", ws_tokens.cast("long").alias("n_tokens")
     ).localCheckpoint(eager=True)
 
+    # 0b. takedown (q260): right-to-be-forgotten applies at the HEAD of
+    # the pipeline, so it propagates through every derived artifact — a
+    # deleted doc can no longer win an exact-dedup group (its duplicates
+    # survive on their own merits), seed an LSH pair, or spend mix
+    # budget. The eval/benchmark side of decontamination deliberately
+    # still reads d0: the benchmark is a fixed external artifact, not
+    # part of the curated corpus.
+    shift = 1 if takedown_pred is not None else 0
+    if takedown_pred is not None:
+        st = d0.filter(~takedown_pred).localCheckpoint(eager=True)
+        base = st
+    else:
+        base = d0
+
     # 1. quality gate (scan-parallel filter).
-    s1 = d0.filter(
+    s1 = base.filter(
         quality_score_expr(F.col("text")) >= _Q229_QUALITY
     ).localCheckpoint(eager=True)
 
@@ -2267,26 +2283,29 @@ def q229_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.sum("bins"), F.lit(0)).cast("long").alias("n_bins"),
     ).select(
-        F.lit(6).cast("long").alias("stage_ord"),
+        F.lit(6 + shift).cast("long").alias("stage_ord"),
         F.lit("packed").alias("stage"),
         "n_docs",
         "n_tokens",
         "n_bins",
     )
 
+    audit = _row(d0, 0, "ingest")
+    if takedown_pred is not None:
+        audit = audit.unionByName(_row(st, 1, "takedown"))
     audit = (
-        _row(d0, 0, "ingest")
-        .unionByName(_row(s1, 1, "quality"))
-        .unionByName(_row(s2, 2, "exact_dedup"))
-        .unionByName(_row(s3, 3, "lsh_dedup"))
-        .unionByName(_row(s4, 4, "decontaminate"))
-        .unionByName(_row(s5, 5, "token_mix"))
+        audit
+        .unionByName(_row(s1, 1 + shift, "quality"))
+        .unionByName(_row(s2, 2 + shift, "exact_dedup"))
+        .unionByName(_row(s3, 3 + shift, "lsh_dedup"))
+        .unionByName(_row(s4, 4 + shift, "decontaminate"))
+        .unionByName(_row(s5, 5 + shift, "token_mix"))
         .unionByName(packed)
     )
     return audit
 
 
-def _q229_oracle() -> str:
+def _q229_oracle(takedown_where: str | None = None) -> str:
     from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
         _BAND_LIST,
         _MINHASH_COLS,
@@ -2308,11 +2327,18 @@ def _q229_oracle() -> str:
         "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens, "
         "CAST(0 AS BIGINT) AS n_bins FROM {src}"
     )
+    shift = 1 if takedown_where else 0
+    takedown_cte = (
+        f"st AS (SELECT * FROM d0 WHERE NOT ({takedown_where})),\n"
+        if takedown_where
+        else ""
+    )
+    s1_src = "st" if takedown_where else "d0"
     return f"""
 WITH d0 AS (
   SELECT doc_id, source, text, {ws_tok} AS n_tokens FROM documents
 ),
-s1 AS (SELECT * FROM d0 WHERE {quality_score_sql('text')} >= {_Q229_QUALITY}),
+{takedown_cte}s1 AS (SELECT * FROM {s1_src} WHERE {quality_score_sql('text')} >= {_Q229_QUALITY}),
 s2 AS (
   SELECT * FROM s1
   QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
@@ -2392,13 +2418,14 @@ s5 AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= {_Q226_BUDGET}
 )
 {audit_row.format(o=0, n='ingest', src='d0')}
-UNION ALL {audit_row.format(o=1, n='quality', src='s1')}
-UNION ALL {audit_row.format(o=2, n='exact_dedup', src='s2')}
-UNION ALL {audit_row.format(o=3, n='lsh_dedup', src='s3')}
-UNION ALL {audit_row.format(o=4, n='decontaminate', src='s4')}
-UNION ALL {audit_row.format(o=5, n='token_mix', src='s5')}
+{("UNION ALL " + audit_row.format(o=1, n='takedown', src='st')) if takedown_where else ""}
+UNION ALL {audit_row.format(o=1 + shift, n='quality', src='s1')}
+UNION ALL {audit_row.format(o=2 + shift, n='exact_dedup', src='s2')}
+UNION ALL {audit_row.format(o=3 + shift, n='lsh_dedup', src='s3')}
+UNION ALL {audit_row.format(o=4 + shift, n='decontaminate', src='s4')}
+UNION ALL {audit_row.format(o=5 + shift, n='token_mix', src='s5')}
 UNION ALL
-SELECT CAST(6 AS BIGINT) AS stage_ord, 'packed' AS stage,
+SELECT CAST(6 + {shift} AS BIGINT) AS stage_ord, 'packed' AS stage,
        CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_docs,
        CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(sum(bins), 0) AS BIGINT) AS n_bins

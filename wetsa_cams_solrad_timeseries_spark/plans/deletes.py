@@ -1074,6 +1074,52 @@ def q259_oracle_for(sf_dir: str) -> str | None:
 Q259_ORACLE = None  # LAZY — oracle_fn resolved at call time
 
 
+# --------------------------------------------------------------------------
+# q260 — takedown propagation through the end-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+_Q260_TAKEDOWN_SQL = f"doc_id % {_TAKEDOWN_MOD} = {_TAKEDOWN_RES}"
+
+
+def q260_curation_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the WHOLE curation run — the
+    question a data owner actually has to answer is not "is the doc out
+    of the index" (q253–q259) but "is it out of the TRAINING SET, and
+    did its removal propagate through every derived decision": q229's
+    end-to-end pipeline with a takedown stage at the HEAD, so a deleted
+    document can no longer win an exact-dedup group (its duplicates now
+    survive on their own merits), seed an LSH candidate pair, count as
+    a contamination partner, or spend per-source mix budget — all of
+    which silently change the downstream attrition numbers, which is
+    exactly what the audit rows surface. The benchmark side of
+    decontamination deliberately still reads the ORIGINAL corpus: the
+    eval set is a fixed external artifact, not part of the curated
+    corpus, so takedown does not shrink the contamination screen.
+
+    Output: q229's per-stage audit with the extra (1, 'takedown') row
+    and shifted ordinals. Scale shape: q229's exactly, plus one
+    scan-stage filter. Oracle: q229's nested-CTE statement with the
+    takedown CTE woven in at the head."""
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        q229_curation_pipeline,
+    )
+
+    return q229_curation_pipeline(
+        spark,
+        sf_dir,
+        takedown_pred=(F.col("doc_id") % _TAKEDOWN_MOD == _TAKEDOWN_RES),
+    )
+
+
+def _q260_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import _q229_oracle
+
+    return _q229_oracle(takedown_where=_Q260_TAKEDOWN_SQL)
+
+
+Q260_ORACLE = _q260_oracle()
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -1092,6 +1138,9 @@ SPECS = make_specs(
         ("q259_ivfsq_delete_compaction", q259_ivfsq_delete_compaction,
          Q259_ORACLE, (),
          "cell-local delete compaction on the partitioned IVF-SQ8 index"),
+        ("q260_curation_takedown", q260_curation_takedown, Q260_ORACLE, (),
+         "right-to-be-forgotten propagated through the full curation "
+         "pipeline, per-stage audit"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(
