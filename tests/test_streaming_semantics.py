@@ -544,6 +544,41 @@ def test_streaming_graph_insert_equals_one_shot_edge_set(spark, sf_dir):
     assert streamed == one_shot
 
 
+def test_streaming_token_mix_equals_batch_selection(spark, sf_dir):
+    # q261's theorem at the selection surface: the drained bounded
+    # selected-state equals the one-pass batch quota (q226's rule at
+    # q261's budget) exactly — and the quota BINDS (some docs rejected),
+    # so the monotone-displacement path is actually exercised.
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _Q261_BUDGET,
+        q261_streaming_token_mix,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.mix_stream import (
+        mix_keyed,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in q261_streaming_token_mix(spark, sf_dir).collect()
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    docs = table(spark, sf_dir, "documents")
+    batch = sorted(
+        tuple(r)
+        for r in mix_keyed(docs)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _Q261_BUDGET)
+        .collect()
+    )
+    assert streamed == batch
+    assert 0 < len(streamed) < docs.count(), "quota must bind"
+
+
 def test_streaming_pca_encode_equals_batch_projection(spark, sf_dir):
     # q249's contract: a frozen basis + per-row projection means the
     # drained stream-built projected table equals the one-pass batch

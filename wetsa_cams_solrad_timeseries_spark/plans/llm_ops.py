@@ -1391,6 +1391,46 @@ def q226_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q261_BUDGET = 300  # tighter than q226's 3000 so the quota BINDS (and
+# with it the rejection/displacement path) at the 500-doc gate SFs too
+
+
+def q261_streaming_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q226's token-budget quota riding the ingest stream — the mixer
+    member of the streaming curation family (q234 quality, q236
+    decontamination, q244 near-dup, q245 incremental curation): shards
+    arrive as micro-batches and the per-source greedy quota is
+    maintained as CROSS-BATCH STATE holding only the currently-selected
+    rows (bounded by budget/min-doc-tokens per source, never
+    corpus-sized). Correctness is a monotonicity theorem, not a
+    scheduling accident: with non-negative token counts the batch
+    rule's selected set is a PREFIX of the per-source shuffle order and
+    adding documents only grows the running total, so selected(S ∪ N) ⊆
+    selected(S) ∪ N — a rejected doc can never come back, merging new
+    docs into the selected state and re-taking the prefix is EXACT, and
+    the drained state equals the one-pass batch selection independent
+    of batch boundaries and arrival order
+    (streaming/mix_stream.py docstring carries the proof).
+
+    Scale shape: per batch one scan-stage projection of the new shard +
+    one cumsum window over (touched-source state ∪ batch) — state
+    rows, not corpus rows; generations are _SUCCESS-gated with
+    latest-wins per source for at-least-once re-execution.
+
+    Oracle: q226's batch SQL restricted to the selected rows —
+    stream ≡ batch at the selection surface, plus a Spark-side
+    set-equality pytest against q226 itself."""
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        _split_documents,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.mix_stream import (
+        streaming_token_mix,
+    )
+
+    split_dir = _split_documents(spark, sf_dir, n_files=3)
+    return streaming_token_mix(spark, split_dir, budget=_Q261_BUDGET)
+
+
 Q226_ORACLE = f"""
 WITH per_doc AS (
   SELECT doc_id, source,
@@ -1412,6 +1452,29 @@ SELECT doc_id, source, n_tokens, shuffle_key,
          <= {_Q226_BUDGET} AS selected
 FROM per_doc
 """
+
+Q261_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'))
+         END AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS shuffle_key
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, shuffle_key,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM per_doc
+)
+SELECT doc_id, source, n_tokens, shuffle_key, cum_tokens
+FROM cum WHERE cum_tokens <= {_Q261_BUDGET}
+"""
+
 
 
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
@@ -1448,6 +1511,10 @@ SPECS = make_specs(
         ("q226_token_budget_mix", q226_token_budget_mix, Q226_ORACLE, (),
          "pretraining mix: per-source TOKEN quotas filled in "
          "deterministic shuffle order"),
+        ("q261_streaming_token_mix", q261_streaming_token_mix,
+         Q261_ORACLE, (),
+         "streaming token-budget mixer: bounded selected-state quota, "
+         "stream == batch selection"),
         ("q72_dedup_clusters", q72_dedup_clusters, _q72_oracle(), (), "connected-component dup clusters"),
         ("q34_simhash", q34_simhash, Q34_ORACLE, (), "SimHash signatures"),
         ("q35_fingerprints", q35_fingerprints, Q35_ORACLE, (), "rolling-hash fingerprints"),

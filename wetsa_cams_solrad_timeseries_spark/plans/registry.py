@@ -50,41 +50,42 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # MUST be pinned ahead of the automatic rotation so their fresh row
 # lands on the changed code.
 _PIN_FIRST = (
-    # Round 11: the round's new queries land first (q228–q237 pinned
-    # here; q238–q246 are tier-1 never-checked and auto-front-load right
-    # behind the pins); then every query whose kernel or oracle text
-    # changed this round — q216 (recall denominator = actual pair
-    # count), q227 (empty-probe guard), q219 (multiprobe single-dot
-    # restructure), q194/q207 (oracle factored into _q194_rank_ctes —
-    # text-equivalent, pinned to prove it), and q232/q235/q237 (the
-    # shared _q232_setup/_q232_perq_recall/hop-CTE plumbing gained
-    # build-part passthroughs for q240 — behavior-identical, pinned to
-    # prove it). The streaming family rides along per the round-10
-    # verdict: its authoritative rows date to r03–r05 and the rotation
-    # alone would leave a regression hidden for ~4 rounds.
-    "q228_hybrid_retrieval_sla",
+    # Round 12: the deletion-lifecycle family and the two graph rungs
+    # land first (q253–q260, tier-1 never-checked — pinned so their
+    # first driver rows land deterministically), then every query whose
+    # kernel or oracle text changed this round:
+    # - q238 (serve tail restructured around the optional tombstone
+    #   anti-join; also q257/q255 ride its template),
+    # - q229 (gained the default-off takedown_pred parameter — output
+    #   must be byte-unchanged, pinned to prove it),
+    # - q247/q251 (selectivity now NULL-safe via F.when — ADVICE fix),
+    # - q242/q243/q249 (pca_project_batches switched from blocked
+    #   matmul to fold-order AXPY + exact Spark rounding — bit-equality
+    #   now pytest-asserted, pinned to prove the serve surface),
+    # - q250 (MATERIALIZED injection now drift-guarded — text-equal),
+    # - q244 (stream probe gated on pairs/_SUCCESS — ADVICE fix),
+    # - q232/q235/q240 (_q232_setup return extended for q258 —
+    #   behavior-identical, pinned to prove it).
+    "q253_lsh_tombstone_serve",
+    "q254_lsh_tombstone_compaction",
+    "q255_graph_tombstone_serve",
+    "q256_graph_delete_repair",
+    "q257_streaming_graph_insert",
+    "q258_hnsw_multilayer",
+    "q259_ivfsq_delete_compaction",
+    "q260_curation_takedown",
+    "q238_incremental_graph_ann",
     "q229_curation_pipeline",
-    "q230_semantic_contamination",
-    "q231_stream_to_serving",
+    "q247_filtered_ann_gate",
+    "q251_filter_selectivity_ladder",
+    "q242_pca_ann_gate",
+    "q243_pca_screen_sla",
+    "q249_streaming_pca_encode",
+    "q250_descent_depth_sla",
+    "q244_streaming_lsh_neardup",
     "q232_graph_ann_recall",
-    "q233_hybrid_sla_from_index",
-    "q234_streaming_quality_filter",
     "q235_graph_ann_sla",
-    "q236_streaming_decontamination",
-    "q237_nn_descent_refine",
-    "q56_ann_ivf_topk",  # ann_topk_ivf gained candidate_pred (default-off)
-    "q191_quantile_sketch_merge",  # read-off tail factored into _q191_readoff
-    "q216_ann_serving_sla",
-    "q227_incremental_ivfsq_index",
-    "q219_multiprobe_lsh",
-    "q194_hybrid_retrieval",
-    "q207_hybrid_from_index",
-    "q82_streaming_dedup",
-    "q42_streaming_tumbling",
-    "q89_streaming_ttl_eviction",
-    "q53_streaming_stateful",
-    "q71_streaming_sessions",
-    "q77_streaming_multibatch",
+    "q240_refined_graph_serving",
 )
 
 
