@@ -317,6 +317,47 @@ def test_cell_local_compaction_touches_affected_dirs_only(spark, sf_dir):
     )
 
 
+def test_decremental_postings_lifecycle(spark, sf_dir):
+    # q262: after maintenance no deleted doc remains in the postings
+    # bytes or as any token's top document; a second call is a no-op
+    # (all steps derive from (postings, tombstones) state, never from
+    # already-mutated stats — the idempotence-by-construction claim).
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _ensure_postings_delete_artifacts,
+        _q262_doc_takedown,
+        q262_decremental_postings,
+    )
+
+    first = sorted(
+        tuple(r) for r in q262_decremental_postings(spark, sf_dir).collect()
+    )
+    assert first
+    deleted = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(_q262_doc_takedown())
+        .collect()
+    }
+    assert deleted
+    post_t, stats_t, postings, stats, _ = _ensure_postings_delete_artifacts(
+        spark, sf_dir
+    )
+    if stats_t is None:
+        pytest.skip("catalog unavailable")
+    assert (
+        spark.table(post_t)
+        .filter(F.col("doc_id").isin(list(deleted)))
+        .count()
+        == 0
+    )
+    tops = {r["top"]["doc_id"] for r in spark.table(stats_t).collect()}
+    assert not tops & deleted
+    second = sorted(
+        tuple(r) for r in q262_decremental_postings(spark, sf_dir).collect()
+    )
+    assert second == first
+
+
 def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
     # Serving through an anti-join against tombstones ≡ serving an index
     # frame with the rows already gone — the algebraic heart of the

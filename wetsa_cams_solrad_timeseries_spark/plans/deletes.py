@@ -1120,6 +1120,213 @@ def _q260_oracle() -> str:
 Q260_ORACLE = _q260_oracle()
 
 
+# --------------------------------------------------------------------------
+# q262 — decremental postings maintenance: affected-token repair
+# --------------------------------------------------------------------------
+
+_Q262_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q262_BUCKETS = 16
+_Q262_TOPK = 50
+
+
+def _q262_doc_takedown():
+    return F.col("doc_id") % _TAKEDOWN_MOD == _TAKEDOWN_RES
+
+
+def _ensure_postings_delete_artifacts(spark: SparkSession, sf_dir: str):
+    """q262's generation: the DOC-LEVEL postings table (token, doc_id,
+    tf) bucketed by token — the real inverted index, which is what
+    makes bounded delete repair possible at all — plus the derived
+    per-token stats table and the tombstones. Stats written LAST as the
+    commit gate. Returns (postings_t|None, stats_t|None,
+    postings_df, stats_df, tombstones_df)."""
+    docs = table(spark, sf_dir, "documents")
+    tombs = docs.filter(_q262_doc_takedown()).select("doc_id")
+
+    def doc_tf(part: DataFrame) -> DataFrame:
+        tok = part.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias(
+                "token"
+            ),
+        ).where(F.col("token") != "")
+        return tok.groupBy("token", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
+    def stats_of(postings: DataFrame) -> DataFrame:
+        return postings.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.max(F.struct("tf", "doc_id")).alias("top"),
+        )
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    post_t = f"wetsa_postdel_{tag}_{_Q262_TOKEN}"
+    stats_t = f"wetsa_postdelstats_{tag}_{_Q262_TOKEN}"
+    tomb_t = f"wetsa_postdeltomb_{tag}_{_Q262_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_postdel_{tag}_*", post_t),
+            (f"wetsa_postdelstats_{tag}_*", stats_t),
+            (f"wetsa_postdeltomb_{tag}_*", tomb_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q262_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+            write_bucketed,
+        )
+
+        if not spark.catalog.tableExists(stats_t):
+            write_bucketed(
+                doc_tf(docs), post_t, "token",
+                n_buckets=_Q262_BUCKETS, sort_col="token",
+            )
+            stats_of(spark.table(post_t)).write.mode("overwrite").saveAsTable(
+                stats_t
+            )  # commit gate
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        elif not spark.catalog.tableExists(tomb_t):
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        return (
+            post_t,
+            stats_t,
+            spark.table(post_t),
+            spark.table(stats_t),
+            spark.table(tomb_t),
+        )
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        postings = doc_tf(docs)
+        return None, None, postings, stats_of(postings), tombs
+
+
+def q262_decremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE side of the lexical index (q201 proved the postings
+    stats merge ADDITIVELY for inserts; takedowns need the decrement) —
+    and the reason the index keeps DOC-LEVEL postings: df and total_tf
+    are group counts/sums and would subtract, but the top-document
+    struct-max is NOT invertible — when a token's top doc is deleted,
+    the new max must be recomputed from the surviving posting rows, and
+    without a doc-level table that recompute is a corpus scan.
+
+    Repair discipline (idempotent by construction — every step derives
+    from (postings, tombstones) state, never from already-mutated
+    stats, so any crash window replays to the same answer):
+    1. affected tokens = tokens of the tombstoned docs (delta-sized
+       tokenize of the deleted docs' text);
+    2. stats for affected tokens recompute from their surviving posting
+       rows (bucketed/pruned read of those tokens only, tombstones
+       anti-joined); tokens with zero survivors drop out; every other
+       token's stored row is untouched — the q256 affected-only
+       argument on the lexical family;
+    3. postings compact via the SAME tombstone-folding rewrite the LSH
+       index uses (sinks/bucketed.compact_bucketed_table);
+    4. tombstones truncate.
+
+    Output: q152's top-50 statistics table over the survivors, read off
+    the maintained stats. Oracle: q152's batch SQL over the surviving
+    corpus — decremental maintenance ≡ full recompute, the same
+    invariance q201 proves for the insert side."""
+    post_t, stats_t, postings, stats, tombs = (
+        _ensure_postings_delete_artifacts(spark, sf_dir)
+    )
+    if stats_t is not None:
+        docs = table(spark, sf_dir, "documents")
+        # 1. affected tokens from the tombstoned docs' text (delta-sized).
+        del_docs = docs.join(F.broadcast(tombs), on="doc_id", how="semi")
+        aff_tokens = (
+            del_docs.select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+                ).alias("token")
+            )
+            .where(F.col("token") != "")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if aff_tokens.take(1):
+            # 2. recompute affected tokens from surviving posting rows.
+            surviving_aff = (
+                postings.join(aff_tokens, on="token", how="semi")
+                .join(F.broadcast(tombs), on="doc_id", how="left_anti")
+            )
+            recomputed = surviving_aff.groupBy("token").agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("total_tf"),
+                F.max(F.struct("tf", "doc_id")).alias("top"),
+            )
+            kept = stats.join(aff_tokens, on="token", how="left_anti")
+            merged = kept.unionByName(recomputed).localCheckpoint(eager=True)
+            merged.write.mode("overwrite").saveAsTable(stats_t)
+            # 3. fold the deletes into the bucketed postings table.
+            from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+                compact_bucketed_table,
+            )
+
+            compact_bucketed_table(
+                spark,
+                post_t,
+                n_buckets=_Q262_BUCKETS,
+                bucket_col="token",
+                sort_col="token",
+                tombstones=tombs,
+                tombstone_col="doc_id",
+            )
+            # 4. truncate tombstones LAST.
+            tomb_t = post_t.replace("wetsa_postdel_", "wetsa_postdeltomb_")
+            empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint()
+            empty.write.mode("overwrite").saveAsTable(tomb_t)
+        stats = spark.table(stats_t)
+    else:
+        # Catalog unavailable: serve the tombstone-filtered recompute,
+        # which the oracle proves equivalent.
+        stats = (
+            postings.join(F.broadcast(tombs), on="doc_id", how="left_anti")
+            .groupBy("token")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").alias("total_tf"),
+                F.max(F.struct("tf", "doc_id")).alias("top"),
+            )
+        )
+    return (
+        stats.select(
+            "token",
+            "df",
+            "total_tf",
+            F.col("top.doc_id").alias("top_doc"),
+            F.col("top.tf").alias("top_tf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(_Q262_TOPK)
+    )
+
+
+def _q262_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.advanced import Q152_ORACLE
+
+    target = "FROM documents"
+    if target not in Q152_ORACLE:
+        raise AssertionError(
+            "q262 oracle: q152 template drifted — documents scan not found"
+        )
+    return Q152_ORACLE.replace(
+        target,
+        target
+        + f" WHERE doc_id % {_TAKEDOWN_MOD} <> {_TAKEDOWN_RES}",
+        1,
+    )
+
+
+Q262_ORACLE = _q262_oracle()
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -1141,6 +1348,10 @@ SPECS = make_specs(
         ("q260_curation_takedown", q260_curation_takedown, Q260_ORACLE, (),
          "right-to-be-forgotten propagated through the full curation "
          "pipeline, per-stage audit"),
+        ("q262_decremental_postings", q262_decremental_postings,
+         Q262_ORACLE, (),
+         "decremental postings maintenance: affected-token repair of "
+         "the non-invertible struct-max, tombstone-folding compaction"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(
