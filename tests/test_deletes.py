@@ -358,6 +358,53 @@ def test_decremental_postings_lifecycle(spark, sf_dir):
     assert second == first
 
 
+def test_streaming_cdc_index_equals_batch_membership(spark, sf_dir):
+    # q263: tombstone-dominates makes final membership a pure set
+    # expression — the drained CDC state must equal the one-pass batch
+    # recompute over (base ∪ inserts) ∖ deletes, and no surviving pair
+    # touches a deleted id.
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures,
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _is_takedown,
+        q263_streaming_cdc_index,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in q263_streaming_cdc_index(spark, sf_dir).collect()
+    )
+    assert streamed
+    docs = table(spark, sf_dir, "documents")
+    deleted = {r["doc_id"] for r in docs.filter(_is_takedown()).collect()}
+    assert deleted
+    banded = lsh_band_rows(
+        minhash_signatures(
+            word_shingles(docs, "doc_id", "text", n=2), "doc_id", n_perm=16
+        ),
+        "doc_id",
+        n_perm=16,
+        bands=4,
+    )
+    a = banded.select(F.col("doc_id").alias("__n"), "bucket")
+    b = banded.select(F.col("doc_id").alias("__h"), "bucket")
+    batch = sorted(
+        {
+            (min(r["__n"], r["__h"]), max(r["__n"], r["__h"]))
+            for r in a.join(b, on="bucket")
+            .filter(F.col("__n") != F.col("__h"))
+            .filter(F.col("__n") % 10 == 7)
+            .collect()
+            if r["__n"] not in deleted and r["__h"] not in deleted
+        }
+    )
+    assert streamed == batch
+    flat = {x for pair in streamed for x in pair}
+    assert not flat & deleted
+
+
 def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
     # Serving through an anti-join against tombstones ≡ serving an index
     # frame with the rows already gone — the algebraic heart of the

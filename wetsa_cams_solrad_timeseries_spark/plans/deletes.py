@@ -1327,6 +1327,136 @@ def _q262_oracle() -> str:
 Q262_ORACLE = _q262_oracle()
 
 
+# --------------------------------------------------------------------------
+# q263 — streaming CDC on the band index: inserts + takedowns interleaved
+# --------------------------------------------------------------------------
+
+
+def _split_cdc_events(spark: SparkSession, sf_dir: str) -> str:
+    """The CDC replay input: new-shard documents as 'insert' events and
+    history takedowns as 'delete' events, repartitioned into 3 files so
+    micro-batches interleave the two arbitrarily (the order-independence
+    under test). Same artifact discipline as every replay dir."""
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+    from wetsa_cams_solrad_timeseries_spark.plans.pipeline_ops import (
+        _PROC_TOKEN,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_cdc_split_*_{sf_tag}*"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(), f"wetsa_cdc_split_{_PROC_TOKEN}_{sf_tag}_f3"
+        ),
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        docs = table(spark, sf_dir, "documents")
+        events = docs.filter(_is_new()).select(
+            "doc_id", "text", F.lit("insert").alias("op")
+        ).unionByName(
+            docs.filter(_is_takedown()).select(
+                "doc_id", "text", F.lit("delete").alias("op")
+            )
+        )
+        events.repartition(3).write.mode("overwrite").parquet(split_dir)
+    return split_dir
+
+
+def q263_streaming_cdc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inserts AND takedowns interleaved on ONE change stream — the
+    composition q244 (insert-only stream) and q253/q254 (batch-side
+    deletes) leave open, and what production ingest actually looks
+    like. Delete semantics are TOMBSTONE-DOMINATES (a takedown is
+    permanent whether it lands before, after, or beside the insert —
+    the only semantics a right-to-be-forgotten notice permits), which
+    makes final membership the pure set expression
+    (base ∪ inserts) ∖ deletes — provably independent of batch
+    boundaries and interleaving order. Per batch: insert rows band and
+    append (_SUCCESS-gated generations, q244's discipline), delete ids
+    append to tombstone generations written LAST as the batch commit
+    gate; nothing rewrites — folding tombstones into the index bytes
+    stays q254's offline compaction job.
+
+    Serve (post-drain): the inserted docs' bands probe the accumulated
+    index with tombstones anti-joined from BOTH endpoints. Output: the
+    canonical near-dup candidate pairs over surviving membership.
+
+    Oracle: the batch banded SQL over the full corpus with the
+    takedown exclusion — stream-maintained CDC state ≡ batch recompute
+    over final membership."""
+    from wetsa_cams_solrad_timeseries_spark.streaming.cdc_index_stream import (
+        streaming_cdc_band_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    hist_idx, _tombs_unused, _ = _ensure_lsh_delete_artifacts(spark, sf_dir)
+    split_dir = _split_cdc_events(spark, sf_dir)
+    index, tombs = streaming_cdc_band_index(
+        spark,
+        split_dir,
+        hist_idx.select("doc_id", "bucket"),
+        n_perm=_DEL_PERM,
+        bands=_DEL_BANDS,
+    )
+    index = index.localCheckpoint(eager=True)
+    probe = index.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("__n"), "bucket"
+    )
+    pairs = (
+        probe.join(
+            index.select(F.col("doc_id").alias("__h"), "bucket"), on="bucket"
+        )
+        .filter(F.col("__n") != F.col("__h"))
+        .select(
+            F.least("__n", "__h").alias("id_a"),
+            F.greatest("__n", "__h").alias("id_b"),
+        )
+        .distinct()
+    )
+    for side in ("id_a", "id_b"):
+        pairs = pairs.join(
+            F.broadcast(tombs.select(F.col("doc_id").alias(side))),
+            on=side,
+            how="left_anti",
+        )
+    # anti-joins move their key column first — restore (id_a, id_b).
+    return pairs.select("id_a", "id_b")
+
+
+def _q263_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _BAND_LIST,
+        _MINHASH_COLS,
+        _SHINGLES_SQL,
+    )
+
+    td = f"% 10 <> 7 AND {{}} % {_TAKEDOWN_MOD} = {_TAKEDOWN_RES}"
+    return f"""
+WITH {_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST}]) AS bucket
+  FROM sigs
+)
+SELECT DISTINCT least(n.doc_id, h.doc_id) AS id_a,
+                greatest(n.doc_id, h.doc_id) AS id_b
+FROM banded n JOIN banded h ON n.bucket = h.bucket AND n.doc_id <> h.doc_id
+WHERE n.doc_id % 10 = 7
+  AND NOT (n.doc_id {td.format('n.doc_id')})
+  AND NOT (h.doc_id {td.format('h.doc_id')})
+"""
+
+
+Q263_ORACLE = _q263_oracle()
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -1352,6 +1482,10 @@ SPECS = make_specs(
          Q262_ORACLE, (),
          "decremental postings maintenance: affected-token repair of "
          "the non-invertible struct-max, tombstone-folding compaction"),
+        ("q263_streaming_cdc_index", q263_streaming_cdc_index,
+         Q263_ORACLE, (),
+         "streaming CDC index maintenance: inserts + takedowns "
+         "interleaved, tombstone-dominates membership"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(

@@ -67,6 +67,9 @@ _PIN_FIRST = (
     # - q232/q235/q240 (_q232_setup return extended for q258 —
     #   behavior-identical, pinned to prove it).
     "q253_lsh_tombstone_serve",
+    "q261_streaming_token_mix",
+    "q262_decremental_postings",
+    "q263_streaming_cdc_index",
     "q254_lsh_tombstone_compaction",
     "q255_graph_tombstone_serve",
     "q256_graph_delete_repair",
