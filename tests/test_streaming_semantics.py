@@ -532,7 +532,7 @@ def test_streaming_graph_insert_equals_one_shot_edge_set(spark, sf_dir):
         tuple(r)
         for r in streaming_graph_insert(
             spark, split_dir, hist_members, cents, m=_Q232_M
-        ).collect()
+        )[0].collect()
     )
     one_shot = sorted(
         tuple(r)

@@ -1457,6 +1457,188 @@ WHERE n.doc_id % 10 = 7
 Q263_ORACLE = _q263_oracle()
 
 
+# --------------------------------------------------------------------------
+# q264 — streaming graph CDC: inserts + mark-deletes on one stream
+# --------------------------------------------------------------------------
+
+
+def _split_vec_cdc_events(spark: SparkSession, sf_dir: str) -> str:
+    """Vector twin of :func:`_split_cdc_events`: new-shard vectors as
+    'insert' events and history takedowns as 'delete' events,
+    repartitioned into 3 files so micro-batches interleave the kinds."""
+    import tempfile
+
+    from wetsa_cams_solrad_timeseries_spark._artifacts import claim_artifact_dir
+    from wetsa_cams_solrad_timeseries_spark.plans.pipeline_ops import (
+        _PROC_TOKEN,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    split_dir = claim_artifact_dir(
+        os.path.join(tempfile.gettempdir(), f"wetsa_gcdc_split_*_{sf_tag}*"),
+        _PROC_TOKEN,
+        os.path.join(
+            tempfile.gettempdir(),
+            f"wetsa_gcdc_split_{_PROC_TOKEN}_{sf_tag}_f3",
+        ),
+    )
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        emb = table(spark, sf_dir, "embeddings")
+        events = emb.filter(F.col("vec_id") % 10 == 7).select(
+            "vec_id", "embedding", F.lit("insert").alias("op")
+        ).unionByName(
+            emb.filter(_vec_takedown_pred()).select(
+                "vec_id", "embedding", F.lit("delete").alias("op")
+            )
+        )
+        events.repartition(3).write.mode("overwrite").parquet(split_dir)
+    return split_dir
+
+
+def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph family's CDC composition, completing its 2×2 (batch /
+    stream × insert / delete: q238, q257, q255/q256, THIS): new-shard
+    vectors and history takedowns interleave on ONE change stream.
+    Inserts run q257's displacement merge (drained lists provably the
+    one-shot insert's); deletes are hnswlib mark-deletes — they do NOT
+    rewire, deleted nodes stay routable and later inserts may still
+    link to them, so the edge state is untouched by deletes and the
+    drained (lists, tombstones) pair is independent of how the two
+    event kinds interleave. Serve: q238's beam over the assembled
+    graph with the tombstone anti-join between traversal and the rank
+    window — q255's semantics, reached through the stream.
+
+    Oracle: q255's — q238's one-pass batch replay with the takedown
+    exclusion at the rank tail. Stream-maintained CDC state ≡ the
+    batch-built, batch-deleted index at the serve surface."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q197_QBOUND,
+        _Q232_BEAM,
+        _Q232_BRIDGE,
+        _Q232_HOPS,
+        _Q232_K,
+        _Q232_M,
+        _split_embeddings,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
+        streaming_graph_insert,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+    cents = ivf_train_centroids(hist, k=16, n_iter=2)
+    med_df = cell_medoids(hist, cents)
+
+    # CDC replay: inserts (new shard) + deletes (history takedowns),
+    # interleaved by the 3-file repartition, op carried in the events.
+    split_dir = _split_vec_cdc_events(spark, sf_dir)
+    hist_members = ivf_assign(hist, cents, n_probe=1).join(
+        hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
+        on="vec_id",
+    ).select("vec_id", "cell", "__v")
+    new_knn, tombs = streaming_graph_insert(
+        spark,
+        split_dir,
+        hist_members,
+        cents,
+        m=_Q232_M,
+        op_col="op",
+    )
+    tombs = tombs.localCheckpoint(eager=True)
+
+    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes_all.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med_df), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = base_knn.unionByName(new_knn).unionByName(bridges)
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0 = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.join(
+        emb.filter(is_new & q_bound).select("vec_id"), on="vec_id", how="semi"
+    ).select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(
+            F.broadcast(j), on=F.col("vec_id") == F.col("node")
+        ).select(
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("node")
+    )
+    cand = entry0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    served = (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        # mark-delete: the drained tombstones exclude RESULTS only.
+        .join(
+            F.broadcast(tombs.select(F.col("vec_id").alias("node"))),
+            on="node",
+            how="left_anti",
+        )
+    )
+    return (
+        served
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank")
+    )
+
+
+Q264_ORACLE = None  # LAZY — q255's oracle (stream-CDC ≡ batch mark-delete)
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -1486,6 +1668,10 @@ SPECS = make_specs(
          Q263_ORACLE, (),
          "streaming CDC index maintenance: inserts + takedowns "
          "interleaved, tombstone-dominates membership"),
+        ("q264_streaming_graph_cdc", q264_streaming_graph_cdc,
+         Q264_ORACLE, (),
+         "streaming graph CDC: displacement-merge inserts + hnswlib "
+         "mark-deletes on one stream"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(
@@ -1496,4 +1682,7 @@ SPECS["q256_graph_delete_repair"] = _dc.replace(
 )
 SPECS["q259_ivfsq_delete_compaction"] = _dc.replace(
     SPECS["q259_ivfsq_delete_compaction"], oracle_fn=q259_oracle_for
+)
+SPECS["q264_streaming_graph_cdc"] = _dc.replace(
+    SPECS["q264_streaming_graph_cdc"], oracle_fn=q255_oracle_for
 )

@@ -70,6 +70,7 @@ _PIN_FIRST = (
     "q261_streaming_token_mix",
     "q262_decremental_postings",
     "q263_streaming_cdc_index",
+    "q264_streaming_graph_cdc",
     "q254_lsh_tombstone_compaction",
     "q255_graph_tombstone_serve",
     "q256_graph_delete_repair",

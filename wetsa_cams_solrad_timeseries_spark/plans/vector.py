@@ -7630,7 +7630,7 @@ def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
         on="vec_id",
     ).select("vec_id", "cell", "__v")
-    new_knn = streaming_graph_insert(
+    new_knn, _no_tombs = streaming_graph_insert(
         spark, split_dir, hist_members, cents, m=_Q232_M
     )
 

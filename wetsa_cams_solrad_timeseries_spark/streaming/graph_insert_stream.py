@@ -105,13 +105,23 @@ def streaming_graph_insert(
     hist_members: DataFrame,
     centroids,
     m: int,
-) -> DataFrame:
+    op_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Drain the new-shard multi-file replay through the displacement-
-    merge insert loop and return the accumulated latest neighbor lists
-    ``(src, dst)`` — provably the one-shot insert's edge set. Asserts
-    >1 committed micro-batch. ``hist_members`` must carry
-    (vec_id, cell, __v) for the history shard (the persisted
-    assignment side of the index)."""
+    merge insert loop and return ``(latest_lists, tombstones)`` where
+    the lists ``(src, dst)`` are provably the one-shot insert's edge
+    set. Asserts >1 committed micro-batch. ``hist_members`` must carry
+    (vec_id, cell, __v) for the history shard (the persisted assignment
+    side of the index).
+
+    With ``op_col`` set the replay is a CDC stream (q264): rows with
+    op == 'insert' run the displacement merge, rows with op ==
+    'delete' append their ids to per-batch tombstone generations —
+    written LAST, becoming the batch commit gate. Mark-delete does not
+    rewire (hnswlib: deleted nodes stay routable, inserts may still
+    link to them — q255's semantics), so the edge state is untouched
+    by deletes and the drained (lists, tombstones) pair is independent
+    of how the two event kinds interleave."""
     from wetsa_cams_solrad_timeseries_spark._artifacts import register_cleanup
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
         to_double_array,
@@ -141,15 +151,17 @@ def streaming_graph_insert(
     os.makedirs(root, exist_ok=True)
     hist_members = hist_members.localCheckpoint(eager=True)
 
+    gate = "tombs" if op_col else "edges"
+
     def _committed(kind: str) -> list[str]:
         return sorted(
             os.path.join(root, name, kind)
             for name in os.listdir(root)
             if name.startswith("batch_")
             # Prior generations are admitted only once FULLY committed —
-            # edges/_SUCCESS, the batch's LAST write.
+            # the batch's LAST write (edges, or tombs in CDC mode).
             and os.path.exists(
-                os.path.join(root, name, "edges", "_SUCCESS")
+                os.path.join(root, name, gate, "_SUCCESS")
             )
             and os.path.exists(os.path.join(root, name, kind, "_SUCCESS"))
         )
@@ -157,9 +169,15 @@ def streaming_graph_insert(
     def apply_batch(bdf: DataFrame, bid: int) -> None:
         nodes_out = os.path.join(root, f"batch_{bid}", "nodes")
         edges_out = os.path.join(root, f"batch_{bid}", "edges")
-        if os.path.exists(os.path.join(edges_out, "_SUCCESS")):
+        tombs_out = os.path.join(root, f"batch_{bid}", "tombs")
+        done_gate = tombs_out if op_col else edges_out
+        if os.path.exists(os.path.join(done_gate, "_SUCCESS")):
             return  # re-executed batch: generation already committed
-        b = bdf.select(
+        if op_col:
+            ins = bdf.filter(F.col(op_col) == "insert")
+        else:
+            ins = bdf
+        b = ins.select(
             "vec_id", to_double_array(F.col("embedding")).alias("__v")
         )
         bassign = ivf_assign(
@@ -226,7 +244,11 @@ def streaming_graph_insert(
             out = forward
         out.withColumn("gen", F.lit(bid).cast("long")).write.mode(
             "overwrite"
-        ).parquet(edges_out)  # commit gate LAST
+        ).parquet(edges_out)  # commit gate LAST (insert-only mode)
+        if op_col:
+            bdf.filter(F.col(op_col) == "delete").select(
+                "vec_id"
+            ).write.mode("overwrite").parquet(tombs_out)  # CDC gate LAST
 
     ckpt = drain_checkpoint_dir()
     try:
@@ -250,7 +272,13 @@ def streaming_graph_insert(
         latest = allrows.join(
             allrows.groupBy("src").agg(F.max("gen").alias("gen")),
             on=["src", "gen"],
-        )
-        return latest.select("src", "dst")
+        ).select("src", "dst")
+        if op_col:
+            tombs = spark.read.parquet(*_committed("tombs")).distinct()
+        else:
+            tombs = latest.select(F.col("src").alias("vec_id")).filter(
+                F.lit(False)
+            )
+        return latest, tombs
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
