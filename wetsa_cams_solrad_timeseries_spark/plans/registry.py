@@ -71,6 +71,7 @@ _PIN_FIRST = (
     "q262_decremental_postings",
     "q263_streaming_cdc_index",
     "q264_streaming_graph_cdc",
+    "q265_hnsw_level_insert",
     "q254_lsh_tombstone_compaction",
     "q255_graph_tombstone_serve",
     "q256_graph_delete_repair",

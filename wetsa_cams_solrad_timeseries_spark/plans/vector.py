@@ -7958,6 +7958,306 @@ def q258_oracle_for(sf_dir: str) -> str | None:
 Q258_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q265 — HNSW insert-time level assignment: the streamed hierarchy
+# --------------------------------------------------------------------------
+
+
+def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q257 × q258 — the piece that makes the hierarchy a LIFECYCLE
+    rather than a batch artifact: real HNSW assigns every inserted node
+    a level AT INSERT TIME (geometric random draw; here the
+    deterministic ``vec_id % 7 == 3`` twin, so the oracle can replay
+    it) and links it into EVERY layer up to that level. Streamed new
+    nodes therefore maintain TWO neighbor-list states under the frozen
+    history artifacts: all of them link into layer 0 (q257's
+    displacement merge verbatim), and the level-1 subset additionally
+    links into the sparse layer-1 graph against layer-1 cell-mates
+    only. Both drains are order-independent by the same
+    top-m(top-m(S₁)∪S₂) = top-m(S₁∪S₂) argument — run as two replays
+    of the new shard (full, and level-1-filtered) whose batch
+    boundaries deliberately differ: if either drain depended on
+    batching, the serve surface would diverge from the one-pass oracle.
+
+    Serve: q258's descent over the ASSEMBLED layers — entry at the
+    query's nearest-cell frozen medoid (pinned into layer 1), greedy
+    beam-1 hops on layer 1 (history layer-1 kNN + streamed layer-1
+    inserts + layer-1 bridges), best node found seeds q238's layer-0
+    beam (history kNN + streamed inserts + bridges).
+
+    Oracle: the one-pass batch replay — q238's graph CTEs for layer 0
+    + the layer-1 build split hist/new exactly like q238's (history
+    members link among history layer-1; inserted members against ALL
+    layer-1 cell-mates) + the greedy chain + the beam chain, unrolled.
+
+    Scale shape: the layer-1 state is ~1/7 of the layer-0 state and
+    its per-batch blocks are (|batch ∩ L1 ∩ cell| × |cell ∩ L1|) —
+    the geometric-layer argument, now paid incrementally."""
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+        l2sq_cols,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
+        streaming_graph_insert,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    is_l1 = F.col("vec_id") % _Q258_L1_MOD == _Q258_L1_RES
+    hist = emb.filter(~is_new)
+    cents = ivf_train_centroids(hist, k=16, n_iter=2)
+    med_df = cell_medoids(hist, cents)  # frozen hubs, pinned into L1
+
+    hist_members = ivf_assign(hist, cents, n_probe=1).join(
+        hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
+        on="vec_id",
+    ).select("vec_id", "cell", "__v")
+    l1_hist_ids = (
+        hist.filter(is_l1)
+        .select("vec_id")
+        .unionByName(med_df.select(F.col("medoid").alias("vec_id")))
+        .distinct()
+    )
+    hist_members_l1 = hist_members.join(l1_hist_ids, on="vec_id", how="semi")
+
+    # Two replays of the new shard with DIFFERENT batch boundaries —
+    # order-independence is part of what the oracle checks.
+    split0 = _split_embeddings(
+        spark, sf_dir, n_files=3, pred=is_new, variant="new"
+    )
+    split1 = _split_embeddings(
+        spark, sf_dir, n_files=2, pred=is_new & is_l1, variant="newl1"
+    )
+    new_knn0, _t0 = streaming_graph_insert(
+        spark, split0, hist_members, cents, m=_Q232_M
+    )
+    new_knn1, _t1 = streaming_graph_insert(
+        spark, split1, hist_members_l1, cents, m=_Q232_M
+    )
+
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    l1_all_ids = (
+        emb.filter(is_l1)
+        .select("vec_id")
+        .unionByName(med_df.select(F.col("medoid").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def build_edges(knn_parts, member_ids=None):
+        bridges = probes_all.filter(F.col("probe_rank") >= 1)
+        if member_ids is not None:
+            bridges = bridges.join(member_ids, on="vec_id", how="semi")
+        bridges = (
+            bridges.join(F.broadcast(med_df), on="cell")
+            .filter(F.col("vec_id") != F.col("medoid"))
+            .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+        )
+        directed = knn_parts[0]
+        for part in knn_parts[1:]:
+            directed = directed.unionByName(part)
+        directed = directed.unionByName(bridges)
+        return (
+            directed.unionByName(
+                directed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    edges0 = build_edges(
+        [cell_knn_edges(hist, cents, m=_Q232_M), new_knn0]
+    )
+    edges1 = build_edges(
+        [
+            cell_knn_edges(
+                emb.join(l1_hist_ids, on="vec_id", how="semi"),
+                cents,
+                m=_Q232_M,
+            ),
+            new_knn1,
+        ],
+        member_ids=l1_all_ids,
+    )
+
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0 = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v"))
+    qv = va.join(
+        emb.filter(is_new & q_bound).select("vec_id"), on="vec_id", how="semi"
+    ).select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+
+    def with_dist(cdf: DataFrame) -> DataFrame:
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(
+            F.broadcast(j), on=F.col("vec_id") == F.col("node")
+        ).select(
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("node")
+    )
+    cand = entry0
+    for _ in range(_Q258_GHOPS):
+        best = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 1)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = best.join(edges1, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    e0 = (
+        with_dist(cand)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", "node")
+        .localCheckpoint(eager=True)
+    )
+    cand = e0
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges0, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    return (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "rank")
+    )
+
+
+_Q265_ORACLE_TEMPLATE = f"""
+WITH {_Q238_GRAPH_CTES},
+l1 AS (
+  SELECT vec_id FROM vecs WHERE vec_id % {_Q258_L1_MOD} = {_Q258_L1_RES}
+  UNION SELECT medoid AS vec_id FROM med
+),
+knn1p_h AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN l1 la ON la.vec_id = a.vec_id
+  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  JOIN l1 lb ON lb.vec_id = b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+  WHERE a.vec_id % 10 <> 7 AND b.vec_id % 10 <> 7
+),
+knn1_h AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knn1p_h
+  ) WHERE r <= {_Q232_M}
+),
+knn1p_n AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN l1 la ON la.vec_id = a.vec_id
+  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  JOIN l1 lb ON lb.vec_id = b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+  WHERE a.vec_id % 10 = 7
+),
+knn1_n AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knn1p_n
+  ) WHERE r <= {_Q232_M}
+),
+bridges1 AS (
+  SELECT rk.vec_id AS src, m.medoid AS dst
+  FROM ranked rk
+  JOIN l1 l ON l.vec_id = rk.vec_id
+  JOIN med m ON m.cell = rk.cell
+  WHERE rk.r BETWEEN 2 AND {1 + _Q232_BRIDGE} AND rk.vec_id <> m.medoid
+),
+edges1 AS (
+  SELECT src, dst FROM knn1_h
+  UNION SELECT src, dst FROM knn1_n
+  UNION SELECT src, dst FROM bridges1
+  UNION SELECT dst AS src, src AS dst FROM knn1_h
+  UNION SELECT dst AS src, src AS dst FROM knn1_n
+  UNION SELECT dst AS src, src AS dst FROM bridges1
+),
+cg0 AS (SELECT query_id, node FROM c0),
+{_q232_hop_ctes(_Q258_GHOPS, beam=1, tag="g", edges_cte="edges1")},
+e0 AS (
+  SELECT query_id, node FROM (
+    SELECT c.query_id, c.node,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {_Q232_L2.format(a='qv', b='nv')}, c.node) AS r
+    FROM cg{_Q258_GHOPS} c
+    JOIN vecs qv ON qv.vec_id = c.query_id
+    JOIN vecs nv ON nv.vec_id = c.node
+  ) WHERE r = 1
+),
+cz0 AS (SELECT query_id, node FROM e0),
+{_q232_hop_ctes(_Q232_HOPS, beam=_Q232_BEAM, tag="z")},
+fdist AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM cz{_Q232_HOPS} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+)
+SELECT query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, node) AS r
+  FROM fdist
+) WHERE r <= {_Q232_K}
+"""
+
+
+def q265_oracle_for(sf_dir: str) -> str | None:
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    return None if values is None else _Q265_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q265_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -8077,6 +8377,9 @@ SPECS = make_specs(
         ("q258_hnsw_multilayer", q258_hnsw_multilayer, Q258_ORACLE, (),
          "multi-layer HNSW: sparse pinned-hub upper layer, greedy "
          "descent refines the layer-0 entry, recall gate vs exact"),
+        ("q265_hnsw_level_insert", q265_hnsw_level_insert, Q265_ORACLE, (),
+         "HNSW insert-time level assignment: streamed two-layer "
+         "maintenance, descent serve (stream == one-pass batch)"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -8179,6 +8482,9 @@ SPECS["q257_streaming_graph_insert"] = _dc.replace(
 )
 SPECS["q258_hnsw_multilayer"] = _dc.replace(
     SPECS["q258_hnsw_multilayer"], oracle_fn=q258_oracle_for
+)
+SPECS["q265_hnsw_level_insert"] = _dc.replace(
+    SPECS["q265_hnsw_level_insert"], oracle_fn=q265_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
