@@ -258,6 +258,30 @@ BUDGETS = [
     # TakeOrdered — no join of two count tables, no window, no Python.
     ("q206_vocab_kl_drift", 3, ["TakeOrderedAndProject"],
      ["SortMergeJoin", "Python"]),
+    # Round-12 additions: the deletion lifecycle.
+    # Tombstone serve / compacted serve share q193's probe+verify tail;
+    # the tombstone anti-join must stay broadcast (a takedown list is
+    # parameter-sized) and nothing may degrade to a cartesian.
+    ("q253_lsh_tombstone_serve", 12, ["BroadcastHashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("q254_lsh_tombstone_compaction", 12, ["BroadcastHashJoin"],
+     ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # Cell-partitioned serve after cell-local compaction: probes and
+    # params broadcast into the pruned scan; the only exchange is the
+    # rank window — a SortMergeJoin here would mean the index shuffled.
+    ("q259_ivfsq_delete_compaction", 1, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    # Decremental postings read-off: the maintained stats table serves
+    # the top-50 with ZERO exchanges and no join at all — the whole
+    # point of keeping the stats table maintained.
+    ("q262_decremental_postings", 0, ["TakeOrderedAndProject"], ["Join"]),
+    # Stream-drained states: the final frames read committed
+    # generations; one exchange (distinct / latest-wins) at most.
+    ("q261_streaming_token_mix", 1, [], ["SortMergeJoin",
+     "CartesianProduct"]),
+    ("q263_streaming_cdc_index", 1, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+
 ]
 
 
