@@ -94,15 +94,20 @@ _PIN_FIRST = (
 )
 
 
-def _coverage_sets() -> tuple[frozenset[str], frozenset[str]]:
-    """(ever_covered, latest_covered) from the CORRECTNESS_r*.json
-    reports in the repo root (two levels above this package).
+def _coverage_sets() -> tuple[frozenset[str], frozenset[str], dict]:
+    """(ever_covered, latest_covered, last_round) from the
+    CORRECTNESS_r*.json reports in the repo root (two levels above this
+    package).
 
     ``ever_covered`` = union across ALL rounds — its complement is the
     never-driver-checked set, which outranks everything but the pins (a
     query with NO authoritative row is a bigger gap than a stale one).
     ``latest_covered`` drives the staleness rotation among ever-checked
-    queries. Missing/unparsable reports → empty sets (plain order)."""
+    queries; ``last_round`` (name → most recent round with a row) lets
+    the rotation order tier 2 OLDEST-FIRST — without it, dict order
+    decided which stale rows got refreshed and the r4-era rows could
+    sit behind newer ones for rounds (the round-12 staleness audit
+    showed exactly that). Missing/unparsable reports → empty."""
     import json
     import os
     import re
@@ -111,24 +116,29 @@ def _coverage_sets() -> tuple[frozenset[str], frozenset[str]]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     ever: set[str] = set()
+    last_round: dict[str, int] = {}
     best_round, best_path = -1, None
     try:
         for fname in os.listdir(root):
             m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
             if not m:
                 continue
+            rnd = int(m.group(1))
             path = os.path.join(root, fname)
             with open(path) as f:
-                ever.update(json.load(f).keys())
-            if int(m.group(1)) > best_round:
-                best_round, best_path = int(m.group(1)), path
+                names = json.load(f).keys()
+            ever.update(names)
+            for n in names:
+                last_round[n] = max(last_round.get(n, -1), rnd)
+            if rnd > best_round:
+                best_round, best_path = rnd, path
         if best_path is None:
-            return frozenset(), frozenset()
+            return frozenset(), frozenset(), {}
         with open(best_path) as f:
             latest = frozenset(json.load(f).keys())
-        return frozenset(ever), latest
+        return frozenset(ever), latest, last_round
     except (OSError, ValueError):
-        return frozenset(), frozenset()
+        return frozenset(), frozenset(), {}
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -147,7 +157,7 @@ def _collect() -> dict[str, QuerySpec]:
         deletes,
     ):
         merged.update(mod.SPECS)
-    ever, latest = _coverage_sets()
+    ever, latest, last_round = _coverage_sets()
     # Pins must name DECLARED queries. A pin that silently no-ops is how
     # a query ships with no driver-authoritative correctness row (round
     # 7 pinned q192-q194 before they existed; the 'in merged' filter hid
@@ -161,8 +171,13 @@ def _collect() -> dict[str, QuerySpec]:
     ordered = list(_PIN_FIRST)
     # Tier 1: never driver-checked in ANY round.
     ordered += [n for n in merged if n not in ever and n not in ordered]
-    # Tier 2: checked before, but rotated out of the latest round.
-    ordered += [n for n in merged if n not in latest and n not in ordered]
+    # Tier 2: checked before, but rotated out of the latest round —
+    # OLDEST authoritative row first, so the driver's budget always
+    # refreshes the stalest rows rather than whatever dict order put
+    # ahead.
+    tier2 = [n for n in merged if n not in latest and n not in ordered]
+    tier2.sort(key=lambda n: (last_round.get(n, -1), n))
+    ordered += tier2
     ordered += [n for n in merged if n not in ordered]
     return {name: merged[name] for name in ordered}
 
