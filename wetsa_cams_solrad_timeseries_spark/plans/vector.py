@@ -4633,14 +4633,26 @@ _Q235_ORACLE_TEMPLATE = (
 )
 
 
+_Q235_HEAVY_CTES = [
+    "vecs", "sims", "ranked", "assigned", "knn", "med", "edges", "c0",
+    "exact",
+    "cw2_0", "cw2_1", "cw2_2", "cw4_0", "cw4_1", "cw4_2",
+    "cw8_0", "cw8_1", "cw8_2",
+]
+
+
 def q235_oracle_for(sf_dir: str) -> str | None:
     """sf-aware q235 oracle: the shared graph CTEs + every ladder rung's
     traversal unrolled side by side + the minimal-pick subquery."""
     values = _ivf_centroid_values(
         os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
     )
-    return None if values is None else _Q235_ORACLE_TEMPLATE.replace(
-        "__IVF_VALUES__", values
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q235_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q235_HEAVY_CTES,
+        "q235",
     )
 
 
@@ -5550,14 +5562,25 @@ FROM aggb CROSS JOIN aggr
 """
 
 
+_Q240_HEAVY_CTES = [
+    "vecs", "sims", "ranked", "assigned", "knn", "med", "edges", "c0",
+    "exact", "g1", "refined_1",
+    "cb0", "cb1", "cb2", "cr0", "cr1", "cr2",
+]
+
+
 def q240_oracle_for(sf_dir: str) -> str | None:
     """sf-aware q240 oracle: shared graph CTEs + one refine round + both
     tagged beam unrolls + both recall chains in one statement."""
     values = _ivf_centroid_values(
         os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
     )
-    return None if values is None else _Q240_ORACLE_TEMPLATE.replace(
-        "__IVF_VALUES__", values
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q240_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q240_HEAVY_CTES,
+        "q240",
     )
 
 
@@ -7946,12 +7969,40 @@ FROM perq
 """
 
 
+def _materialize_ctes(sql: str, names: list[str], tag: str) -> str:
+    """Force MATERIALIZED on multiply-referenced heavy CTEs — q250's
+    lesson (DuckDB inlining re-evaluates the full upstream per
+    reference; the hop chains reference the graph/edge CTEs once per
+    hop). Loud on drift: a cosmetic rename must fail here, not
+    resurface as a driver-gate timeout."""
+    for name in names:
+        target = f"{name} AS ("
+        if target not in sql:
+            raise AssertionError(
+                f"{tag} oracle: heavy CTE '{name}' not found for "
+                "MATERIALIZED injection — template drifted"
+            )
+        sql = sql.replace(target, f"{name} AS MATERIALIZED (", 1)
+    return sql
+
+
+_Q258_HEAVY_CTES = [
+    "vecs", "sims", "ranked", "assigned", "knn", "med", "edges",
+    "knn1p", "knn1", "edges1", "exact",
+    "cg0", "cg1", "cg2", "e0", "cz0", "cz1", "cz2",
+]
+
+
 def q258_oracle_for(sf_dir: str) -> str | None:
     values = _ivf_centroid_values(
         os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
     )
-    return None if values is None else _Q258_ORACLE_TEMPLATE.replace(
-        "__IVF_VALUES__", values
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q258_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q258_HEAVY_CTES,
+        "q258",
     )
 
 
@@ -8245,13 +8296,27 @@ SELECT query_id, node AS neighbor_id, CAST(r AS BIGINT) AS rank FROM (
 """
 
 
+_Q265_HEAVY_CTES = [
+    "vecs", "sims", "ranked", "assigned", "med",
+    "knnp_h", "knn_h", "knnp_n", "knn_n", "edges",
+    "knn1p_h", "knn1_h", "knn1p_n", "knn1_n", "edges1",
+    # Each hop CTE is referenced twice (score + union) — inlined, the
+    # chain re-evaluates upstream 2^hops times.
+    "cg0", "cg1", "cg2", "e0", "cz0", "cz1", "cz2",
+]
+
+
 def q265_oracle_for(sf_dir: str) -> str | None:
     values = _ivf_centroid_values(
         os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
         id_filter=lambda i: i % 10 != 7,
     )
-    return None if values is None else _Q265_ORACLE_TEMPLATE.replace(
-        "__IVF_VALUES__", values
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q265_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q265_HEAVY_CTES,
+        "q265",
     )
 
 
