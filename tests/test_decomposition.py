@@ -107,3 +107,33 @@ def test_pca_screen_recall_beats_nothing_and_is_bounded(spark, sf_dir):
     row = q242_pca_ann_gate(spark, sf_dir).collect()[0]
     assert row["n_queries"] > 0
     assert 0.0 <= row["min_recall"] <= row["avg_recall"] <= 1.0 + 1e-9
+
+
+def test_round6_spark_matches_decimal_rule_at_large_magnitude():
+    # Round-12 ADVICE: the midpoint-suspect band must widen with
+    # magnitude — at |value| > ~9e3 half an ulp of value*1e6 exceeds a
+    # fixed 1e-6 band, so near-midpoint doubles there escaped the exact
+    # HALF_UP-on-repr recompute. The contract is elementwise equality
+    # with the Decimal rule; exercise it exactly where the fixed band
+    # under-detected.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from wetsa_cams_solrad_timeseries_spark.operators.decomposition import (
+        round6_spark,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(9_000, 200_000, size=500).astype(np.float64)
+    micros = rng.randint(0, 1_000_000, size=500).astype(np.float64)
+    vals = base + micros / 1e6 + 5e-7  # parked on the rounding midpoint
+    got = round6_spark(vals.copy())
+    q = Decimal("0.000001")
+    want = np.array(
+        [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in vals
+        ]
+    )
+    assert (got == want).all()

@@ -416,3 +416,43 @@ def test_tombstone_filtered_equals_physical_filter(spark, sf_dir):
     )
     via_physical = _rows(_probe_and_verify(spark, sf_dir, physical, None))
     assert via_anti == via_physical
+
+
+def test_cdc_insert_side_tombstone_drops_pair(spark):
+    # Round-12 ADVICE: q263's generated events never delete an INSERT
+    # (inserts are %10==7, takedowns require %10!=7), so the id_a-side
+    # anti-join was dead code under the oracle. Feed the factored pair
+    # kernel a synthetic drained state where an inserted doc (17) was
+    # itself taken down later in the stream: its pair must drop via the
+    # insert-side anti-join, while an untouched insert pair survives.
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _cdc_surviving_pairs,
+    )
+
+    index = spark.createDataFrame(
+        [(17, 100), (3, 100), (27, 200), (5, 200)],
+        "doc_id long, bucket long",
+    )
+    new_pred = F.col("doc_id") % 10 == 7
+    no_tombs = spark.createDataFrame([], "doc_id long")
+    assert _rows(_cdc_surviving_pairs(index, no_tombs, new_pred)) == [
+        (3, 17),
+        (5, 27),
+    ]
+    tombs = spark.createDataFrame([(17,)], "doc_id long")
+    assert _rows(_cdc_surviving_pairs(index, tombs, new_pred)) == [(5, 27)]
+
+
+def test_compact_partitioned_cells_rejects_ambiguous_tombstones(spark):
+    # Round-12 ADVICE: the tombstone id column is resolved BY NAME; a
+    # multi-column frame without the id column must fail loudly instead
+    # of silently compacting on whatever column happened to be first.
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        compact_partitioned_cells,
+    )
+
+    bad = spark.createDataFrame([(1, 2)], "not_the_id long, also_not long")
+    with pytest.raises(ValueError, match="no column named"):
+        compact_partitioned_cells(
+            spark, "any_table", bad, id_col="neighbor_id"
+        )

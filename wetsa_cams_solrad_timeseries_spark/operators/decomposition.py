@@ -48,9 +48,16 @@ def round6_spark(arr):
     fast = np.round(arr, 6)
     # np.round and HALF_UP-on-repr can only disagree within half an
     # ulp-of-scaling of the midpoint grid; re-do only suspects exactly.
+    # The suspect band must be magnitude-aware: half an ulp of
+    # ``scaled`` is eps·|scaled|/2, which exceeds a FIXED 1e-6 once
+    # |value| passes ~9e3 (|scaled| ~9e9) — a fixed band under-detects
+    # there and the two rounding rules could disagree undetected
+    # (round-12 ADVICE). max() keeps the cheap fixed band at small
+    # magnitudes and widens it with the ulp where the grid coarsens.
     scaled = arr * 1e6
     frac = np.abs(scaled - np.floor(scaled) - 0.5)
-    suspects = np.argwhere(frac < 1e-6)
+    band = np.maximum(1e-6, 8.0 * np.finfo(np.float64).eps * np.abs(scaled))
+    suspects = np.argwhere(frac < band)
     for idx in suspects:
         t = tuple(idx)
         fast[t] = float(

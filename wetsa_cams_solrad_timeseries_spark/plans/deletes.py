@@ -493,19 +493,25 @@ def _ensure_graph_delete_artifacts(spark: SparkSession, sf_dir: str):
             cents, medoids, edges, probes = built
             edges.write.mode("overwrite").saveAsTable(edges_t)
             probes.write.mode("overwrite").saveAsTable(probes_t)
-            rows = [("cent", c, list(cents[c])) for c in range(len(cents))]
+            # Medoid NODE IDS get a dedicated bigint column: routing
+            # them through the float payload (``vals[0]``) would
+            # round-trip lossily above 2^53 — silently wrong at the id
+            # scale a 100 TB corpus reaches (round-12 ADVICE).
+            rows = [
+                ("cent", c, None, list(cents[c])) for c in range(len(cents))
+            ]
             rows += [
-                ("medoid", c, [float(m)]) for c, m in sorted(medoids.items())
+                ("medoid", c, int(m), []) for c, m in sorted(medoids.items())
             ]
             spark.createDataFrame(
-                rows, "kind string, idx int, vals array<double>"
+                rows, "kind string, idx int, id bigint, vals array<double>"
             ).write.mode("overwrite").saveAsTable(params_t)  # commit gate
         cents_by_idx, medoids = {}, {}
         for r in spark.table(params_t).collect():
             if r["kind"] == "cent":
                 cents_by_idx[r["idx"]] = list(r["vals"])
             else:
-                medoids[r["idx"]] = int(r["vals"][0])
+                medoids[r["idx"]] = int(r["id"])
         cents = [cents_by_idx[i] for i in range(len(cents_by_idx))]
         return cents, medoids, spark.table(edges_t), spark.table(probes_t)
     except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
@@ -872,7 +878,22 @@ def compact_partitioned_cells(
     cost scales with the affected partitions' size, never the index
     size, and concurrent probes keep partition-pruning straight through
     the rewrite."""
-    tomb = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
+    # Resolve the tombstone id column BY NAME (id_col, or the single
+    # column of a one-column frame) — positional columns[0] silently
+    # compacted on the wrong key for multi-column tombstone frames with
+    # a different column order (round-12 ADVICE).
+    if id_col in tombstones.columns:
+        tomb_src = F.col(id_col)
+    elif len(tombstones.columns) == 1:
+        tomb_src = F.col(tombstones.columns[0])
+    else:
+        raise ValueError(
+            f"compact_partitioned_cells: tombstone frame has no column "
+            f"named {id_col!r} and is not single-column "
+            f"(columns={tombstones.columns}) — pass the id column "
+            "explicitly"
+        )
+    tomb = tombstones.select(tomb_src.alias(id_col))
     cur = spark.table(table_name)
     affected = sorted(
         r[part_col]
@@ -1402,7 +1423,20 @@ def q263_streaming_cdc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_DEL_BANDS,
     )
     index = index.localCheckpoint(eager=True)
-    probe = index.filter(F.col("doc_id") % 10 == 7).select(
+    return _cdc_surviving_pairs(index, tombs, F.col("doc_id") % 10 == 7)
+
+
+def _cdc_surviving_pairs(index: DataFrame, tombs: DataFrame, new_pred):
+    """Near-dup pairs from a CDC-maintained band index with BOTH pair
+    endpoints anti-joined against the drained tombstones — tombstone
+    dominates regardless of WHICH side of the pair was deleted, so an
+    INSERT that is itself taken down later in the stream drops out via
+    the id_a/id_b anti-join exactly like a deleted history doc.
+    Factored out of q263 so that path is unit-testable with a synthetic
+    insert-then-delete id (round-12 ADVICE: under q263's generated
+    events the insert shard and the takedown residue never intersect,
+    leaving the insert-side anti-join unexercised by the oracle)."""
+    probe = index.filter(new_pred).select(
         F.col("doc_id").alias("__n"), "bucket"
     )
     pairs = (
