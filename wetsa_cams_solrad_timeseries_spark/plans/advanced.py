@@ -3720,7 +3720,19 @@ def q193_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sort_col="bucket",
             )
         hist_idx = spark.table(tname)
-    except Exception:  # noqa: BLE001 — catalog unavailable: plain frame
+    except Exception as ex:  # noqa: BLE001 — catalog unavailable: plain frame
+        # Diagnosable, not silent: this fallback re-shingles the FULL
+        # history every call (correct output, incremental contract
+        # lost), which inflates any benchmark of this query ~5x — if a
+        # bench number looks like the build instead of the probe, this
+        # line is the first thing to look for.
+        import sys as _sys
+
+        print(
+            f"# q193: warehouse/catalog unavailable ({ex}); falling back "
+            "to full history re-index per call",
+            file=_sys.stderr,
+        )
         hist_idx = hist_band()
 
     probe = lsh_band_rows(
