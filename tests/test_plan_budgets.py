@@ -191,6 +191,11 @@ BUDGETS = [
     # Round ladder: one recall row per round over checkpointed edge
     # lists — audit joins + tiny crossJoins only.
     ("q239_nn_descent_rounds", 14, [], ["CartesianProduct"]),
+    # ρ-sampled vs exact expansion over the shared checkpointed graph:
+    # one window (the sample pick), per-variant candidate build + two
+    # id-keyed verify joins + 1-row audit crossJoins. The hub-safety is
+    # IN the sampled variant's local join (≤ S² per shuffle key).
+    ("q266_sampled_nn_descent", 14, ["Window"], ["CartesianProduct"]),
     # Base-vs-refined serve: two q232 serve tails over checkpointed
     # graphs + the 1-row aggregate crossJoin.
     ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),

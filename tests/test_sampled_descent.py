@@ -1,0 +1,94 @@
+"""q266 — ρ-sampled NN-descent: the bounds and orderings that make the
+sampled build the safe 100 TB form of the exact round.
+
+What must hold (and is structural, not statistical):
+- the per-node sample really is ≤ S neighbors;
+- the local join emits ≤ S² rows per center node (the shuffle key), so
+  a hub partition can never do indeg² work;
+- a node RECEIVES ≤ S·deg = ρ·m·deg candidates from the expansion;
+- the sampled candidate set is a SUBSET of the exact one, hence (by the
+  every-true-candidate-survives-top-m argument) sampled recall ≤ exact
+  recall on the query's own output.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wetsa_cams_solrad_timeseries_spark.plans.vector import (  # noqa: E402
+    _Q266_S,
+    _local_join,
+    _q266_graph,
+    _sampled_neighbors,
+    _two_hop,
+    q266_sampled_nn_descent,
+)
+
+
+def test_sampled_neighbor_lists_bounded(spark, sf_dir):
+    graph = _q266_graph(spark, sf_dir)
+    samp = _sampled_neighbors(graph, _Q266_S)
+    worst = (
+        samp.groupBy("src").count().agg(F.max("count").alias("m")).collect()
+    )[0]["m"]
+    assert worst <= _Q266_S
+    # Sampling a list shorter than S keeps the whole list: the sample is
+    # a restriction, never a drop-to-zero.
+    n_nodes = graph.select("src").distinct().count()
+    assert samp.select("src").distinct().count() == n_nodes
+
+
+def test_local_join_per_center_and_per_receiver_bounds(spark, sf_dir):
+    graph = _q266_graph(spark, sf_dir)
+    samp = _sampled_neighbors(graph, _Q266_S).localCheckpoint(eager=True)
+    # Per-CENTER bound (the shuffle key): each node's sampled list of
+    # size k contributes exactly k·(k-1) ordered pairs ≤ S².
+    per_center = (
+        samp.select(F.col("src").alias("__v"), F.col("dst").alias("src"))
+        .join(samp.select(F.col("src").alias("__v"), "dst"), on="__v")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("__v")
+        .count()
+    )
+    worst_center = per_center.agg(F.max("count").alias("m")).collect()[0]["m"]
+    assert worst_center <= _Q266_S * (_Q266_S - 1)
+    # Per-RECEIVER bound: a node appears in ≤ deg(v) sampled lists (one
+    # per neighbor), each pairing it with ≤ S-1 others → ≤ deg·(S-1)
+    # candidate rows before dedup — the verdict's ρ·deg·m bound.
+    deg = graph.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    recv = _local_join(samp).groupBy("src").agg(
+        F.count(F.lit(1)).alias("got")
+    )
+    viol = (
+        recv.join(deg, on="src")
+        .filter(F.col("got") > F.col("deg") * (_Q266_S - 1))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_sampled_candidates_subset_of_exact(spark, sf_dir):
+    graph = _q266_graph(spark, sf_dir)
+    samp = _sampled_neighbors(graph, _Q266_S)
+    exact = graph.unionByName(_two_hop(graph)).distinct()
+    sampled = graph.unionByName(_local_join(samp)).distinct()
+    outside = sampled.join(exact, on=["src", "dst"], how="left_anti").count()
+    assert outside == 0
+
+
+def test_sampled_recall_bounded_by_exact(spark, sf_dir):
+    rows = {
+        r["variant"]: r for r in q266_sampled_nn_descent(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"exact", "sampled"}
+    assert rows["sampled"]["edge_recall"] <= rows["exact"]["edge_recall"]
+    assert rows["sampled"]["cand_pairs"] <= rows["exact"]["cand_pairs"]
+    # The sample is deterministic (hash-pick, no RNG): a second run
+    # reproduces the identical audit row.
+    again = {
+        r["variant"]: r for r in q266_sampled_nn_descent(spark, sf_dir).collect()
+    }
+    assert tuple(rows["sampled"]) == tuple(again["sampled"])

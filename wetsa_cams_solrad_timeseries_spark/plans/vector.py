@@ -8323,6 +8323,323 @@ def q265_oracle_for(sf_dir: str) -> str | None:
 Q265_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q266 — ρ-sampled NN-descent: the bounded-fan-out production build
+# --------------------------------------------------------------------------
+
+# Per-node neighbor sample size S = ceil(ρ·m) with ρ = 0.5, m = _Q232_M:
+# Dong et al. (WWW 2011) §4's neighbor sampling, the mitigation
+# SCALING.md's hub-degree note promises for the exact 2-hop expansion's
+# indeg² cost — every node (hubs included) contributes at most S
+# neighbors per side of the join, so the expansion volume is hard-capped
+# at |sampled edges|·S ≤ n·S² and per-mid cost falls from indeg² to
+# indeg·S.
+_Q266_S = 3
+# Deterministic hash-pick constants: ids are reduced mod _Q266_IDMOD
+# before multiplying so every intermediate stays far below int64 even at
+# 100 TB id ranges, and the arithmetic is plain non-negative integer
+# ops that evaluate IDENTICALLY in Spark and DuckDB — the sample is
+# replayable by the oracle, which is what makes a sampled build
+# oracle-checkable at all.
+_Q266_IDMOD, _Q266_HA, _Q266_HB, _Q266_HP = 1048573, 4099, 7919, 104729
+
+
+def _q266_sample_key(src, dst):
+    return (
+        (src % _Q266_IDMOD) * _Q266_HA + (dst % _Q266_IDMOD) * _Q266_HB
+    ) % _Q266_HP
+
+
+def _sampled_neighbors(graph: DataFrame, s: int) -> DataFrame:
+    """Per-node deterministic sample of ≤ s neighbors: rank each src's
+    out-list by the replayable hash key (dst tie-break), keep the first
+    s. On the symmetrized graph the out-list IS the neighbor list."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        _q266_sample_key(F.col("src"), F.col("dst")), F.col("dst")
+    )
+    return (
+        graph.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= s)
+        .select("src", "dst")
+    )
+
+
+def _two_hop(through: DataFrame) -> DataFrame:
+    """(src, dst) pairs reachable in exactly 2 hops through ``through``
+    (never self)."""
+    return (
+        through.select("src", F.col("dst").alias("__mid"))
+        .join(
+            through.select(F.col("src").alias("__mid"), "dst"), on="__mid"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _local_join(samp: DataFrame) -> DataFrame:
+    """Dong et al.'s LOCAL JOIN: every ordered pair of a node's sampled
+    neighbors becomes a candidate edge. On the symmetrized graph this
+    generates the same pair set as the 2-hop expansion restricted to
+    sampled lists — but keyed on the CENTER node, so each join key
+    emits at most S² rows regardless of the center's degree: the shuffle
+    partition holding a hub does S²-bounded work where the exact 2-hop
+    self-join does indeg² (the 100 TB hot-spot this query retires)."""
+    return (
+        samp.select(F.col("src").alias("__v"), F.col("dst").alias("src"))
+        .join(samp.select(F.col("src").alias("__v"), "dst"), on="__v")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _q266_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q237's base graph (within-cell kNN ∪ medoid bridges, symmetrized,
+    checkpointed) — shared by the query and its bound-locking pytest."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    knn = cell_knn_edges(emb, cents, m=_Q232_M)
+    med = cell_medoids(emb, cents)
+    probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    directed = knn.unionByName(bridges)
+    return (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by both variants + window
+    )
+
+
+def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ρ-sampled NN-descent (Dong et al. §4 neighbor sampling) measured
+    NEXT TO the exact round it approximates — the one promised-but-
+    unbuilt 100 TB lever from SCALING.md's hub-degree note: the exact
+    2-hop expansion (q237/q239) squares medoid in-degree (indeg ≈
+    n/n_bridges), which at 100× scale hot-spots the hub partitions
+    beyond what AQE skew-split absorbs. The sampled round instead takes
+    a per-node DETERMINISTIC hash-pick of ≤ S neighbors and generates
+    candidates with Dong's LOCAL JOIN — every pair of a node's sampled
+    neighbors — so each shuffle key (the center node) emits ≤ S² rows
+    however hubby the center, total expansion is ≤ n·S², and a node
+    RECEIVES ≤ S·deg = ρ·m·deg candidates (both bounds pytest-locked).
+    The price is a measured recall delta per round, which is exactly
+    what this audit reports (production recovers it by running more of
+    these now-cheap rounds — Dong et al.'s convergence argument).
+
+    One row per variant over the SAME base graph (q237's within-cell
+    kNN ∪ medoid bridges, symmetrized): ``exact`` (s=0, the unsampled
+    expansion) and ``sampled`` (s=S). Columns: candidate-pair volume
+    and edge recall against the exact top-m truth on the q237 hash
+    sample — the production dial (recall lost per candidate-volume
+    saved) read directly off the driver-checked output. Because the
+    sampled candidate set is a subset of the exact one and every true
+    edge present in a candidate set survives its top-m (fewer than m
+    candidates can be closer), sampled recall ≤ exact recall is a
+    THEOREM, not a sample artifact (pytest asserts it on the output).
+
+    Determinism: the sample key is pure integer arithmetic on (src,
+    dst) — no RNG — so the oracle REPLAYS the identical sample; rank
+    ties break by dst. Scale shape: one window over the edge table
+    (n·deg rows) + a self-join of the S-bounded sample (≤ n·S² rows,
+    hub-safe by construction) + candidate-bounded exact verify; the
+    truth side is sample-bounded (q221's audit convention)."""
+    from functools import reduce
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        l2sq_cols,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    graph = _q266_graph(spark, sf_dir)
+    samp = _sampled_neighbors(graph, _Q266_S).localCheckpoint(eager=True)
+    cands = {
+        "exact": graph.unionByName(_two_hop(graph)).distinct(),
+        "sampled": graph.unionByName(_local_join(samp)).distinct(),
+    }
+
+    v = to_double_array(F.col("embedding"))
+    va = emb.select("vec_id", v.alias("__v")).localCheckpoint(eager=True)
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue = (
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)  # one hits-join per variant + count
+    )
+    nt = strue.agg(F.count(F.lit(1)).alias("nt"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
+    frames = []
+    for variant, s in (("exact", 0), ("sampled", _Q266_S)):
+        cand = cands[variant].localCheckpoint(eager=True)
+        refined = (
+            cand.join(
+                va.select(F.col("vec_id").alias("src"), F.col("__v").alias("__sv")),
+                on="src",
+            )
+            .join(
+                va.select(F.col("vec_id").alias("dst"), F.col("__v").alias("__dv")),
+                on="dst",
+            )
+            .select(
+                "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_M)
+            .select("src", "dst")
+        )
+        npairs = cand.agg(F.count(F.lit(1)).alias("cand_pairs"))
+        hits = refined.join(strue, on=["src", "dst"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        frames.append(
+            nt.crossJoin(F.broadcast(npairs))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(variant).alias("variant"),
+                F.lit(s).cast("long").alias("s"),
+                F.col("cand_pairs").cast("long").alias("cand_pairs"),
+                F.col("nt").cast("long").alias("n_true"),
+                F.round(
+                    F.col("h").cast("double")
+                    / F.greatest(F.col("nt"), F.lit(1))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("edge_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+_Q266_ORACLE_TEMPLATE = f"""
+WITH {_Q232_GRAPH_CTES},
+e2x AS (
+  SELECT a.src, b.dst
+  FROM edges a JOIN edges b ON a.dst = b.src AND b.dst <> a.src
+),
+candx AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM e2x
+  )
+),
+samp AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY
+             ((src % {_Q266_IDMOD}) * {_Q266_HA}
+              + (dst % {_Q266_IDMOD}) * {_Q266_HB}) % {_Q266_HP},
+             dst) AS r
+    FROM edges
+  ) WHERE r <= {_Q266_S}
+),
+e2s AS (
+  SELECT a.dst AS src, b.dst AS dst
+  FROM samp a JOIN samp b ON a.src = b.src AND a.dst <> b.dst
+),
+cands AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM e2s
+  )
+),
+refx AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           row_number() OVER (PARTITION BY c.src
+                              ORDER BY {_Q232_L2.format(a='sv', b='dv')},
+                                       c.dst) AS r
+    FROM candx c
+    JOIN vecs sv ON sv.vec_id = c.src
+    JOIN vecs dv ON dv.vec_id = c.dst
+  ) WHERE r <= {_Q232_M}
+),
+refs AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           row_number() OVER (PARTITION BY c.src
+                              ORDER BY {_Q232_L2.format(a='sv', b='dv')},
+                                       c.dst) AS r
+    FROM cands c
+    JOIN vecs sv ON sv.vec_id = c.src
+    JOIN vecs dv ON dv.vec_id = c.dst
+  ) WHERE r <= {_Q232_M}
+),
+sscored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_Q237_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+strue AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst) AS r
+    FROM sscored
+  ) WHERE r <= {_Q232_M}
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM strue)
+SELECT 'exact' AS variant, CAST(0 AS BIGINT) AS s,
+       (SELECT CAST(count(*) AS BIGINT) FROM candx) AS cand_pairs,
+       nt AS n_true,
+       round(CAST((SELECT count(*) FROM refx l
+                   JOIN strue t ON t.src = l.src AND t.dst = l.dst) AS DOUBLE)
+             / greatest(nt, 1) + 1e-9, 6) AS edge_recall
+FROM nt
+UNION ALL
+SELECT 'sampled' AS variant, CAST({_Q266_S} AS BIGINT) AS s,
+       (SELECT CAST(count(*) AS BIGINT) FROM cands) AS cand_pairs,
+       nt AS n_true,
+       round(CAST((SELECT count(*) FROM refs l
+                   JOIN strue t ON t.src = l.src AND t.dst = l.dst) AS DOUBLE)
+             / greatest(nt, 1) + 1e-9, 6) AS edge_recall
+FROM nt
+"""
+
+_Q266_HEAVY_CTES = [
+    "vecs", "sims", "ranked", "assigned", "knn", "med", "edges",
+    "samp", "candx", "cands", "strue",
+]
+
+
+def q266_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q266 oracle: the shared graph CTEs + BOTH expansions
+    (exact and hash-replayed sample) + the refine/recall algebra per
+    variant."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q266_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q266_HEAVY_CTES,
+        "q266",
+    )
+
+
+Q266_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -8445,6 +8762,11 @@ SPECS = make_specs(
         ("q265_hnsw_level_insert", q265_hnsw_level_insert, Q265_ORACLE, (),
          "HNSW insert-time level assignment: streamed two-layer "
          "maintenance, descent serve (stream == one-pass batch)"),
+        ("q266_sampled_nn_descent", q266_sampled_nn_descent, Q266_ORACLE,
+         (),
+         "rho-sampled NN-descent (Dong et al. neighbor sampling): "
+         "hub-safe bounded expansion vs the exact round, recall delta "
+         "and candidate volume measured"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -8550,6 +8872,9 @@ SPECS["q258_hnsw_multilayer"] = _dc.replace(
 )
 SPECS["q265_hnsw_level_insert"] = _dc.replace(
     SPECS["q265_hnsw_level_insert"], oracle_fn=q265_oracle_for
+)
+SPECS["q266_sampled_nn_descent"] = _dc.replace(
+    SPECS["q266_sampled_nn_descent"], oracle_fn=q266_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
