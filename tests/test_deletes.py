@@ -456,3 +456,142 @@ def test_compact_partitioned_cells_rejects_ambiguous_tombstones(spark):
         compact_partitioned_cells(
             spark, "any_table", bad, id_col="neighbor_id"
         )
+
+
+# --------------------------------------------------------------------------
+# Round 13: pHash / PQ / OPQ index families (q267-q271)
+# --------------------------------------------------------------------------
+
+
+def test_phash_tombstone_serve_equals_compacted_serve(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        q267_phash_tombstone_serve,
+        q268_phash_tombstone_compaction,
+    )
+
+    before = _rows(q267_phash_tombstone_serve(spark, sf_dir))
+    after = _rows(q268_phash_tombstone_compaction(spark, sf_dir))
+    assert before == after
+    assert len(before) > 0  # surviving near-dup pairs still found
+    takedown = {
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
+        .filter(_is_takedown())
+        .select("doc_id")
+        .collect()
+    }
+    assert not {hist for (_n, hist, _h) in before} & takedown
+
+
+def test_phash_compaction_removes_membership_physically(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _ensure_phash_delete_artifacts,
+        q268_phash_tombstone_compaction,
+    )
+
+    _idx, _tombs, idx_t = _ensure_phash_delete_artifacts(spark, sf_dir)
+    if idx_t is None:
+        pytest.skip("catalog unavailable")
+    q268_phash_tombstone_compaction(spark, sf_dir)
+    left = (
+        spark.table(idx_t)
+        .join(
+            table(spark, sf_dir, "documents")
+            .filter(_is_takedown())
+            .select("doc_id"),
+            on="doc_id",
+            how="semi",
+        )
+        .count()
+    )
+    assert left == 0
+    tomb_t = idx_t.replace("wetsa_phdel_", "wetsa_phtomb_")
+    assert spark.table(tomb_t).count() == 0
+    # Idempotence: a second maintenance run answers identically.
+    first = _rows(q268_phash_tombstone_compaction(spark, sf_dir))
+    second = _rows(q268_phash_tombstone_compaction(spark, sf_dir))
+    assert first == second
+
+
+def test_pq_tombstone_serve_equals_compacted_serve(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _vec_takedown_pred,
+        q269_pq_tombstone_serve,
+        q270_pq_tombstone_compaction,
+    )
+
+    before = _rows(q269_pq_tombstone_serve(spark, sf_dir))
+    after = _rows(q270_pq_tombstone_compaction(spark, sf_dir))
+    assert before == after
+    assert len(before) > 0
+    takedown = {
+        r["vec_id"]
+        for r in table(spark, sf_dir, "embeddings")
+        .filter(_vec_takedown_pred())
+        .select("vec_id")
+        .collect()
+    }
+    assert takedown
+    assert not {r[1] for r in before} & takedown  # neighbor_id column
+
+
+def test_pq_compaction_drops_whole_code_groups(spark, sf_dir):
+    # A vector's M sub-codes live contiguously on neighbor_id; the fold
+    # must remove ALL of them (a partial group would ADC-sum a phantom).
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _ensure_code_delete_artifacts,
+        _Q269_TOKEN,
+        _vec_takedown_pred,
+        q270_pq_tombstone_compaction,
+    )
+
+    _r, _b, _codes, _tombs, codes_t, tomb_t = _ensure_code_delete_artifacts(
+        spark, sf_dir, "pq", _Q269_TOKEN, rotated=False
+    )
+    if codes_t is None:
+        pytest.skip("catalog unavailable")
+    q270_pq_tombstone_compaction(spark, sf_dir)
+    takedown = (
+        table(spark, sf_dir, "embeddings")
+        .filter(_vec_takedown_pred())
+        .select(F.col("vec_id").alias("neighbor_id"))
+    )
+    left = spark.table(codes_t).join(takedown, on="neighbor_id", how="semi")
+    assert left.count() == 0
+    assert spark.table(tomb_t).count() == 0
+    # Survivor groups stay complete (M sub-codes each).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q195_M
+
+    sizes = (
+        spark.table(codes_t)
+        .groupBy("neighbor_id")
+        .count()
+        .select("count")
+        .distinct()
+        .collect()
+    )
+    assert {r["count"] for r in sizes} == {_Q195_M}
+
+
+def test_opq_tombstone_serve_equals_compacted_serve(spark, sf_dir):
+    # q271 carries only the compaction phase to the driver; the serve
+    # phase (anti-join form) is locked here in-engine: tombstone-
+    # filtered serve over the rotated code index == the compacted serve.
+    from wetsa_cams_solrad_timeseries_spark.plans.deletes import (
+        _code_probe,
+        _ensure_code_delete_artifacts,
+        _Q271_TOKEN,
+        q271_opq_tombstone_compaction,
+    )
+
+    rot, books, codes, tombs, _codes_t, _tomb_t = (
+        _ensure_code_delete_artifacts(
+            spark, sf_dir, "opq", _Q271_TOKEN, rotated=True
+        )
+    )
+    served_anti = _rows(
+        _code_probe(spark, sf_dir, rot, books, codes, tombs, True)
+    )
+    compacted = _rows(q271_opq_tombstone_compaction(spark, sf_dir))
+    assert served_anti == compacted
+    assert len(compacted) > 0

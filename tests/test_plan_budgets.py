@@ -280,6 +280,21 @@ BUDGETS = [
     # the top-50 with ZERO exchanges and no join at all — the whole
     # point of keeping the stats table maintained.
     ("q262_decremental_postings", 0, ["TakeOrderedAndProject"], ["Join"]),
+    # Round-13 delete-lifecycle additions (q267-q271): every serve is
+    # the family's steady-state probe + at most a broadcast tombstone
+    # anti-join — bucket-colocated index side, no sort-merge join, no
+    # cartesian. pHash: one exchange (the pair distinct); PQ/OPQ: the
+    # ADC grouped sum + rank window exchanges only.
+    ("q267_phash_tombstone_serve", 1, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("q268_phash_tombstone_compaction", 1, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("q269_pq_tombstone_serve", 2, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("q270_pq_tombstone_compaction", 2, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
+    ("q271_opq_tombstone_compaction", 2, ["BroadcastHashJoin"],
+     ["SortMergeJoin", "CartesianProduct"]),
     # Stream-drained states: the final frames read committed
     # generations; one exchange (distinct / latest-wins) at most.
     ("q261_streaming_token_mix", 1, [], ["SortMergeJoin",

@@ -1673,6 +1673,515 @@ def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q264_ORACLE = None  # LAZY — q255's oracle (stream-CDC ≡ batch mark-delete)
 
 
+# --------------------------------------------------------------------------
+# q267/q268 — pHash (perceptual) index delete lifecycle
+# --------------------------------------------------------------------------
+
+_Q267_TOKEN = __import__("uuid").uuid4().hex[:12]
+_PH_BUCKETS = 8  # q210's bucket count — the layout contract under test
+
+
+def _phash_rows(docs_part: DataFrame) -> DataFrame:
+    """q210's index rows (doc_id, bkey, band0..band3) over a docs
+    slice — the shared signature kernel, so the lifecycle can never
+    drift from the index it deletes from."""
+    from wetsa_cams_solrad_timeseries_spark.operators.multimodal import (
+        attach_payload,
+        dhash_bands,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _dhash_index_rows,
+    )
+
+    return _dhash_index_rows(
+        dhash_bands(attach_payload(docs_part, "doc_id", "text"))
+    )
+
+
+def _ensure_phash_delete_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, str | None]:
+    """(phash_index, tombstones, index_table_name) — the q267/q268
+    fixture: q210's bucketed signature index built over the FULL history
+    (deletes arrive after the build), takedown ids registered after."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    tombs = docs.filter(_is_takedown()).select("doc_id")
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    idx_t = f"wetsa_phdel_{tag}_{_Q267_TOKEN}"
+    tomb_t = f"wetsa_phtomb_{tag}_{_Q267_TOKEN}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        for fam, tname in (
+            (f"wetsa_phdel_{tag}_*", idx_t),
+            (f"wetsa_phtomb_{tag}_*", tomb_t),
+        ):
+            claim_warehouse_table(spark, fam, _Q267_TOKEN, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+    try:
+        if not spark.catalog.tableExists(idx_t):
+            write_bucketed(
+                _phash_rows(docs.filter(~_is_new())), idx_t, "bkey",
+                n_buckets=_PH_BUCKETS, sort_col="bkey",
+            )
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        elif not spark.catalog.tableExists(tomb_t):
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        return spark.table(idx_t), spark.table(tomb_t), idx_t
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        return _phash_rows(docs.filter(~_is_new())), tombs, None
+
+
+def _phash_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    hist_idx: DataFrame,
+    tombstones: DataFrame | None,
+) -> DataFrame:
+    """q210's serve shape — new-shard signatures probe the bucketed
+    index on bkey, exact 64-bit Hamming verifies from the denormalized
+    band columns — with the OPTIONAL tombstone anti-join placed right
+    after the bucket join, BEFORE the popcount/distinct work, so a
+    deleted history payload costs neither verify arithmetic nor an
+    output row. Broadcast: takedown lists are parameter-sized."""
+    docs = table(spark, sf_dir, "documents")
+    probe = _phash_rows(docs.filter(_is_new()))
+    bands = [f"band{b}" for b in range(4)]
+    joined = probe.select(
+        F.col("doc_id").alias("new_id"), "bkey",
+        *[F.col(c).alias(f"{c}_n") for c in bands],
+    ).join(
+        hist_idx.select(
+            F.col("doc_id").alias("hist_id"), "bkey",
+            *[F.col(c).alias(f"{c}_h") for c in bands],
+        ),
+        on="bkey",
+    )
+    if tombstones is not None:
+        joined = joined.join(
+            F.broadcast(tombstones.select(F.col("doc_id").alias("hist_id"))),
+            on="hist_id",
+            how="left_anti",
+        )
+    hamming = None
+    for c in bands:
+        term = F.bit_count(F.col(f"{c}_n").bitwiseXOR(F.col(f"{c}_h")))
+        hamming = term if hamming is None else hamming + term
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q208_MAX_HAMMING,
+    )
+
+    return (
+        joined.select(
+            "new_id", "hist_id", hamming.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _Q208_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def q267_phash_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of the delete lifecycle on the PERCEPTUAL index (q210's
+    — the round-12 verdict's named gap, with q269/q270's codebook pair
+    completing the matrix): takedown ids tombstone in one parameter-
+    sized write, the q210 probe anti-joins them from the candidate
+    stream before the Hamming verify, and the index's bucketed bytes are
+    untouched. A deleted image can never surface as a near-dup partner
+    from the moment the tombstone lands.
+
+    Scale shape: q210's steady state (new-shard Arrow hash pass +
+    bucket-colocated probe join, history payloads never re-read) plus
+    ONE broadcast anti-join; delete cost is O(|takedown|) regardless of
+    index size. Oracle: the batch pHash dedup over the SURVIVING
+    history (q210's SQL with the takedown exclusion in the candidate
+    join) — shared verbatim with q268, so the driver gate certifies
+    tombstone-serve ≡ compacted-serve ≡ batch-over-survivors."""
+    hist_idx, tombs, _ = _ensure_phash_delete_artifacts(spark, sf_dir)
+    return _phash_probe(spark, sf_dir, hist_idx, tombs)
+
+
+def q268_phash_tombstone_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phase 2 on the perceptual index: the maintenance rewrite folds
+    the tombstones into the bucketed signature table (membership removal
+    + small-file compaction as ONE pass, layout contract preserved),
+    truncates the tombstone set, and serves with NO anti-join — the
+    deletes are physical. Crash windows are q254's, all idempotent.
+    Oracle: shared verbatim with q267."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+
+    hist_idx, tombs, idx_t = _ensure_phash_delete_artifacts(spark, sf_dir)
+    if idx_t is None:
+        return _phash_probe(spark, sf_dir, hist_idx, tombs)
+    compact_bucketed_table(
+        spark,
+        idx_t,
+        n_buckets=_PH_BUCKETS,
+        bucket_col="bkey",
+        sort_col="bkey",
+        tombstones=tombs,
+        tombstone_col="doc_id",
+    )
+    tomb_t = idx_t.replace("wetsa_phdel_", "wetsa_phtomb_")
+    empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint()
+    empty.write.mode("overwrite").saveAsTable(tomb_t)
+    return _phash_probe(spark, sf_dir, spark.table(idx_t), None)
+
+
+def _phash_survivor_oracle() -> str:
+    """q210's batch-equivalence SQL with the takedown exclusion woven
+    into the candidate join — the shared q267/q268 oracle. Built by
+    targeted injection into the live Q210 template (drift-guarded, the
+    q255 pattern) so the index SQL and the lifecycle SQL cannot
+    diverge."""
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import Q210_ORACLE
+
+    target = "WHERE n.doc_id % 10 = 7 AND h.doc_id % 10 <> 7"
+    if target not in Q210_ORACLE:
+        raise AssertionError(
+            "q267 oracle: q210 template drifted — candidate WHERE not found"
+        )
+    return Q210_ORACLE.replace(
+        target,
+        target + f" AND h.doc_id % {_TAKEDOWN_MOD} <> {_TAKEDOWN_RES}",
+        1,
+    )
+
+
+Q267_ORACLE = _phash_survivor_oracle()
+Q268_ORACLE = Q267_ORACLE
+
+
+# --------------------------------------------------------------------------
+# q269/q270/q271 — PQ / OPQ codebook-index delete lifecycle
+# --------------------------------------------------------------------------
+
+_Q269_TOKEN = __import__("uuid").uuid4().hex[:12]
+_Q271_TOKEN = __import__("uuid").uuid4().hex[:12]
+
+
+def _ensure_code_delete_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    token: str,
+    rotated: bool,
+):
+    """Shared q269/q270/q271 fixture: a q197/q217-style generation —
+    frozen codebooks (and, for OPQ, the frozen rotation) trained on the
+    FULL history (deletes arrive after the build, so the deleted rows
+    ARE in the training set and in the code table — that ordering is the
+    point), history codes bucketed on ``neighbor_id``, takedown vec_ids
+    in a tombstone table, books written LAST as the commit gate.
+
+    Returns (rotation | None, books, hist_codes, tombstones,
+    codes_table | None, tomb_table | None)."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        opq_train,
+        pq_encode,
+        pq_train_codebooks,
+        rotate_vectors,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _DIM,
+        _Q195_KSUB,
+        _Q195_M,
+        _Q197_BUCKETS,
+    )
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import write_bucketed
+
+    emb = table(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 10 != 7)
+    tombs = emb.filter(_vec_takedown_pred()).select("vec_id")
+
+    def as_codes(df: DataFrame) -> DataFrame:
+        return df.select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+
+    tag = "".join(c for c in os.path.basename(sf_dir.rstrip("/")) if c.isalnum())
+    codes_t = f"wetsa_{family}delcodes_{tag}_{token}"
+    books_t = f"wetsa_{family}delbooks_{tag}_{token}"
+    rot_t = f"wetsa_{family}delrot_{tag}_{token}"
+    tomb_t = f"wetsa_{family}deltomb_{tag}_{token}"
+    try:
+        from wetsa_cams_solrad_timeseries_spark._artifacts import (
+            claim_warehouse_table,
+        )
+
+        fams = [
+            (f"wetsa_{family}delcodes_{tag}_*", codes_t),
+            (f"wetsa_{family}delbooks_{tag}_*", books_t),
+            (f"wetsa_{family}deltomb_{tag}_*", tomb_t),
+        ]
+        if rotated:
+            fams.append((f"wetsa_{family}delrot_{tag}_*", rot_t))
+        for fam, tname in fams:
+            claim_warehouse_table(spark, fam, token, tname)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort only
+        pass
+
+    def _train():
+        if rotated:
+            return opq_train(hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM)
+        return None, pq_train_codebooks(
+            hist, m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM
+        )
+
+    def _encode(df: DataFrame, rotation, books) -> DataFrame:
+        src = rotate_vectors(df, rotation) if rotated else df
+        return as_codes(pq_encode(src, books))
+
+    rotation = books = None
+    try:
+        if not spark.catalog.tableExists(books_t):
+            rotation, books = _train()
+            write_bucketed(
+                _encode(hist, rotation, books),
+                codes_t,
+                "neighbor_id",
+                n_buckets=_Q197_BUCKETS,
+                sort_col="neighbor_id",
+            )
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+            if rotated:
+                spark.createDataFrame(
+                    [(i, list(row)) for i, row in enumerate(rotation)],
+                    "i int, r array<double>",
+                ).write.mode("overwrite").saveAsTable(rot_t)
+            spark.createDataFrame(
+                [
+                    (s, c, books[s][c])
+                    for s in range(_Q195_M)
+                    for c in range(_Q195_KSUB)
+                ],
+                "sub int, code int, c array<double>",
+            ).write.mode("overwrite").saveAsTable(books_t)  # commit gate
+        elif not spark.catalog.tableExists(tomb_t):
+            tombs.write.mode("overwrite").saveAsTable(tomb_t)
+        if books is None:
+            if rotated:
+                rotation = [None] * _DIM
+                for r in spark.table(rot_t).collect():
+                    rotation[r["i"]] = list(r["r"])
+            books = [[None] * _Q195_KSUB for _ in range(_Q195_M)]
+            for r in spark.table(books_t).collect():
+                books[r["sub"]][r["code"]] = list(r["c"])
+        return (
+            rotation, books, spark.table(codes_t), spark.table(tomb_t),
+            codes_t, tomb_t,
+        )
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain frames
+        if books is None:
+            rotation, books = _train()
+        return (
+            rotation, books, _encode(hist, rotation, books), tombs, None,
+            None,
+        )
+
+
+def _code_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    rotation,
+    books,
+    hist_codes: DataFrame,
+    tombstones: DataFrame | None,
+    rotated: bool,
+) -> DataFrame:
+    """q197/q217's ADC serve with the OPTIONAL tombstone anti-join on
+    the index-code stream — applied to the (neighbor_id, sub, code)
+    rows BEFORE the LUT join, so a deleted vector's codes never enter
+    the ADC grouped sum (the refund, not just the exclusion). Broadcast:
+    takedown lists are parameter-sized; the bucketed code scan stays
+    shuffle-free."""
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        adc_topk,
+        pq_encode,
+        pq_query_luts,
+        rotate_vectors,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q197_K,
+        _Q197_QBOUND,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    new_src = rotate_vectors(emb.filter(is_new), rotation) if rotated else (
+        emb.filter(is_new)
+    )
+    new_codes = pq_encode(new_src, books).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "code"
+    )
+    index = hist_codes.unionByName(new_codes)
+    if tombstones is not None:
+        index = index.join(
+            F.broadcast(
+                tombstones.select(F.col("vec_id").alias("neighbor_id"))
+            ),
+            on="neighbor_id",
+            how="left_anti",
+        )
+    q_src = new_src.filter(F.col("vec_id") < _Q197_QBOUND)
+    return adc_topk(index, pq_query_luts(q_src, books), k=_Q197_K)
+
+
+def q269_pq_tombstone_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 1 of the delete lifecycle on the COMPRESSED-CODE index
+    (q197's PQ codes — the round-12 verdict's named gap): takedown ids
+    tombstone in one parameter-sized write; the ADC probe anti-joins
+    them off the code stream BEFORE the LUT join, so deleted vectors
+    cost no ADC arithmetic and can never be served; the bucketed code
+    bytes and the frozen books are untouched.
+
+    ADC ranks recompute over survivors naturally — removing a
+    candidate's partial sums removes it from the per-query window, and
+    every remaining distance is unchanged (codes are per-vector
+    independent). That independence is what makes the codebook family's
+    delete lifecycle TRIVIALLY safe where the graph family needed the
+    repair theorem: no other vector's index entry references the
+    deleted one.
+
+    Oracle: q197's one-pass batch SQL with the takedown exclusion at
+    the ADC stage — shared verbatim with q270, so the driver gate
+    certifies tombstone-serve ≡ compacted-serve ≡ batch-over-survivors
+    under the SAME full-history-trained frozen books (frozen means
+    frozen: FAISS semantics keep the codebooks through deletes)."""
+    _rot, books, codes, tombs, _, _ = _ensure_code_delete_artifacts(
+        spark, sf_dir, "pq", _Q269_TOKEN, rotated=False
+    )
+    return _code_probe(spark, sf_dir, None, books, codes, tombs, False)
+
+
+def q270_pq_tombstone_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phase 2 on the PQ code index: fold the tombstones into the
+    bucketed code table (one rewrite pass, layout contract preserved —
+    per-vector code groups are contiguous on neighbor_id so the
+    anti-join drops whole groups), truncate the tombstone set, serve
+    with NO anti-join. Books are NOT retrained — delete semantics for a
+    frozen-codebook index are membership-only, which is exactly why the
+    shared q269 oracle (full-history-trained books, survivor-only
+    codes) checks this phase too."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q197_BUCKETS
+
+    _rot, books, codes, tombs, codes_t, tomb_t = (
+        _ensure_code_delete_artifacts(
+            spark, sf_dir, "pq", _Q269_TOKEN, rotated=False
+        )
+    )
+    if codes_t is None:
+        return _code_probe(spark, sf_dir, None, books, codes, tombs, False)
+    compact_bucketed_table(
+        spark,
+        codes_t,
+        n_buckets=_Q197_BUCKETS,
+        bucket_col="neighbor_id",
+        sort_col="neighbor_id",
+        tombstones=tombs.select(F.col("vec_id").alias("neighbor_id")),
+        tombstone_col="neighbor_id",
+    )
+    empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint()
+    empty.write.mode("overwrite").saveAsTable(tomb_t)
+    return _code_probe(
+        spark, sf_dir, None, books, spark.table(codes_t), None, False
+    )
+
+
+def q271_opq_tombstone_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The delete lifecycle on the ROTATED codebook index (q217's OPQ)
+    — both phases in one maintenance run: tombstone lands, the rewrite
+    folds it into the bucketed rotated-code table, tombstones truncate,
+    and the serve is the rotation-then-ADC probe with no anti-join.
+    The frozen (R, books) pair is untouched: rotation is a pure
+    per-vector function, so deletes are membership-only here exactly as
+    in q270 (the serve-phase anti-join form is q269's code path
+    verbatim — tests/test_deletes.py locks serve ≡ compacted for this
+    family in-engine).
+
+    Oracle: q217's one-pass batch SQL (rotate under frozen R, encode
+    under frozen books) with the same takedown exclusion at the ADC
+    stage — compacted serve ≡ batch-over-survivors with the rotation
+    threaded through."""
+    from wetsa_cams_solrad_timeseries_spark.sinks.bucketed import (
+        compact_bucketed_table,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _Q197_BUCKETS
+
+    rot, books, codes, tombs, codes_t, tomb_t = (
+        _ensure_code_delete_artifacts(
+            spark, sf_dir, "opq", _Q271_TOKEN, rotated=True
+        )
+    )
+    if codes_t is None:
+        return _code_probe(spark, sf_dir, rot, books, codes, tombs, True)
+    compact_bucketed_table(
+        spark,
+        codes_t,
+        n_buckets=_Q197_BUCKETS,
+        bucket_col="neighbor_id",
+        sort_col="neighbor_id",
+        tombstones=tombs.select(F.col("vec_id").alias("neighbor_id")),
+        tombstone_col="neighbor_id",
+    )
+    empty = spark.table(tomb_t).filter(F.lit(False)).localCheckpoint()
+    empty.write.mode("overwrite").saveAsTable(tomb_t)
+    return _code_probe(
+        spark, sf_dir, rot, books, spark.table(codes_t), None, True
+    )
+
+
+_ADC_EXCLUDE = (
+    f" AND NOT (cd.neighbor_id % 10 <> 7 AND cd.neighbor_id % "
+    f"{_VEC_TAKEDOWN_MOD} = {_VEC_TAKEDOWN_RES})"
+)
+
+
+def _inject_adc_exclusion(sql: str, tag: str) -> str:
+    target = "WHERE cd.neighbor_id <> l.query_id"
+    if target not in sql:
+        raise AssertionError(
+            f"{tag} oracle: q197 index tail drifted — ADC WHERE not found"
+        )
+    return sql.replace(target, target + _ADC_EXCLUDE, 1)
+
+
+def q269_oracle_for(sf_dir: str) -> str | None:
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q197_oracle_for,
+    )
+
+    sql = q197_oracle_for(sf_dir)
+    return None if sql is None else _inject_adc_exclusion(sql, "q269")
+
+
+def q271_oracle_for(sf_dir: str) -> str | None:
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q217_oracle_for,
+    )
+
+    sql = q217_oracle_for(sf_dir)
+    return None if sql is None else _inject_adc_exclusion(sql, "q271")
+
+
+Q269_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+Q270_ORACLE = None  # LAZY — shared with q269 (phase equivalence)
+Q271_ORACLE = None  # LAZY — oracle_fn resolved at call time
+
+
 import dataclasses as _dc
 
 SPECS = make_specs(
@@ -1706,6 +2215,24 @@ SPECS = make_specs(
          Q264_ORACLE, (),
          "streaming graph CDC: displacement-merge inserts + hnswlib "
          "mark-deletes on one stream"),
+        ("q267_phash_tombstone_serve", q267_phash_tombstone_serve,
+         Q267_ORACLE, (),
+         "perceptual-index delete phase 1: tombstoned pHash serve"),
+        ("q268_phash_tombstone_compaction", q268_phash_tombstone_compaction,
+         Q268_ORACLE, (),
+         "perceptual-index delete phase 2: tombstone-folding compaction"),
+        ("q269_pq_tombstone_serve", q269_pq_tombstone_serve, Q269_ORACLE,
+         (),
+         "PQ code-index delete phase 1: tombstoned ADC serve (frozen "
+         "books)"),
+        ("q270_pq_tombstone_compaction", q270_pq_tombstone_compaction,
+         Q270_ORACLE, (),
+         "PQ code-index delete phase 2: tombstone-folding compaction "
+         "(books untouched)"),
+        ("q271_opq_tombstone_compaction", q271_opq_tombstone_compaction,
+         Q271_ORACLE, (),
+         "OPQ rotated-code-index delete lifecycle: tombstone + "
+         "compaction under frozen (R, books)"),
     ]
 )
 SPECS["q255_graph_tombstone_serve"] = _dc.replace(
@@ -1719,4 +2246,13 @@ SPECS["q259_ivfsq_delete_compaction"] = _dc.replace(
 )
 SPECS["q264_streaming_graph_cdc"] = _dc.replace(
     SPECS["q264_streaming_graph_cdc"], oracle_fn=q255_oracle_for
+)
+SPECS["q269_pq_tombstone_serve"] = _dc.replace(
+    SPECS["q269_pq_tombstone_serve"], oracle_fn=q269_oracle_for
+)
+SPECS["q270_pq_tombstone_compaction"] = _dc.replace(
+    SPECS["q270_pq_tombstone_compaction"], oracle_fn=q269_oracle_for
+)
+SPECS["q271_opq_tombstone_compaction"] = _dc.replace(
+    SPECS["q271_opq_tombstone_compaction"], oracle_fn=q271_oracle_for
 )

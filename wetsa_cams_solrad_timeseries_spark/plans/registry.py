@@ -50,47 +50,32 @@ from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 # MUST be pinned ahead of the automatic rotation so their fresh row
 # lands on the changed code.
 _PIN_FIRST = (
-    # Round 12: the deletion-lifecycle family and the two graph rungs
-    # land first (q253–q260, tier-1 never-checked — pinned so their
-    # first driver rows land deterministically), then every query whose
-    # kernel or oracle text changed this round:
-    # - q238 (serve tail restructured around the optional tombstone
-    #   anti-join; also q257/q255 ride its template),
-    # - q229 (gained the default-off takedown_pred parameter — output
-    #   must be byte-unchanged, pinned to prove it),
-    # - q247/q251 (selectivity now NULL-safe via F.when — ADVICE fix),
-    # - q242/q243/q249 (pca_project_batches switched from blocked
-    #   matmul to fold-order AXPY + exact Spark rounding — bit-equality
-    #   now pytest-asserted, pinned to prove the serve surface),
-    # - q250 (MATERIALIZED injection now drift-guarded — text-equal),
-    # - q244 (stream probe gated on pairs/_SUCCESS — ADVICE fix),
-    # - q232/q235/q240 (_q232_setup return extended for q258 —
-    #   behavior-identical, pinned to prove it).
-    "q253_lsh_tombstone_serve",
-    "q261_streaming_token_mix",
-    "q262_decremental_postings",
-    "q263_streaming_cdc_index",
-    "q264_streaming_graph_cdc",
-    "q265_hnsw_level_insert",
-    "q254_lsh_tombstone_compaction",
-    "q255_graph_tombstone_serve",
+    # Round 13: the ρ-sampled descent + the delete-lifecycle extensions
+    # land first (tier-1 never-checked — pinned so their first driver
+    # rows land deterministically), then every query whose kernel
+    # changed this round:
+    # - q256 (medoid node ids now persist in a dedicated bigint column
+    #   — ADVICE fix; output must be unchanged, pinned to prove it),
+    # - q259 (compact_partitioned_cells now resolves the tombstone id
+    #   column by name — behavior-identical for its single-column
+    #   tombstones, pinned to prove it),
+    # - q263 (pair kernel factored into _cdc_surviving_pairs for the
+    #   insert-side-delete unit test — behavior-identical),
+    # - q242/q243/q249 (round6_spark's midpoint-suspect band is now
+    #   magnitude-aware — identical at PCA magnitudes, pinned to prove
+    #   the serve surface).
+    "q266_sampled_nn_descent",
+    "q267_phash_tombstone_serve",
+    "q268_phash_tombstone_compaction",
+    "q269_pq_tombstone_serve",
+    "q270_pq_tombstone_compaction",
+    "q271_opq_tombstone_compaction",
     "q256_graph_delete_repair",
-    "q257_streaming_graph_insert",
-    "q258_hnsw_multilayer",
     "q259_ivfsq_delete_compaction",
-    "q260_curation_takedown",
-    "q238_incremental_graph_ann",
-    "q229_curation_pipeline",
-    "q247_filtered_ann_gate",
-    "q251_filter_selectivity_ladder",
+    "q263_streaming_cdc_index",
     "q242_pca_ann_gate",
     "q243_pca_screen_sla",
     "q249_streaming_pca_encode",
-    "q250_descent_depth_sla",
-    "q244_streaming_lsh_neardup",
-    "q232_graph_ann_recall",
-    "q235_graph_ann_sla",
-    "q240_refined_graph_serving",
 )
 
 
