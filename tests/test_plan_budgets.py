@@ -196,6 +196,10 @@ BUDGETS = [
     # id-keyed verify joins + 1-row audit crossJoins. The hub-safety is
     # IN the sampled variant's local join (≤ S² per shuffle key).
     ("q266_sampled_nn_descent", 14, ["Window"], ["CartesianProduct"]),
+    # Capped ladder: one recall row per round over checkpointed kept
+    # lists (rounds themselves run at checkpoint time) — audit joins +
+    # 1-row crossJoins, 4 rounds + round 0.
+    ("q272_capped_descent_ladder", 22, [], ["CartesianProduct"]),
     # Base-vs-refined serve: two q232 serve tails over checkpointed
     # graphs + the 1-row aggregate crossJoin.
     ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),

@@ -92,3 +92,58 @@ def test_sampled_recall_bounded_by_exact(spark, sf_dir):
         r["variant"]: r for r in q266_sampled_nn_descent(spark, sf_dir).collect()
     }
     assert tuple(rows["sampled"]) == tuple(again["sampled"])
+
+
+def test_capped_ladder_monotone_and_converging(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        q272_capped_descent_ladder,
+    )
+
+    rows = sorted(
+        q272_capped_descent_ladder(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    recalls = [r["edge_recall"] for r in rows]
+    # Monotone by the exchange argument (candidates always contain the
+    # current kept list), and the capped rounds must actually CLIMB —
+    # this ladder exists because the uniform-sampled one plateaued.
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] > recalls[0]
+
+
+def test_capped_forward_lists_bounded(spark, sf_dir):
+    # The hub-safety bound: each mid FORWARDS at most C neighbors, so
+    # the expansion's per-join-key output is indeg*C, never indeg^2.
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q272_C,
+        _q266_graph,
+        _sampled_neighbors,
+    )
+
+    graph = _q266_graph(spark, sf_dir)
+    capped = _sampled_neighbors(graph, _Q272_C, salt=1)
+    worst = (
+        capped.groupBy("src").count().agg(F.max("count").alias("m")).collect()
+    )[0]["m"]
+    assert worst <= _Q272_C
+    # And the cap BINDS on this topology (there is a genuine hub).
+    maxdeg = (
+        graph.groupBy("src").count().agg(F.max("count").alias("m")).collect()
+    )[0]["m"]
+    assert maxdeg > _Q272_C
+
+
+def test_round_salt_rotates_the_sample(spark, sf_dir):
+    # Per-iteration resampling is what lets later rounds explore new
+    # hub targets: different salts must pick different subsets of a
+    # hub's list (derandomized Dong et al. resample).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q272_C,
+        _q266_graph,
+        _sampled_neighbors,
+    )
+
+    graph = _q266_graph(spark, sf_dir)
+    s1 = {tuple(r) for r in _sampled_neighbors(graph, _Q272_C, salt=1).collect()}
+    s2 = {tuple(r) for r in _sampled_neighbors(graph, _Q272_C, salt=2).collect()}
+    assert s1 != s2

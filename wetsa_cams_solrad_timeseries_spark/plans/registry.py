@@ -65,6 +65,7 @@ _PIN_FIRST = (
     #   magnitude-aware — identical at PCA magnitudes, pinned to prove
     #   the serve surface).
     "q266_sampled_nn_descent",
+    "q272_capped_descent_ladder",
     "q267_phash_tombstone_serve",
     "q268_phash_tombstone_compaction",
     "q269_pq_tombstone_serve",
