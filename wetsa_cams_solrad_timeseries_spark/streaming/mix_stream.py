@@ -183,7 +183,15 @@ def streaming_token_mix(
         selected = cum.filter(F.col("cum_tokens") <= budget).withColumn(
             "gen", F.lit(bid).cast("long")
         )
-        selected.write.mode("overwrite").parquet(sel_out)
+        # Generation writes are PARAMETER-sized (selected rows are
+        # budget-bounded per source; the frontier is one row per
+        # touched source) — one file each, not one per shuffle
+        # partition (repartition, NOT coalesce: coalesce(1) folds the
+        # upstream window/join stages into one serial task — measured
+        # 4x slower; the explicit exchange keeps them parallel). The
+        # empty-task fan-out was ~1s per write, the dominant cost of
+        # the whole drain (measured round 13).
+        selected.repartition(1).write.mode("overwrite").parquet(sel_out)
         # The new frontier: the first over-budget candidate this batch,
         # folded with the previous frontier (lexicographic min — the
         # frontier only ever moves earlier).
@@ -229,7 +237,9 @@ def streaming_token_mix(
                 ).otherwise(F.col("fr_doc")).alias("fr_doc"),
             )
         )
-        new_fr.write.mode("overwrite").parquet(src_out)  # commit gate LAST
+        new_fr.repartition(1).write.mode("overwrite").parquet(
+            src_out
+        )  # commit gate LAST
 
     ckpt = drain_checkpoint_dir()
     try:
