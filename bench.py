@@ -165,7 +165,24 @@ def main() -> None:
     per_query: dict[str, float] = {}
     adjudicated: dict[str, dict[str, float]] = {}
     total = 0.0
-    for name, spec in QUERIES.items():
+    for qi, (name, spec) in enumerate(QUERIES.items()):
+        # Release the PREVIOUS query's localCheckpoint blocks before
+        # timing this one: checkpointed RDDs are freed only after the
+        # Python DataFrame is GC'd AND the JVM reference collected
+        # (ContextCleaner), and clearCache() does not touch them. Left
+        # alone, ~800 executions' blocks accumulate and late-run
+        # queries degrade 5-15x under block-manager pressure (round-13
+        # measurement: q72 27s in-bench vs 3-5s isolated; r12's
+        # "slower VM window at round close" was this). Both collections
+        # run OUTSIDE the timed region.
+        import gc
+
+        gc.collect()
+        if qi % 25 == 24:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — JVM gateway quirk: skip
+                pass
         best = None
         for _ in range(2):
             spark.catalog.clearCache()
