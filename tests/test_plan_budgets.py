@@ -203,6 +203,9 @@ BUDGETS = [
     # Full log-layer descent: layer builds + walks run at checkpoint
     # time; the final plan is the serve tail + 1-row audit crossJoins.
     ("q273_hnsw_log_layers", 8, [], ["CartesianProduct"]),
+    # Capped-descent SLA: rounds run at checkpoint time; the final plan
+    # is the 5-row ladder x the 1-row min-met-round broadcast.
+    ("q274_capped_descent_sla", 4, [], ["CartesianProduct"]),
     # Base-vs-refined serve: two q232 serve tails over checkpointed
     # graphs + the 1-row aggregate crossJoin.
     ("q240_refined_graph_serving", 10, [], ["CartesianProduct"]),

@@ -168,3 +168,25 @@ def test_hnsw_log_layers_nested_and_comparable(spark, sf_dir):
     row = q273_hnsw_log_layers(spark, sf_dir).collect()[0]
     assert row["n_l2"] < row["n_l1"]
     assert row["avg_recall"] > 0.5
+
+
+def test_capped_sla_pick_is_minimal_met_round(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q274_FLOOR,
+        q274_capped_descent_sla,
+    )
+
+    rows = sorted(
+        q274_capped_descent_sla(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    met = [r["round"] for r in rows if r["met"]]
+    picked = [r["round"] for r in rows if r["picked"]]
+    assert all(r["met"] == (r["edge_recall"] >= _Q274_FLOOR) for r in rows)
+    assert picked == ([min(met)] if met else [])
+    # The pick must be NON-trivial on this corpus: the floor binds
+    # (some early round fails) — otherwise the SLA measures nothing.
+    assert rows[0]["met"] is False
+    # Cost axis sanity: every capped round's candidate volume is a
+    # fraction of the exact expansion's (~212k pairs measured in q266).
+    assert all(r["cand_pairs"] < 100_000 for r in rows)

