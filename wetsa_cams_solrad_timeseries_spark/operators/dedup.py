@@ -76,10 +76,23 @@ def word_shingles(
     # row can carry wide payloads (metadata structs, binary columns) the
     # shingle pipeline never reads — shuffling them would multiply the
     # spread's cost by the full row width.
-    df = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    words = _norm_words(text_col)
+    #
+    # Tokenize BEFORE the shuffle, and shuffle the words ARRAY: the
+    # n-gram transform is a higher-order function, which Catalyst always
+    # evaluates interpreted (CodegenFallback), re-evaluating its
+    # argument expression per lambda element — inlining
+    # split(lower(trim(text))) there costs words-count regex splits per
+    # document instead of one, and routes lower() through the
+    # interpreted path, whose first evaluation initializes Spark 4's ICU
+    # collation tables (see session.warm_collation: all task threads
+    # serialize on that class-init when they hit it together). With the
+    # words array materialized at the shuffle boundary, the lambda only
+    # slices an attribute — O(tokens) per doc, no case mapping in
+    # interpreted code at all.
+    df = df.select(
+        F.col(id_col), _norm_words(text_col).alias("__words")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    words = F.col("__words")
     shingles = word_ngrams(words, n)
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("__sh"))

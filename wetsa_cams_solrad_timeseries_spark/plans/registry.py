@@ -35,6 +35,7 @@ from wetsa_cams_solrad_timeseries_spark.plans import (
     analytics,
     advanced,
     deletes,
+    scale_ops,
 )
 from wetsa_cams_solrad_timeseries_spark.plans._spec import QuerySpec
 
@@ -143,6 +144,7 @@ def _collect() -> dict[str, QuerySpec]:
         analytics,
         advanced,
         deletes,
+        scale_ops,
     ):
         merged.update(mod.SPECS)
     ever, latest, last_round = _coverage_sets()

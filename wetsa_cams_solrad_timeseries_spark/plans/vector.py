@@ -9410,6 +9410,169 @@ def q274_oracle_for(sf_dir: str) -> str | None:
 Q274_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q278 — streaming capped descent: stream-build → bounded refine
+# --------------------------------------------------------------------------
+def q278_streaming_capped_descent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production composition the round-13 build pointed at but had
+    not yet landed: STREAM-build the graph, then run the bounded
+    (hub-capped) descent refine on what the stream drained — q257 ×
+    q272. New-shard vectors arrive as micro-batches and insert under
+    the frozen quantizer via the displacement merge; the drained
+    directed lists equal the one-shot batch insert's EXACTLY (q257's
+    top-m merge theorem), so one capped descent round (q272's kernel,
+    salt=1) over the stream-built symmetrized graph must produce the
+    SAME refined lists as the batch pipeline — which is precisely what
+    the oracle replays: q238's batch graph CTEs + q272's capped round,
+    no streaming anywhere in the SQL. Stream-then-refine ≡
+    batch-then-refine, proven at the edge-recall surface.
+
+    Why this matters at 100 TB: an ingest stream builds the graph
+    incrementally all day (bounded per-batch cost), and the refine is
+    the nightly maintenance job — this query pins that the nightly job
+    may run on the streamed state directly, no batch rebuild first, and
+    that its cost stays the capped n·deg·C bound however the batches
+    were cut.
+
+    Output: q272's ladder schema — (round, m, c, n_true, edge_recall)
+    for round 0 (the stream-drained lists: history within-cell kNN +
+    streamed new-node lists) and round 1 (one capped refine round),
+    recall against the hash-sampled exact top-m truth.
+    """
+    from functools import reduce
+
+    from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
+        to_double_array,
+    )
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk_l2,
+        cell_knn_edges,
+        cell_medoids,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
+        streaming_graph_insert,
+    )
+
+    # Stream-build: identical recipe to q257 (hist-trained quantizer,
+    # new shard drained through the displacement merge).
+    emb = table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 10 == 7
+    hist = emb.filter(~is_new)
+    cents = ivf_train_centroids(hist, k=16, n_iter=2)
+    med_df = cell_medoids(hist, cents)
+    split_dir = _split_embeddings(
+        spark, sf_dir, n_files=3, pred=is_new, variant="new"
+    )
+    hist_members = (
+        ivf_assign(hist, cents, n_probe=1)
+        .join(
+            hist.select(
+                "vec_id", to_double_array(F.col("embedding")).alias("__v")
+            ),
+            on="vec_id",
+        )
+        .select("vec_id", "cell", "__v")
+    )
+    new_knn, _no_tombs = streaming_graph_insert(
+        spark, split_dir, hist_members, cents, m=_Q232_M
+    )
+    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
+    lists0 = base_knn.unionByName(new_knn).localCheckpoint(eager=True)
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    bridges = (
+        probes_all.filter(F.col("probe_rank") >= 1)
+        .join(F.broadcast(med_df), on="cell")
+        .filter(F.col("vec_id") != F.col("medoid"))
+        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
+    )
+    graph = _sym_edges(lists0.unionByName(bridges)).localCheckpoint(
+        eager=True
+    )
+
+    # Bounded refine on the streamed state (q272's kernel, round 1).
+    refined = _capped_descent_round(
+        emb, graph, _Q232_M, _Q272_C, salt=1
+    ).localCheckpoint(eager=True)
+
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue = (
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nt = strue.agg(F.count(F.lit(1)).alias("nt"))
+    frames = []
+    for rnd, lst in ((0, lists0), (1, refined)):
+        h = lst.join(strue, on=["src", "dst"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        frames.append(
+            nt.crossJoin(F.broadcast(h)).select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.lit(_Q232_M).cast("long").alias("m"),
+                F.lit(_Q272_C).cast("long").alias("c"),
+                F.col("nt").cast("long").alias("n_true"),
+                F.round(
+                    F.col("h").cast("double")
+                    / F.greatest(F.col("nt"), F.lit(1))
+                    + F.lit(1e-9),
+                    6,
+                ).alias("edge_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+_Q278_ORACLE_TEMPLATE = (
+    f"""
+WITH {_Q238_GRAPH_CTES},
+knn AS (
+  SELECT src, dst FROM knn_h UNION SELECT src, dst FROM knn_n
+),
+"""
+    + _q272_round_ctes(1)
+    + f""",
+sscored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         {_Q232_L2.format(a='q', b='c')} AS dist
+  FROM vecs q JOIN vecs c
+    ON q.vec_id % {_Q237_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+strue AS (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY dist ASC, dst) AS r
+    FROM sscored
+  ) WHERE r <= {_Q232_M}
+)
+"""
+    + _q272_recall_row(0, "knn")
+    + "\nUNION ALL\n"
+    + _q272_recall_row(1, "sref_1")
+)
+
+
+def q278_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q278 oracle: q238's hist-trained graph CTEs (the batch
+    replay of the stream build) + q272's capped round unrolled once."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet"),
+        id_filter=lambda i: i % 10 != 7,
+    )
+    return None if values is None else _Q278_ORACLE_TEMPLATE.replace(
+        "__IVF_VALUES__", values
+    )
+
+
+Q278_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -9548,6 +9711,10 @@ SPECS = make_specs(
          (),
          "capped-descent SLA: minimal bounded round meeting the edge-"
          "recall floor, candidate volume as the measured cost axis"),
+        ("q278_streaming_capped_descent", q278_streaming_capped_descent,
+         Q278_ORACLE, (),
+         "streaming capped descent: stream-built graph + one bounded "
+         "refine round == batch-then-refine (oracle replays the batch)"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -9665,6 +9832,9 @@ SPECS["q273_hnsw_log_layers"] = _dc.replace(
 )
 SPECS["q274_capped_descent_sla"] = _dc.replace(
     SPECS["q274_capped_descent_sla"], oracle_fn=q274_oracle_for
+)
+SPECS["q278_streaming_capped_descent"] = _dc.replace(
+    SPECS["q278_streaming_capped_descent"], oracle_fn=q278_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for

@@ -145,6 +145,59 @@ def ship_package(spark: SparkSession) -> None:
     atexit.register(_cleanup)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_SESSIONS.add(key)
+    warm_collation(spark)
+
+
+_WARMED_SESSIONS: set[str] = set()
+
+
+def warm_collation(spark: SparkSession) -> None:
+    """Pre-initialize Spark 4's ICU collation machinery off the query
+    path, in a single background task.
+
+    Spark 4 routes case mapping (lower/upper/initcap — even for plain
+    UTF8_BINARY; ``spark.sql.icu.caseMappings.enabled`` defaults true)
+    through ``CollationAwareUTF8String``, whose static initializer loads
+    ICU's character tables. That class-init is expensive in this
+    container (~5-10 s single-threaded), and when the FIRST expression
+    to touch it is an interpreted generator running on all 32 task
+    threads at once, the threads serialize on the class-init monitor
+    and the one-time cost balloons to minutes (measured: q33's shingle
+    stage, 224-429 s cold vs ~6 s after init; thread dumps show every
+    worker parked on the CollationAwareUTF8String initialization
+    monitor). Running one 1-row, 1-partition job that evaluates a
+    non-foldable lower/upper/initcap forces the init exactly once,
+    single-threaded, concurrently with whatever the session does first
+    — a background thread so sessions that never touch case mapping
+    don't wait on it. In local mode driver==executor JVM, so one task
+    warms everything; on a real cluster each executor JVM warms on its
+    first case-mapping task regardless (this removes only the
+    all-threads-collide worst case, which is also the local-mode one).
+    """
+    key = spark.sparkContext.applicationId
+    if key in _WARMED_SESSIONS:
+        return
+    _WARMED_SESSIONS.add(key)
+
+    def _run() -> None:
+        try:
+            from pyspark.sql import functions as F
+
+            s = F.concat(F.lit("Icu-Warm-"), F.col("id").cast("string"))
+            spark.range(1, numPartitions=1).select(
+                F.lower(s).alias("l"),
+                F.upper(s).alias("u"),
+                F.initcap(s).alias("t"),
+                # the interpreted (non-codegen) path too: HOF lambdas
+                # always evaluate via Expression.eval
+                F.transform(F.array(s), lambda x: F.lower(x)).alias("i"),
+            ).collect()
+        except Exception:  # noqa: BLE001 — best-effort warmup only
+            pass
+
+    import threading
+
+    threading.Thread(target=_run, name="graft-collation-warm", daemon=True).start()
 
 
 def get_spark(
