@@ -65,6 +65,32 @@ _PIN_FIRST = (
     # - q242/q243/q249 (round6_spark's midpoint-suspect band is now
     #   magnitude-aware — identical at PCA magnitudes, pinned to prove
     #   the serve surface).
+    # Round-13 second wave (this session): new queries first (tier-1
+    # would front-load them anyway; explicit pins make the order
+    # deterministic)...
+    "q275_bloom_semijoin",
+    "q276_mmr_rerank",
+    "q277_group_auc",
+    "q278_streaming_capped_descent",
+    "q279_dsir_selection",
+    "q280_hll_cardinality",
+    "q281_cms_heavy_hitters",
+    "q282_knn_label_gate",
+    "q283_streaming_bloom_screen",
+    # ...then the shingle-family representatives: word_shingles now
+    # tokenizes BEFORE the spread shuffle (ICU-interpreted-path fix) —
+    # behavior-identical (18-query sf0.01 oracle sweep in-session), one
+    # pin per caller family to prove it on driver rows too:
+    "q32_ngram_jaccard",
+    "q33_minhash_lsh",
+    "q62_minhash_dedup_verified",
+    "q72_dedup_clusters",
+    "q209_lsh_bucket_cap",
+    "q229_curation_pipeline",
+    "q244_streaming_lsh_neardup",
+    "q253_lsh_tombstone_serve",
+    "q262_decremental_postings",
+    # Round-13 first wave (earlier session):
     "q266_sampled_nn_descent",
     "q272_capped_descent_ladder",
     "q273_hnsw_log_layers",

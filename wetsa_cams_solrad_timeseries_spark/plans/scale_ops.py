@@ -19,7 +19,17 @@ PageRank q161/q192, so none of those recur):
 - q279: DSIR importance selection (Xie et al. 2023) — hashed-unigram
   importance weights target-vs-raw (the family member q202's docstring
   names as "one more copy of these joins"), exact-integer scoring so
-  ranking is order-independent.
+  ranking is order-independent;
+- q280: HyperLogLog register sketch — cardinality with 512 bytes of
+  MAX-mergeable state (KMV's production sibling);
+- q281: count-min frequency sketch — heavy-hitter estimates from a
+  12 KB ADD-mergeable grid, overestimate-only audited against truth;
+- q282: leave-one-out kNN label-agreement — the embedding-quality gate
+  that runs BEFORE any index build;
+- q283: streaming bloom membership state — per-batch word bitmaps
+  OR-merged (a semilattice join: order/batch/at-least-once independent
+  by algebra alone), probed as the constant-size dedup/decontamination
+  pre-screen.
 
 All determinism rules from the registry docstring apply: identical
 aliases both engines, ``round6`` on float aggregates, unique tie-breaks
@@ -579,6 +589,487 @@ LIMIT {_DSIR_N}
 """
 
 
+# --------------------------------------------------------------------------
+# q280 — HyperLogLog cardinality (register sketch, mergeable by MAX)
+# --------------------------------------------------------------------------
+_HLL_B = 9  # register-index bits
+_HLL_M = 1 << _HLL_B  # 512 registers
+_HLL_TAIL = 32 - _HLL_B  # 23-bit rank tail
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # standard bias constant
+
+
+def _hll_rank_sql(w: str) -> str:
+    """Leading-zero rank of the 23-bit tail as an unrolled integer CASE —
+    no log2() anywhere, so the register value is EXACT in both engines
+    (a libm log2 at an exact power of two is a cross-engine coin flip)."""
+    branches = "".join(
+        f" WHEN {w} >= {1 << (_HLL_TAIL - 1 - i)} THEN {i + 1}"
+        for i in range(_HLL_TAIL)
+    )
+    return f"(CASE WHEN {w} = 0 THEN {_HLL_TAIL + 1}{branches} END)"
+
+
+def q280_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    register-based member completing the sketch family (q92/q50 KMV =
+    bottom-k cardinality, q191 quantile digest, q281 count-min
+    frequency): 512 registers of max leading-zero rank, fixed 512-byte
+    state however large the corpus. The estimator runs per event type
+    AND on registers merged across types by per-index MAX — the merge
+    that makes HLL the production rollup sketch (any group combination
+    served from tiny per-group register sets, no re-scan; q92's
+    discipline at register granularity).
+
+    Cross-engine exactness: the rank is an unrolled integer CASE (no
+    log2), and the indicator sum Σ 2^-reg adds dyadic rationals spanning
+    2^-24..2^0 — every partial sum is exactly representable, so the sum
+    is order-independent without any rounding discipline. The only libm
+    calls are the final estimate's ln (linear-counting branch, q64's
+    established parity) behind round6.
+
+    Scale shape: one map-side-combinable (scope, idx) max-aggregate over
+    hashed keys; register frames are ≤ m rows per scope — parameter-
+    bounded, never data-bounded.
+    """
+    ev = table(spark, sf_dir, "events")
+    h = hash32(F.col("user_id").cast("string"))
+    base = ev.select(
+        F.col("event_type").alias("scope"),
+        (h / (1 << _HLL_TAIL)).cast("int").alias("idx"),
+        (h % (1 << _HLL_TAIL)).alias("w"),
+    ).withColumn("rank", F.expr(_hll_rank_sql("w")))
+    per_type = base.groupBy("scope", "idx").agg(F.max("rank").alias("reg"))
+    merged = (
+        per_type.groupBy("idx")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit("__merged__").alias("scope"), "idx", "reg")
+    )
+    regs = per_type.unionByName(merged)
+
+    z_present = F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+    n_present = F.count(F.lit(1))
+    est = regs.groupBy("scope").agg(
+        (F.lit(float(_HLL_M)) - n_present + z_present).alias("z"),
+        (F.lit(_HLL_M) - n_present).alias("v"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    exact = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    exact_all = ev.agg(
+        F.lit("__merged__").alias("scope"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return est.join(
+        exact.unionByName(exact_all), on="scope"
+    ).select("scope", round6(corrected).alias("hll_est"), "exact_users")
+
+
+Q280_ORACLE = f"""
+WITH base AS (
+  SELECT event_type AS scope,
+         h // {1 << _HLL_TAIL} AS idx,
+         {_hll_rank_sql(f"(h % {1 << _HLL_TAIL})")} AS rank
+  FROM (SELECT event_type, {hash32_sql_duckdb("CAST(user_id AS VARCHAR)")} AS h
+        FROM events)
+),
+per_type AS MATERIALIZED (
+  SELECT scope, idx, max(rank) AS reg FROM base GROUP BY scope, idx
+),
+regs AS (
+  SELECT scope, idx, reg FROM per_type
+  UNION ALL
+  SELECT '__merged__' AS scope, idx, max(reg) AS reg
+  FROM per_type GROUP BY idx
+),
+est AS (
+  SELECT scope,
+         {float(_HLL_M)} - count(*) + sum(power(2.0, -reg)) AS z,
+         {_HLL_M} - count(*) AS v
+  FROM regs GROUP BY scope
+),
+exact AS (
+  SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__merged__', count(DISTINCT user_id) FROM events
+)
+SELECT e.scope,
+       {round6_sql(f"CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M!r} / z <= {2.5 * _HLL_M} AND v > 0 THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v) ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r} / z END")} AS hll_est,
+       x.exact_users
+FROM est e JOIN exact x ON e.scope = x.scope
+"""
+
+
+# --------------------------------------------------------------------------
+# q281 — count-min sketch heavy hitters (frequency sketch)
+# --------------------------------------------------------------------------
+_CMS_D = 3  # hash rows
+_CMS_W = 1024  # cells per row
+_CMS_TOPK = 10
+
+
+def q281_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency
+    member of the sketch family: token counts folded into a d=3 × w=1024
+    integer grid (12 KB state however large the vocabulary), point
+    estimate = min over the d salted cells, overestimate-only by
+    construction (collisions can only ADD). The query audits the sketch
+    against truth: the exact top-10 tokens with exact vs CMS counts and
+    the collision overcount — the number that sizes w for a corpus.
+    Cells merge by addition, so per-shard sketches roll up losslessly
+    (q92's merge discipline for frequencies).
+
+    Plan shape: one tokenize-explode, ONE (salt, cell) aggregate for all
+    d rows (the salts ride an explode of a 3-element array — one
+    shuffle, not d), an exact count aggregate for truth, a broadcast
+    join of the 10 audited tokens against the 3072-cell sketch.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    cells = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("salt"),
+                        (
+                            hash32(F.concat(F.lit(f"{i}:"), F.col("tok")))
+                            % _CMS_W
+                        ).alias("cell"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("sc"),
+    ).select("tok", F.col("sc.salt").alias("salt"), F.col("sc.cell").alias("cell"))
+    sketch = cells.groupBy("salt", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(_CMS_TOPK)
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("salt"),
+                        (
+                            hash32(F.concat(F.lit(f"{i}:"), F.col("tok")))
+                            % _CMS_W
+                        ).alias("cell"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("sc"),
+    ).select(
+        "tok", "exact_cnt", F.col("sc.salt").alias("salt"), F.col("sc.cell").alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), on=["salt", "cell"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_cnt",
+            (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+def _cms_cell_sql(salt: int, tok_expr: str) -> str:
+    inner = f"'{salt}:' || {tok_expr}"
+    return f"({hash32_sql_duckdb(inner)} % {_CMS_W})"
+
+
+Q281_ORACLE = rf"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {i} AS salt, {_cms_cell_sql(i, 'tok')} AS cell FROM toks" for i in range(_CMS_D))}
+),
+sketch AS MATERIALIZED (
+  SELECT salt, cell, count(*) AS cnt FROM cells GROUP BY salt, cell
+),
+exact AS MATERIALIZED (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOPK}
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT tok, exact_cnt, {i} AS salt, {_cms_cell_sql(i, 'tok')} AS cell FROM top" for i in range(_CMS_D))}
+)
+SELECT p.tok, p.exact_cnt,
+       CAST(min(s.cnt) AS BIGINT) AS cms_cnt,
+       CAST(min(s.cnt) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON s.salt = p.salt AND s.cell = p.cell
+GROUP BY p.tok, p.exact_cnt
+"""
+
+
+# --------------------------------------------------------------------------
+# q282 — leave-one-out kNN label agreement (embedding-quality gate)
+# --------------------------------------------------------------------------
+_KNN_K = 3
+
+
+def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: leave-one-out 3-NN majority-label
+    accuracy per class — does the embedding space actually cluster its
+    labels? The metric an embedding pipeline checks BEFORE building the
+    serving index (the recall gates q211/q232 measure index fidelity
+    against exact search; this measures whether exact search itself is
+    any good for the labels). Every vector is classified by the
+    majority label of its 3 exact cosine neighbors (tie → smallest
+    label), excluding itself; output is per-label support and accuracy.
+
+    Plan shape: q38's verified brute-force kernel with the full corpus
+    as the query set, a label join, one vote aggregate, one per-query
+    argmax window over ≤ k rows, one per-label rollup. At 100 TB the
+    exact all-pairs stage swaps for the tuned ANN serving (q216) —
+    the gate's algebra is identical from the neighbor list down.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    nn = brute_force_topk(emb, emb, k=_KNN_K)
+    votes = (
+        nn.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nl"),
+            ),
+            on="neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("v").desc(), F.col("nl"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nl").alias("pred"))
+    )
+    own = emb.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        own.join(pred, on="query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("pred") == F.col("label"), 1)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            round6(F.col("n_correct") / F.col("n")).alias("acc"),
+        )
+    )
+
+
+def _q282_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _cos
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nn AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id) AS r
+    FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  ) WHERE r <= {_KNN_K}
+),
+votes AS (
+  SELECT n.query_id, c.label AS nl, count(*) AS v
+  FROM nn n JOIN vecs c ON c.vec_id = n.neighbor_id
+  GROUP BY n.query_id, c.label
+),
+pred AS (
+  SELECT query_id, nl AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY v DESC, nl) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT q.label,
+       count(*) AS n,
+       count(*) FILTER (WHERE p.pred = q.label) AS n_correct,
+       {round6_sql("count(*) FILTER (WHERE p.pred = q.label) * 1.0 / count(*)")} AS acc
+FROM vecs q JOIN pred p ON p.query_id = q.vec_id
+GROUP BY q.label
+"""
+
+
+# --------------------------------------------------------------------------
+# q283 — streaming bloom membership state (shingle pre-screen)
+# --------------------------------------------------------------------------
+_SBLOOM_M = 1 << 18  # 256 Kbit = 32 KB of state (4096 longs)
+_SBLOOM_WORDS = _SBLOOM_M // 64
+_SBLOOM_K = 2
+
+
+def _sbloom_pos(salt: int, key) -> F.Column:
+    return (
+        hash32(F.concat(F.lit(f"{salt}:"), key.cast("string"))) % _SBLOOM_M
+    )
+
+
+def q283_streaming_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom membership state — the approximate, constant-size
+    form of the cross-batch dedup/decontamination screens (q82 keeps
+    exact keyed state, q236 broadcasts the exact shingle dictionary;
+    both grow with history): history document shards stream in and each
+    micro-batch folds its shingle hashes into a 32 KB bit array,
+    appended as a batchId-gated word-bitmap generation. The drained
+    state is the per-word ``bit_or`` across generations — OR is
+    commutative, associative AND idempotent, so the merged bitmap is
+    provably independent of batch boundaries, arrival order, and
+    at-least-once re-execution (the strongest order-independence in the
+    streaming family: no displacement theorem needed, the operator is a
+    semilattice join). The serve side probes each NEW document's
+    shingles against the bitmap: ``maybe ≥ exact`` per doc (a bloom
+    cannot false-negative), and the gap is the measured FP cost of
+    replacing a history-sized dictionary broadcast with 32 KB.
+
+    At 100 TB this is the pre-screen in front of q33/q104: the bloom
+    drops the vast majority of never-seen shingles scan-side for 32 KB
+    of broadcast state; only maybes pay the exact index probe. Size m
+    to the history shingle count (docstring constant here is sized for
+    the gate corpora; the m-vs-load math is the standard 1.44·n·log₂(1/ε)).
+
+    Output: one row per new-shard document — (doc_id, n_sh, n_maybe,
+    n_exact). Oracle: pure batch replay (history shingle positions as a
+    set, membership tests, exact semi-join) — equivalence to the drained
+    stream IS the OR-semilattice argument.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.dedup import (
+        word_shingles,
+    )
+    from wetsa_cams_solrad_timeseries_spark.plans.curation import (
+        _split_documents,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_transform,
+    )
+
+    is_new = F.col("doc_id") % 10 == 7
+
+    def batch_bitmap(bdf: DataFrame) -> DataFrame:
+        sh = word_shingles(bdf.filter(~is_new), "doc_id", "text", n=2)
+        pos = sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        _sbloom_pos(i, F.col("shingle_hash"))
+                        for i in range(_SBLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        ).distinct()
+        return pos.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+            F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits")
+        )
+
+    split_dir = _split_documents(spark, sf_dir, n_files=3)
+    gens = streaming_transform(spark, split_dir, batch_bitmap)
+    bitmap = (
+        gens.groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("wm")
+        )
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    hist_sh = word_shingles(docs.filter(~is_new), "doc_id", "text", n=2).select(
+        F.col("shingle_hash").alias("hh")
+    ).distinct()
+    new_sh = word_shingles(docs.filter(is_new), "doc_id", "text", n=2)
+    probed = new_sh.crossJoin(F.broadcast(bitmap))
+    for i in range(_SBLOOM_K):
+        probed = probed.withColumn(
+            f"p{i}", _sbloom_pos(i, F.col("shingle_hash"))
+        )
+    bit_test = " AND ".join(
+        f"(coalesce(element_at(wm, CAST(p{i} div 64 AS INT)), 0L)"
+        f" & shiftleft(1L, CAST(p{i} % 64 AS INT))) != 0"
+        for i in range(_SBLOOM_K)
+    )
+    flagged = probed.withColumn("maybe", F.expr(bit_test)).join(
+        maybe_broadcast(hist_sh),
+        F.col("shingle_hash") == F.col("hh"),
+        "left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.count(F.when(F.col("maybe"), 1)).alias("n_maybe"),
+        F.count(F.when(F.col("hh").isNotNull(), 1)).alias("n_exact"),
+    )
+
+
+def _sbloom_pos_sql(salt: int, key_expr: str) -> str:
+    inner = f"'{salt}:' || CAST({key_expr} AS VARCHAR)"
+    return f"({hash32_sql_duckdb(inner)} % {_SBLOOM_M})"
+
+
+def _q283_oracle() -> str:
+    from wetsa_cams_solrad_timeseries_spark.plans.llm_ops import (
+        _SHINGLES_SQL,
+    )
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT {_sbloom_pos_sql(i, 'h')} AS p FROM hist_sh"
+        for i in range(_SBLOOM_K)
+    )
+    maybe_test = " AND ".join(
+        f"{_sbloom_pos_sql(i, 'h')} IN (SELECT p FROM pos)"
+        for i in range(_SBLOOM_K)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+hist_sh AS MATERIALIZED (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 10 <> 7
+),
+pos AS MATERIALIZED (
+  SELECT DISTINCT p FROM ({pos_union})
+),
+new_sh AS (
+  SELECT doc_id, h FROM sh WHERE doc_id % 10 = 7
+)
+SELECT doc_id,
+       count(*) AS n_sh,
+       count(*) FILTER (WHERE {maybe_test}) AS n_maybe,
+       count(*) FILTER (WHERE h IN (SELECT h FROM hist_sh)) AS n_exact
+FROM new_sh
+GROUP BY doc_id
+"""
+
+
 SPECS = make_specs(
     [
         (
@@ -608,6 +1099,34 @@ SPECS = make_specs(
             Q279_ORACLE,
             (),
             "DSIR hashed-unigram importance selection",
+        ),
+        (
+            "q280_hll_cardinality",
+            q280_hll_cardinality,
+            Q280_ORACLE,
+            (),
+            "HyperLogLog register sketch, mergeable by MAX",
+        ),
+        (
+            "q281_cms_heavy_hitters",
+            q281_cms_heavy_hitters,
+            Q281_ORACLE,
+            (),
+            "count-min frequency sketch, overestimate audit",
+        ),
+        (
+            "q282_knn_label_gate",
+            q282_knn_label_gate,
+            _q282_oracle(),
+            (),
+            "leave-one-out kNN label-agreement gate",
+        ),
+        (
+            "q283_streaming_bloom_screen",
+            q283_streaming_bloom_screen,
+            _q283_oracle(),
+            (),
+            "streaming bloom membership state (OR-semilattice)",
         ),
     ]
 )
