@@ -367,3 +367,50 @@ def test_streaming_bloom_no_false_negatives_python_parity(spark, sf_dir):
         # replay exactly; a bloom can never false-negative.
         assert r["n_sh"] == len(shs)
         assert r["n_maybe"] == n_maybe >= n_exact == r["n_exact"]
+
+
+def test_streaming_hll_equals_batch_registers(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.scale_ops import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_TAIL,
+        q284_streaming_hll,
+    )
+
+    row = q284_streaming_hll(spark, sf_dir).collect()[0]
+    ev = _duck(sf_dir, "events")
+    regs: dict[int, int] = {}
+    for u in ev["user_id"]:
+        h = hash32_py(str(int(u)))
+        idx, w = h >> _HLL_TAIL, h & ((1 << _HLL_TAIL) - 1)
+        rk = _HLL_TAIL + 1 if w == 0 else _HLL_TAIL - w.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rk)
+    z = (_HLL_M - len(regs)) + sum(2.0 ** -rk for rk in regs.values())
+    v = _HLL_M - len(regs)
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / z
+    est = _HLL_M * math.log(_HLL_M / v) if (raw <= 2.5 * _HLL_M and v > 0) else raw
+    # MAX-semilattice: the drained stream state equals the batch build,
+    # so the estimate replays exactly.
+    assert abs(row["hll_est"] - est) < 2e-6
+    assert row["exact_users"] == ev["user_id"].nunique()
+
+
+def test_serving_ir_metrics_consistency(spark, sf_dir):
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _Q285_IDCG,
+        _Q285_K,
+        q285_serving_ir_metrics,
+    )
+
+    rows = q285_serving_ir_metrics(spark, sf_dir).collect()
+    assert len(rows) == 50  # one row per query
+    for r in rows:
+        assert 0 <= r["first_hit"] <= _Q285_K
+        if r["first_hit"] == 0:
+            assert r["rr"] == 0.0 and r["dcg"] == 0.0 and r["ndcg"] == 0.0
+        else:
+            assert abs(r["rr"] - round(1.0 / r["first_hit"] + 1e-9, 6)) < 1e-9
+            # binary relevance: dcg is bounded by the ideal
+            assert 0 < r["dcg"] <= _Q285_IDCG + 1e-6
+            assert abs(r["ndcg"] - round(r["dcg"] / _Q285_IDCG + 1e-9, 6)) < 2e-6
+            assert r["ndcg"] <= 1.0 + 1e-9

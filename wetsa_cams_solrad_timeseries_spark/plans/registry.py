@@ -77,6 +77,8 @@ _PIN_FIRST = (
     "q281_cms_heavy_hitters",
     "q282_knn_label_gate",
     "q283_streaming_bloom_screen",
+    "q284_streaming_hll",
+    "q285_serving_ir_metrics",
     # ...then the shingle-family representatives: word_shingles now
     # tokenizes BEFORE the spread shuffle (ICU-interpreted-path fix) —
     # behavior-identical (18-query sf0.01 oracle sweep in-session), one

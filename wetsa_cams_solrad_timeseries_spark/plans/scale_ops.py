@@ -1070,6 +1070,90 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# q284 — streaming HLL registers (MAX-semilattice cardinality state)
+# --------------------------------------------------------------------------
+def q284_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q280's HyperLogLog registers as STREAMING state — the cardinality
+    member of the semilattice-state family (q283's bloom is the
+    membership member): each micro-batch of events reduces to its own
+    ≤512-row (idx, reg) register frame, appended as a batchId-gated
+    generation; the drained state is the per-index MAX across
+    generations. MAX is commutative, associative and idempotent, so the
+    merged registers — hence the estimate — are provably independent of
+    batch boundaries, arrival order, and at-least-once re-execution, by
+    the same semilattice argument as q283 (no displacement theorem
+    needed). This is how a 1000-executor ingest keeps a live
+    distinct-users counter: 512 bytes per shard per window, merged at
+    read time, never a distinct() over history.
+
+    Output (1 row): hll_est (round6) + exact_users — the oracle is
+    q280's batch register build restricted to the merged scope, with no
+    streaming anywhere in the SQL; equivalence IS the MAX-semilattice
+    algebra.
+    """
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _split_events,
+    )
+    from wetsa_cams_solrad_timeseries_spark.streaming.filter_stream import (
+        streaming_transform,
+    )
+
+    def batch_registers(bdf: DataFrame) -> DataFrame:
+        h = hash32(F.col("user_id").cast("string"))
+        return (
+            bdf.select(
+                (h / (1 << _HLL_TAIL)).cast("int").alias("idx"),
+                (h % (1 << _HLL_TAIL)).alias("w"),
+            )
+            .withColumn("rank", F.expr(_hll_rank_sql("w")))
+            .groupBy("idx")
+            .agg(F.max("rank").alias("reg"))
+        )
+
+    split_dir = _split_events(spark, sf_dir, n_files=3)
+    gens = streaming_transform(spark, split_dir, batch_registers)
+    regs = gens.groupBy("idx").agg(F.max("reg").alias("reg"))
+
+    est = regs.agg(
+        (
+            F.lit(float(_HLL_M))
+            - F.count(F.lit(1))
+            + F.sum(F.pow(F.lit(2.0), -F.col("reg")))
+        ).alias("z"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / F.col("z")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    exact = table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        round6(corrected).alias("hll_est"), "exact_users"
+    )
+
+
+Q284_ORACLE = f"""
+WITH regs AS (
+  SELECT h // {1 << _HLL_TAIL} AS idx,
+         max({_hll_rank_sql(f"(h % {1 << _HLL_TAIL})")}) AS reg
+  FROM (SELECT {hash32_sql_duckdb("CAST(user_id AS VARCHAR)")} AS h FROM events)
+  GROUP BY 1
+),
+est AS (
+  SELECT {float(_HLL_M)} - count(*) + sum(power(2.0, -reg)) AS z,
+         {_HLL_M} - count(*) AS v
+  FROM regs
+)
+SELECT {round6_sql(f"CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M!r} / z <= {2.5 * _HLL_M} AND v > 0 THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v) ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r} / z END")} AS hll_est,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+FROM est
+"""
+
+
 SPECS = make_specs(
     [
         (
@@ -1127,6 +1211,13 @@ SPECS = make_specs(
             _q283_oracle(),
             (),
             "streaming bloom membership state (OR-semilattice)",
+        ),
+        (
+            "q284_streaming_hll",
+            q284_streaming_hll,
+            Q284_ORACLE,
+            (),
+            "streaming HLL registers (MAX-semilattice state)",
         ),
     ]
 )

@@ -3,6 +3,7 @@ remaining north-star extension surface)."""
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -9573,6 +9574,153 @@ def q278_oracle_for(sf_dir: str) -> str | None:
 Q278_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
 
 
+# --------------------------------------------------------------------------
+# q285 — IR serving metrics: MRR@k and NDCG@k of the IVF index
+# --------------------------------------------------------------------------
+_Q285_K = 10
+# IDCG@k for binary relevance with k relevant items — a CONSTANT, so it
+# is computed once here and inlined identically into both engines.
+_Q285_IDCG = sum(math.log(2.0) / math.log(p + 1.0) for p in range(1, _Q285_K + 1))
+
+
+def q285_serving_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 and NDCG@10 of the IVF serving list against the exact
+    cosine truth — the IR-standard POSITION-AWARE metrics beside the
+    recall gates (q211 counts set overlap; a serving stack also cares
+    WHERE the true neighbors land in the returned ranking, because
+    downstream consumers read top-to-bottom). Relevance is binary
+    membership in the exact top-10; per query the output carries the
+    first-relevant position (0 = none), the reciprocal rank, the DCG
+    and the NDCG against the constant binary-relevance IDCG@10.
+
+    Composition discipline: both ranked lists are the verified q56/q38
+    kernels; the metric layer is one left join + one per-query
+    aggregate over ≤ k rows. Cross-engine float lockstep: each DCG term
+    rounds to 6 decimals BEFORE the per-query sum (q202's per-pair
+    discipline — the exact term sum is then a 1e-6-grid decimal, and
+    round6's nudge clears the grid-boundary tie), ln on both engines.
+
+    Scale shape: metric cost is k·|Q| rows regardless of corpus size;
+    the ranked inputs reuse their own documented scale paths.
+    """
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    served = ann_topk_ivf(
+        emb, query_ids_pred=lambda c: c < 50, k=_Q285_K, n_cells=16,
+        n_probe=4,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("pos"))
+    truth = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q285_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+
+    scored = served.join(
+        truth, on=["query_id", "neighbor_id"], how="left"
+    ).select(
+        "query_id",
+        "pos",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+    )
+    term = F.round(
+        F.col("rel")
+        * (F.lit(math.log(2.0)) / F.log(F.col("pos") + F.lit(1.0)))
+        + F.lit(1e-9),
+        6,
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("pos"))).alias("fh"),
+        F.sum(term).alias("dcg_raw"),
+    )
+    all_q = truth.select("query_id").distinct()
+    return (
+        all_q.join(per_q, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("fh", F.lit(0)).cast("long").alias("first_hit"),
+            F.round(
+                F.when(
+                    F.col("fh").isNotNull(), F.lit(1.0) / F.col("fh")
+                ).otherwise(F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("rr"),
+            F.round(F.coalesce("dcg_raw", F.lit(0.0)) + F.lit(1e-9), 6).alias(
+                "dcg"
+            ),
+            F.round(
+                F.coalesce("dcg_raw", F.lit(0.0)) / F.lit(_Q285_IDCG)
+                + F.lit(1e-9),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+_Q285_ORACLE_TEMPLATE = f"""
+WITH {{Q56_CTES}},
+served AS (
+  SELECT query_id, neighbor_id, r AS pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {_Q285_K}
+),
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos('q.v', 'c.v')} AS cosine
+  FROM vecs q JOIN vecs c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM bscored
+  ) WHERE r <= {_Q285_K}
+),
+rels AS (
+  SELECT s.query_id, s.pos,
+         CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM served s
+  LEFT JOIN truth t ON t.query_id = s.query_id
+                   AND t.neighbor_id = s.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         min(CASE WHEN rel = 1 THEN pos END) AS fh,
+         sum(round(rel * ({math.log(2.0)!r} / ln(pos + 1.0)) + 1e-9, 6))
+           AS dcg_raw
+  FROM rels GROUP BY query_id
+)
+SELECT a.query_id,
+       CAST(coalesce(p.fh, 0) AS BIGINT) AS first_hit,
+       round(CASE WHEN p.fh IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / p.fh ELSE 0.0 END + 1e-9, 6) AS rr,
+       round(coalesce(p.dcg_raw, 0.0) + 1e-9, 6) AS dcg,
+       round(coalesce(p.dcg_raw, 0.0) / {_Q285_IDCG!r} + 1e-9, 6) AS ndcg
+FROM (SELECT DISTINCT query_id FROM truth) a
+LEFT JOIN per_q p ON p.query_id = a.query_id
+"""
+
+
+def q285_oracle_for(sf_dir: str) -> str | None:
+    """sf-aware q285 oracle: q56's trained-centroid CTE chain feeds the
+    served ranking; truth needs no literals."""
+    values = _ivf_centroid_values(
+        os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    )
+    if values is None:
+        return None
+    return _Q285_ORACLE_TEMPLATE.format(
+        Q56_CTES=_Q56_CTES.replace("__IVF_VALUES__", values)
+    )
+
+
+Q285_ORACLE = None  # LAZY — oracle_fn resolved at call time (q56 pattern)
+
+
 from wetsa_cams_solrad_timeseries_spark.plans._spec import make_specs
 
 SPECS = make_specs(
@@ -9715,6 +9863,10 @@ SPECS = make_specs(
          Q278_ORACLE, (),
          "streaming capped descent: stream-built graph + one bounded "
          "refine round == batch-then-refine (oracle replays the batch)"),
+        ("q285_serving_ir_metrics", q285_serving_ir_metrics,
+         Q285_ORACLE, (),
+         "MRR@10/NDCG@10 of IVF serving vs exact truth — the position-"
+         "aware IR metrics beside the recall gates"),
         ("q239_nn_descent_rounds", q239_nn_descent_rounds, Q239_ORACLE, (),
          "NN-descent round ladder: per-round edge recall vs exact "
          "truth, monotone by construction"),
@@ -9835,6 +9987,9 @@ SPECS["q274_capped_descent_sla"] = _dc.replace(
 )
 SPECS["q278_streaming_capped_descent"] = _dc.replace(
     SPECS["q278_streaming_capped_descent"], oracle_fn=q278_oracle_for
+)
+SPECS["q285_serving_ir_metrics"] = _dc.replace(
+    SPECS["q285_serving_ir_metrics"], oracle_fn=q285_oracle_for
 )
 SPECS["q239_nn_descent_rounds"] = _dc.replace(
     SPECS["q239_nn_descent_rounds"], oracle_fn=q239_oracle_for
