@@ -49,25 +49,28 @@ def brute_force_topk(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-cross-join queries × corpus, rank by
     (rounded cosine desc, id) per query. The corpus side streams — no
     shuffle of the big table; the only wide op is the per-query top-k
-    window over |corpus| rows, which Spark executes as partial top-k."""
+    window over |corpus| rows, which Spark executes as partial top-k.
+    ``dim`` (the corpus embedding width) selects the unrolled codegen
+    dot/norm spelling — pass ``None`` for variable-length arrays."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     qv = to_double_array(F.col(emb_col))
     q = queries_df.select(
         F.col(id_col).alias(query_id_col),
         qv.alias("__qv"),
-        l2_norm(qv).alias("__qn"),
+        l2_norm(qv, dim).alias("__qn"),
     )
     c = emb_df.select(
         F.col(id_col).alias("neighbor_id"),
         qv.alias("__cv"),
-        l2_norm(qv).alias("__cn"),
+        l2_norm(qv, dim).alias("__cn"),
     )
-    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
+    cos = dot_product(F.col("__qv"), F.col("__cv"), dim) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
     scored = (
@@ -99,10 +102,11 @@ def hyperplane_buckets(
     v = to_double_array(F.col(emb_col))
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in coefs[p]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
+        # Unrolled ((0.0 + t0) + t1)… plane dot — identical left-fold
+        # value, codegen path instead of the interpreted HOF lambda.
+        dot = F.lit(0.0)
+        for i in range(dim):
+            dot = dot + v[i] * F.lit(coefs[p][i])
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     per_band = n_planes // bands
     band_keys = [
@@ -138,7 +142,7 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k, dim)
 
 
 def _exact_cosine_rank(
@@ -148,6 +152,7 @@ def _exact_cosine_rank(
     id_col: str,
     emb_col: str,
     k: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact-cosine scoring + per-query top-k over a candidate-pair frame
     — the verify tail shared by the SRP-LSH probers (single-probe
@@ -156,8 +161,8 @@ def _exact_cosine_rank(
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))
-    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
-    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
+    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n"))
+    cos = dot_product(F.col("__qv"), F.col("__cv"), dim) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
     scored = (
@@ -221,10 +226,10 @@ def multiprobe_query_buckets(
     # sign test (round-10 ADVICE).
     sel = [F.col(id_col)]
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in coefs[p]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
+        # Same unrolled left-fold plane dot as ``hyperplane_buckets``.
+        dot = F.lit(0.0)
+        for i in range(dim):
+            dot = dot + v[i] * F.lit(coefs[p][i])
         sel.append(
             F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"__b{p}")
         )
@@ -274,7 +279,7 @@ def ann_topk_lsh_multiprobe(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k, dim)
 
 
 def brute_force_topk_l2(
@@ -284,6 +289,7 @@ def brute_force_topk_l2(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact squared-L2 top-k — :func:`brute_force_topk`'s metric twin
     for the PQ family, whose ADC approximates SQUARED L2 (not cosine):
@@ -291,7 +297,8 @@ def brute_force_topk_l2(
     same metric the index approximates. Same plan shape: queries
     broadcast, corpus streamed, per-query partial top-k; distances
     round6 before ranking with the (dist asc, neighbor_id) tie-break
-    the ADC rankers use."""
+    the ADC rankers use. ``dim`` selects the unrolled codegen distance
+    (see :func:`l2sq_cols`)."""
     qv = to_double_array(F.col(emb_col))
     q = queries_df.select(
         F.col(id_col).alias(query_id_col), qv.alias("__qv")
@@ -299,18 +306,13 @@ def brute_force_topk_l2(
     c = emb_df.select(
         F.col(id_col).alias("neighbor_id"), qv.alias("__cv")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("__cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(d2 + F.lit(1e-9), 6).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__cv"), dim).alias("dist"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -582,6 +584,7 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold with id_a < id_b (embedding near-dup
     detection). Quadratic verification stage — at 100 TB feed it LSH
@@ -595,11 +598,11 @@ def neardup_pairs(
 
     vd = to_double_array(F.col(emb_col))
     v = emb_df.select(
-        F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n")
+        F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n")
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
+    cos = dot_product(F.col("__va"), F.col("__vb"), dim) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
@@ -637,8 +640,8 @@ def neardup_pairs_lsh(
         .distinct()
     )
     vd = to_double_array(F.col(emb_col))
-    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
-    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
+    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n"))
+    cos = dot_product(F.col("__va"), F.col("__vb"), dim) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
@@ -1268,15 +1271,28 @@ def pick_rerank_depth(adc_ranks, n_pairs: int, target: float, k: int) -> int:
     return r
 
 
-def l2sq_cols(a, b):
+def l2sq_cols(a, b, dim: int | None = None):
     """Round6'd squared-L2 between two array<double> Columns — the JVM
     fold spelling every L2-family kernel and oracle replays (the fold
-    vs BLAS ULP gap is absorbed by the +1e-9 nudge, the q56 argument)."""
-    d2 = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    vs BLAS ULP gap is absorbed by the +1e-9 nudge, the q56 argument).
+
+    ``dim`` set = the fold unrolled to the identical left-association
+    over ``a[i]``/``b[i]`` — same IEEE value, but codegen-compiled
+    instead of the interpreted HOF-lambda path (guide §4: measured
+    4× on the NN-descent candidate-scoring stage at sf0.1, which is
+    nearly pure distance evaluation). Requires both arrays exactly
+    ``dim`` long (embeddings are; projected vectors pass their own
+    width)."""
+    if dim is None:
+        d2 = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        d2 = F.lit(0.0)
+        for i in range(dim):
+            d2 = d2 + (a[i] - b[i]) * (a[i] - b[i])
     return F.round(d2 + F.lit(1e-9), 6)
 
 

@@ -563,6 +563,7 @@ def q256_graph_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2sq_cols,
     )
     from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _DIM,
         _Q197_QBOUND,
         _Q232_BEAM,
         _Q232_HOPS,
@@ -703,7 +704,7 @@ def q256_graph_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             "node",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1558,6 +1559,7 @@ def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2sq_cols,
     )
     from wetsa_cams_solrad_timeseries_spark.plans.vector import (
+        _DIM,
         _Q197_QBOUND,
         _Q232_BEAM,
         _Q232_BRIDGE,
@@ -1634,7 +1636,7 @@ def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             "node",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
 
     w = Window.partitionBy("query_id").orderBy(

@@ -222,10 +222,11 @@ def q276_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         brute_force_topk,
     )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _DIM
 
     emb = table(spark, sf_dir, "embeddings")
     cand = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=_MMR_CAND
+        emb, emb.filter(F.col("vec_id") < 8), k=_MMR_CAND, dim=_DIM
     ).localCheckpoint(eager=True)
 
     vecs = emb.select(
@@ -855,10 +856,11 @@ def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         brute_force_topk,
     )
+    from wetsa_cams_solrad_timeseries_spark.plans.vector import _DIM
 
     emb = table(spark, sf_dir, "embeddings")
     sample = F.col("vec_id") % _KNN_SAMPLE_MOD == 0
-    nn = brute_force_topk(emb, emb.filter(sample), k=_KNN_K)
+    nn = brute_force_topk(emb, emb.filter(sample), k=_KNN_K, dim=_DIM)
     votes = (
         nn.join(
             emb.select(

@@ -72,7 +72,7 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import brute_force_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=_DIM)
 
 
 Q38_ORACLE = f"""
@@ -1586,7 +1586,7 @@ def q215_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     ivfpq = q205_ivfpq_topk(spark, sf_dir).select("query_id", "neighbor_id")
     exact = brute_force_topk_l2(
-        emb, emb.filter(F.col("vec_id") < _Q205_NQ), k=_Q205_K
+        emb, emb.filter(F.col("vec_id") < _Q205_NQ), k=_Q205_K, dim=_DIM
     ).select("query_id", "neighbor_id")
     hits = (
         exact.join(ivfpq, on=["query_id", "neighbor_id"])
@@ -1733,7 +1733,7 @@ def q216_ann_serving_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the serving/recall stage) — checkpoint so neither corpus pass
     # runs twice (the q208 shared-subtree discipline).
     exact = (
-        brute_force_topk_l2(emb, q_src, k=_Q216_K)
+        brute_force_topk_l2(emb, q_src, k=_Q216_K, dim=_DIM)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
@@ -3469,7 +3469,7 @@ def _hybrid_fuse(bm: DataFrame, emb: DataFrame) -> DataFrame:
         .alias("bm25_rank"),
     )
     vec_ranked = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q194_CAND
+        emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q194_CAND, dim=_DIM
     ).select(F.col("neighbor_id").alias("doc_id"),
              F.col("rank").alias("vec_rank"))
 
@@ -3745,7 +3745,7 @@ def _hybrid_sla(
     )
     vec_full = (
         brute_force_topk(
-            emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q228_DMAX
+            emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q228_DMAX, dim=_DIM
         )
         .select(
             F.col("neighbor_id").alias("doc_id"),
@@ -4261,14 +4261,14 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
             .select(
                 "query_id",
                 "node",
-                l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+                l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
             )
         )
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node"))
     entry0 = entry.distinct().localCheckpoint(eager=True)
     exact = (
-        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q232_K)
+        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q232_K, dim=_DIM)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)  # reused by every measured beam
     )
@@ -4744,7 +4744,7 @@ def q237_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="dst",
         )
         .select(
-            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv"), _DIM).alias("d")
         )
     )
     from pyspark.sql import Window
@@ -4759,7 +4759,7 @@ def q237_nn_descent_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Audit on the hash sample: exact truth, base vs refined recall.
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)  # three consumers below
     )
@@ -5058,7 +5058,7 @@ def q238_incremental_graph_ann(
         return va.join(F.broadcast(j), on=F.col("vec_id") == F.col("node")).select(
             "query_id",
             "node",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node"))
@@ -5257,7 +5257,7 @@ def _nn_descent_round(emb: DataFrame, graph: DataFrame, m: int) -> DataFrame:
             on="dst",
         )
         .select(
-            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv"), _DIM).alias("d")
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
@@ -5335,7 +5335,7 @@ def q239_nn_descent_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)  # one consumer per round + the count
     )
@@ -5773,7 +5773,7 @@ def q242_pca_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_cols(F.col("__qp"), F.col("p")).alias("rd"),
+            l2sq_cols(F.col("__qp"), F.col("p"), _Q242_RDIMS).alias("rd"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(
@@ -5798,7 +5798,7 @@ def q242_pca_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
     )
     wd = Window.partitionBy("query_id").orderBy(
@@ -5810,7 +5810,7 @@ def q242_pca_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    exact = brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K).select(
+    exact = brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K, dim=_DIM).select(
         "query_id", "neighbor_id"
     ).localCheckpoint(eager=True)  # hit join + query-universe join
     hits = (
@@ -5992,7 +5992,7 @@ def q243_pca_screen_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_cols(F.col("__qp"), F.col("p")).alias("rd"),
+            l2sq_cols(F.col("__qp"), F.col("p"), _Q242_RDIMS).alias("rd"),
         )
         .withColumn("rr", F.row_number().over(wr))
         .filter(F.col("rr") <= max(_Q243_LADDER))
@@ -6011,12 +6011,12 @@ def q243_pca_screen_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "rr",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
         .localCheckpoint(eager=True)  # one rank filter per rung
     )
     exact = (
-        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K)
+        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q242_K, dim=_DIM)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)  # consumed by every rung
     )
@@ -6241,7 +6241,7 @@ def q247_filtered_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     exact = (
         brute_force_topk(
-            emb.filter(flt), emb.filter(F.col("vec_id") < _Q247_NQ), k=_Q247_K
+            emb.filter(flt), emb.filter(F.col("vec_id") < _Q247_NQ), k=_Q247_K, dim=_DIM
         )
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)  # hit join + query-universe join
@@ -7174,7 +7174,7 @@ def q211_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
     ).select("query_id", "neighbor_id")
     brute = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=_Q211_K
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q211_K, dim=_DIM
     ).select("query_id", "neighbor_id")
     hits = (
         brute.join(ivf, on=["query_id", "neighbor_id"])
@@ -7518,7 +7518,7 @@ def q212_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_Q195_M, ksub=_Q195_KSUB, dim=_DIM,
     ).select("query_id", "neighbor_id")
     exact = brute_force_topk_l2(
-        emb, emb.filter(F.col("vec_id") < _Q195_NQ), k=_Q195_K
+        emb, emb.filter(F.col("vec_id") < _Q195_NQ), k=_Q195_K, dim=_DIM
     ).select("query_id", "neighbor_id")
     hits = (
         exact.join(adc, on=["query_id", "neighbor_id"])
@@ -7701,7 +7701,7 @@ def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             "node",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -8166,7 +8166,7 @@ def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "query_id",
             "node",
-            l2sq_cols(F.col("__qv"), F.col("__v")).alias("dist"),
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
         )
 
     w = Window.partitionBy("query_id").orderBy(
@@ -8489,7 +8489,7 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = emb.select("vec_id", v.alias("__v")).localCheckpoint(eager=True)
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)  # one hits-join per variant + count
     )
@@ -8511,7 +8511,7 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 on="dst",
             )
             .select(
-                "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+                "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv"), _DIM).alias("d")
             )
             .withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= _Q232_M)
@@ -8681,7 +8681,7 @@ def _refine_topm(emb: DataFrame, cand: DataFrame, m: int) -> DataFrame:
             on="dst",
         )
         .select(
-            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv")).alias("d")
+            "src", "dst", l2sq_cols(F.col("__sv"), F.col("__dv"), _DIM).alias("d")
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
@@ -8791,7 +8791,7 @@ def q272_capped_descent_ladder(
 
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -9293,7 +9293,7 @@ def q274_capped_descent_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -9501,7 +9501,7 @@ def q278_streaming_capped_descent(
 
     sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
     strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M)
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
         .select(
             F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
         )
@@ -9614,7 +9614,7 @@ def q285_serving_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
     ).select("query_id", "neighbor_id", F.col("rank").alias("pos"))
     truth = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=_Q285_K
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q285_K, dim=_DIM
     ).select("query_id", "neighbor_id", F.lit(1).alias("rel"))
 
     scored = served.join(
