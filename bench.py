@@ -230,6 +230,21 @@ def main() -> None:
                     )
             per_query[name] = round(best, 3)
             total += best
+        # Crash-safety: persist the partial map after every query,
+        # OUTSIDE the timed region (the write is microseconds). A full
+        # run is 1.5–2 h wall in a slow window; a timeout/OOM near the
+        # end must not erase the whole measurement (it did once in
+        # round 13 — 90 min of evidence lost to a harness timeout).
+        try:
+            with open(
+                os.path.join(_ROOT, "BENCH_PARTIAL.json"), "w"
+            ) as pf:
+                json.dump(
+                    {"sf": sf, "n_done": len(per_query), "queries": per_query},
+                    pf,
+                )
+        except OSError:
+            pass
     _update_history(sf, per_query)
     meta = {
         "metric": "total_query_time",

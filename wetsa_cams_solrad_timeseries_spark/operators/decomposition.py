@@ -120,15 +120,15 @@ def pca_project_cols(v_col, mean, comps):
     replay; the +1e-9 nudge absorbs the residual ULP gap (the l2sq_cols
     argument)."""
     out = []
-    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
     for w in comps:
-        w_arr = F.array(*[F.lit(float(x)) for x in w])
-        centered = F.zip_with(v_col, mean_arr, lambda a, b: a - b)
-        dot = F.aggregate(
-            F.zip_with(centered, w_arr, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # Unrolled codegen fold — identical left-association IEEE value
+        # as the aggregate over zip_with(zip_with(v, mean, a−b), w, a·b)
+        # (guide §4.1; the r13 dim-unroll). Literal mean/weight elements
+        # fold into the expression tree directly, so the two broadcast
+        # literal arrays disappear too.
+        dot = F.lit(0.0)
+        for i, (m, x) in enumerate(zip(mean, w)):
+            dot = dot + (v_col[i] - F.lit(float(m))) * F.lit(float(x))
         out.append(F.round(dot + F.lit(1e-9), 6))
     return out
 

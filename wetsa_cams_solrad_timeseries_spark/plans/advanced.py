@@ -3183,8 +3183,13 @@ def q188_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = cand.join(partner, "neg_id")
 
+    # Native element-wise Cast instead of an interpreted transform
+    # lambda (guide §4.1). The dot itself stays the aggregate fold: the
+    # candidate set is K·n pairs but the r13 unroll measurement showed
+    # the unrolled 64-term tree is TIME-NEUTRAL here (0.98 → 0.97 s)
+    # while tripling the plan text — below the keep bar.
     def to_d(c):
-        return F.transform(c, lambda x: x.cast("double"))
+        return c.cast("array<double>")
 
     def dot(a, b):
         return F.aggregate(

@@ -748,13 +748,14 @@ def q136_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.rank import global_ntile
 
     emb = table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    w = F.array(*[F.lit(float(x)) for x in _Q136_W])
-    score = F.aggregate(
-        F.zip_with(v, w, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled codegen dot against the literal weight vector — identical
+    # left-association IEEE value as the aggregate/zip_with spelling over
+    # the transform-cast array (guide §4.1; the r13 dim-unroll). The cast
+    # is the native element-wise Cast instead of an interpreted lambda.
+    v = F.col("embedding").cast("array<double>")
+    score = F.lit(0.0)
+    for _i, _w in enumerate(_Q136_W):
+        score = score + v[_i] * F.lit(float(_w))
     scored = emb.select(
         "vec_id",
         score.alias("score"),
