@@ -55,22 +55,34 @@ def brute_force_topk(
     (rounded cosine desc, id) per query. The corpus side streams — no
     shuffle of the big table; the only wide op is the per-query top-k
     window over |corpus| rows, which Spark executes as partial top-k.
-    ``dim`` (the corpus embedding width) selects the unrolled codegen
-    dot/norm spelling — pass ``None`` for variable-length arrays."""
+
+    ``dim`` is retained for call-site compatibility but the COSINE
+    kernels always use the fold spelling: the round-13 final-session A-B
+    measured the dim-unroll SLOWER in every cosine shape (q282 10.4 s
+    unrolled vs 5.3 s fold; q38 1.05 vs 0.6; q40 1.15 vs 0.63 at sf0.1).
+    Two mechanisms: (a) the unrolled ``l2_norm`` lives in the same select
+    as the ``cast(embedding)`` alias, so each of its 128 element
+    references re-inlines the full-array cast (258 copies in q282's
+    plan); (b) the per-pair unrolled dot fused into the cross-join stage
+    still lost to the fold (8 s vs 5.3 s measured with norms already
+    fixed). The unroll only pays on the l2 family, where the scorer
+    consumes post-join/checkpointed attribute columns
+    (``brute_force_topk_l2``, ``l2sq_cols`` descent sites — q239 11 s
+    unrolled vs 16-24 s fold)."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     qv = to_double_array(F.col(emb_col))
     q = queries_df.select(
         F.col(id_col).alias(query_id_col),
         qv.alias("__qv"),
-        l2_norm(qv, dim).alias("__qn"),
+        l2_norm(qv).alias("__qn"),
     )
     c = emb_df.select(
         F.col(id_col).alias("neighbor_id"),
         qv.alias("__cv"),
-        l2_norm(qv, dim).alias("__cn"),
+        l2_norm(qv).alias("__cn"),
     )
-    cos = dot_product(F.col("__qv"), F.col("__cv"), dim) / F.nullif(
+    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
     scored = (
@@ -102,11 +114,22 @@ def hyperplane_buckets(
     v = to_double_array(F.col(emb_col))
     bits = []
     for p in range(n_planes):
-        # Unrolled ((0.0 + t0) + t1)… plane dot — identical left-fold
-        # value, codegen path instead of the interpreted HOF lambda.
-        dot = F.lit(0.0)
-        for i in range(dim):
-            dot = dot + v[i] * F.lit(coefs[p][i])
+        # Interpreted fold, NOT the dim-unroll: all 16 plane dots land
+        # inside the explode's array argument, which Catalyst generates
+        # as ONE expression blob in the Generate stage — unrolled that is
+        # 16×64 inlined multiply-adds in a single generated method, which
+        # exceeds janino's 64 KB method limit, so EVERY execution paid a
+        # doomed whole-stage-codegen compile attempt and then ran the
+        # giant tree interpreted anyway (measured: q39 1.3→10 s,
+        # q73 1.5→13 s, q219 2.3→10 s at sf0.1; "Code grows beyond
+        # 64 KB" in the logs). The site is also row-LINEAR (one hash
+        # pass per vector, not per candidate pair), which is exactly
+        # where the round-13 A-B measurement says the fold is the right
+        # spelling.
+        plane = F.array(*[F.lit(c) for c in coefs[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     per_band = n_planes // bands
     band_keys = [
@@ -157,12 +180,15 @@ def _exact_cosine_rank(
     """Exact-cosine scoring + per-query top-k over a candidate-pair frame
     — the verify tail shared by the SRP-LSH probers (single-probe
     ``ann_topk_lsh`` and multiprobe ``ann_topk_lsh_multiprobe``), so the
-    two probers differ ONLY in candidate generation."""
+    two probers differ ONLY in candidate generation. ``dim`` is retained
+    for call-site compatibility; the cosine kernels always fold (see
+    ``brute_force_topk`` — the unroll measured slower in every cosine
+    shape, and this tail is candidate-BOUNDED besides)."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))
-    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n"))
-    cos = dot_product(F.col("__qv"), F.col("__cv"), dim) / F.nullif(
+    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
+    cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
     scored = (
@@ -226,10 +252,18 @@ def multiprobe_query_buckets(
     # sign test (round-10 ADVICE).
     sel = [F.col(id_col)]
     for p in range(n_planes):
-        # Same unrolled left-fold plane dot as ``hyperplane_buckets``.
-        dot = F.lit(0.0)
-        for i in range(dim):
-            dot = dot + v[i] * F.lit(coefs[p][i])
+        # Same interpreted-fold plane dot as ``hyperplane_buckets`` (and
+        # for the same reason: whole-stage codegen fuses this Project
+        # with the key explode + bucket join + candidate distinct into
+        # one stage, and 16 unrolled 64-term dots inlined there push the
+        # fused aggregate method past janino's 64 KB limit — q219's
+        # stage 5 failed to compile and ran interpreted after a doomed
+        # compile attempt per execution. The site is also query-side
+        # BOUNDED, where the round-13 A-B measurement keeps the fold.)
+        plane = F.array(*[F.lit(c) for c in coefs[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
         sel.append(
             F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")).alias(f"__b{p}")
         )
@@ -593,16 +627,19 @@ def neardup_pairs(
 
     Norms are precomputed per ROW (not per pair): one fold per vector +
     one fold per pair, a 3× saving over the naive cosine — same formula
-    ``dot / (‖a‖·‖b‖)`` as the oracle, identical sequential folds."""
+    ``dot / (‖a‖·‖b‖)`` as the oracle, identical sequential folds.
+    ``dim`` is retained for call-site compatibility; the cosine kernels
+    always fold (see ``brute_force_topk`` — the unroll measured slower
+    in every cosine shape, q40 1.15→0.63 s on the revert)."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))
     v = emb_df.select(
-        F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n")
+        F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n")
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    cos = dot_product(F.col("__va"), F.col("__vb"), dim) / F.nullif(
+    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
@@ -639,9 +676,11 @@ def neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Fold spelling throughout the cosine verify (``dim`` kept only for
+    # the SRP key derivation above) — see ``brute_force_topk``.
     vd = to_double_array(F.col(emb_col))
-    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd, dim).alias("__n"))
-    cos = dot_product(F.col("__va"), F.col("__vb"), dim) / F.nullif(
+    vecs = emb_df.select(F.col(id_col), vd.alias("__v"), l2_norm(vd).alias("__n"))
+    cos = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     return (
