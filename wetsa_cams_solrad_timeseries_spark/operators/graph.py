@@ -160,9 +160,16 @@ def pagerank(
     bounds the cost. Scale: identical per-round plan to GraphX/Pregel —
     convergence adds one 1-row collect per round, nothing else."""
     ident = resync if resync is not None else (lambda c: c)
-    b = edges.select(
+    # Checkpoint the DIRECTED edges first, THEN build the symmetric union
+    # from the checkpoint (the connected_components discipline): the
+    # union's two branches and the deg/bd materializations would
+    # otherwise each recompute the caller's whole edge pipeline — for
+    # q192 that is the lineitem co-purchase self-join, the most
+    # expensive stage of the query, evaluated once per consumer.
+    e0 = edges.select(
         F.col(u_col).alias("src"), F.col(v_col).alias("dst")
-    ).unionAll(edges.select(F.col(v_col).alias("src"), F.col(u_col).alias("dst")))
+    ).localCheckpoint(eager=True)
+    b = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = (
         b.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
@@ -172,9 +179,10 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge list — no nodes to rank")
     bd = b.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
-    ).localCheckpoint(eager=True)
+    # No checkpoint on the initial rank state: it is one projection over
+    # the checkpointed deg, so each of iteration 1's two consumers just
+    # re-reads the checkpoint.
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
     n_iters = 0
     for i in range(1, max_iters + 1):
         contrib = (
@@ -182,6 +190,11 @@ def pagerank(
             .groupBy("dst")
             .agg(ident(F.sum(F.col("r") / F.col("outdeg"))).alias("s"))
         )
+        # Lazy checkpoint + delta collect = ONE job per round (the
+        # connected_components trick): the 1-row delta aggregate is the
+        # action that computes every partition, and local checkpointing
+        # happens as a side effect — an eager checkpoint followed by the
+        # delta collect was two jobs per round.
         new_ranks = (
             deg.select(F.col("src").alias("node"))
             .join(contrib, F.col("node") == F.col("dst"), "left")
@@ -192,7 +205,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         delta_row = (
             new_ranks.alias("a")

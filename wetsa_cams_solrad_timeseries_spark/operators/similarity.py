@@ -42,6 +42,27 @@ def hyperplane_coefs(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
     ]
 
 
+def spread_for_scoring(df: DataFrame) -> DataFrame:
+    """Round-robin the corpus side of a pair-scoring broadcast join out
+    to the session's default parallelism when its scan would otherwise
+    run in fewer tasks.
+
+    The embedding corpus is byte-LIGHT (id + fixed-width vector) but the
+    stage consuming it does O(|corpus| x |queries|) distance evaluations
+    — compute skew the byte-based planner cannot see (guide §2.5). A
+    single-row-group parquet file gives the scan ONE split, so without
+    this the whole scoring stage runs on 1-2 cores (profiled: 8.5 s
+    two-task stages in the descent-family truth builders at sf0.1 on 32
+    cores). The exchange moves only the narrow scoring projection; when
+    the input already has >= default-parallelism partitions (any real
+    cluster corpus) this returns the frame untouched — no exchange, so
+    the change is scale-adaptive, not a local[32] constant."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def brute_force_topk(
     emb_df: DataFrame,
     queries_df: DataFrame,
@@ -49,15 +70,23 @@ def brute_force_topk(
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
-    dim: int | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-cross-join queries × corpus, rank by
     (rounded cosine desc, id) per query. The corpus side streams — no
     shuffle of the big table; the only wide op is the per-query top-k
     window over |corpus| rows, which Spark executes as partial top-k.
 
-    ``dim`` is retained for call-site compatibility but the COSINE
-    kernels always use the fold spelling: the round-13 final-session A-B
+    ``spread=True`` round-robins the corpus projection to default
+    parallelism first (see :func:`spread_for_scoring`) — opt in at call
+    sites whose |queries| x |corpus| pair count makes the scoring stage
+    compute-bound (measured: q282's 400-query gate 5.0 -> 1.4 s at
+    sf0.1; small-|Q| callers LOSE ~0.3 s to the extra exchange, so the
+    default stays off).
+
+    The COSINE kernels take no ``dim`` and always use the fold spelling
+    (round-13 ADVICE: the previously-accepted-but-ignored parameter is
+    dropped so the contract is explicit): the round-13 final-session A-B
     measured the dim-unroll SLOWER in every cosine shape (q282 10.4 s
     unrolled vs 5.3 s fold; q38 1.05 vs 0.6; q40 1.15 vs 0.63 at sf0.1).
     Two mechanisms: (a) the unrolled ``l2_norm`` lives in the same select
@@ -82,6 +111,8 @@ def brute_force_topk(
         qv.alias("__cv"),
         l2_norm(qv).alias("__cn"),
     )
+    if spread:
+        c = spread_for_scoring(c)
     cos = dot_product(F.col("__qv"), F.col("__cv")) / F.nullif(
         F.col("__qn") * F.col("__cn"), F.lit(0.0)
     )
@@ -165,7 +196,7 @@ def ann_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k, dim)
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
 
 
 def _exact_cosine_rank(
@@ -175,15 +206,14 @@ def _exact_cosine_rank(
     id_col: str,
     emb_col: str,
     k: int,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact-cosine scoring + per-query top-k over a candidate-pair frame
     — the verify tail shared by the SRP-LSH probers (single-probe
     ``ann_topk_lsh`` and multiprobe ``ann_topk_lsh_multiprobe``), so the
-    two probers differ ONLY in candidate generation. ``dim`` is retained
-    for call-site compatibility; the cosine kernels always fold (see
-    ``brute_force_topk`` — the unroll measured slower in every cosine
-    shape, and this tail is candidate-BOUNDED besides)."""
+    two probers differ ONLY in candidate generation. No ``dim``: the
+    cosine kernels always fold (see ``brute_force_topk`` — the unroll
+    measured slower in every cosine shape, and this tail is
+    candidate-BOUNDED besides)."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))
@@ -313,7 +343,7 @@ def ann_topk_lsh_multiprobe(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k, dim)
+    return _exact_cosine_rank(emb_df, cand, query_ids_pred, id_col, emb_col, k)
 
 
 def brute_force_topk_l2(
@@ -324,6 +354,7 @@ def brute_force_topk_l2(
     query_id_col: str = "query_id",
     k: int = 5,
     dim: int | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Exact squared-L2 top-k — :func:`brute_force_topk`'s metric twin
     for the PQ family, whose ADC approximates SQUARED L2 (not cosine):
@@ -332,14 +363,15 @@ def brute_force_topk_l2(
     broadcast, corpus streamed, per-query partial top-k; distances
     round6 before ranking with the (dist asc, neighbor_id) tie-break
     the ADC rankers use. ``dim`` selects the unrolled codegen distance
-    (see :func:`l2sq_cols`)."""
+    (see :func:`l2sq_cols`); ``spread`` opts the corpus projection into
+    :func:`spread_for_scoring` for compute-bound |Q| x |corpus| sites."""
     qv = to_double_array(F.col(emb_col))
     q = queries_df.select(
         F.col(id_col).alias(query_id_col), qv.alias("__qv")
     )
-    c = emb_df.select(
-        F.col(id_col).alias("neighbor_id"), qv.alias("__cv")
-    )
+    c = emb_df.select(F.col(id_col).alias("neighbor_id"), qv.alias("__cv"))
+    if spread:
+        c = spread_for_scoring(c)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -618,7 +650,6 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold with id_a < id_b (embedding near-dup
     detection). Quadratic verification stage — at 100 TB feed it LSH
@@ -628,9 +659,9 @@ def neardup_pairs(
     Norms are precomputed per ROW (not per pair): one fold per vector +
     one fold per pair, a 3× saving over the naive cosine — same formula
     ``dot / (‖a‖·‖b‖)`` as the oracle, identical sequential folds.
-    ``dim`` is retained for call-site compatibility; the cosine kernels
-    always fold (see ``brute_force_topk`` — the unroll measured slower
-    in every cosine shape, q40 1.15→0.63 s on the revert)."""
+    No ``dim``: the cosine kernels always fold (see
+    ``brute_force_topk`` — the unroll measured slower in every cosine
+    shape, q40 1.15→0.63 s on the revert)."""
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import dot_product, l2_norm
 
     vd = to_double_array(F.col(emb_col))

@@ -2201,19 +2201,26 @@ def q176_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.where(F.col("d") >= _Q176_K).select("n")
+        # Lazy checkpoint + ONE combined stats aggregate = a single job
+        # per round (was three: eager checkpoint, node-count, edge-count).
+        # The stats action materializes the checkpoint as a side effect;
+        # exploding (u, v) counts every edge twice — so n_edges is an
+        # exact count(*)/2 — and distinct endpoints in the same pass.
         edges = (
             edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        nodes = (
-            edges.select(F.col("u").alias("n"))
-            .unionAll(edges.select(F.col("v").alias("n")))
-            .distinct()
-            .count()
+        stats = (
+            edges.select(F.explode(F.array("u", "v")).alias("n"))
+            .agg(
+                F.countDistinct("n").alias("nodes"),
+                (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("nedges"),
+            )
+            .collect()[0]
         )
-        rounds.append((len(rounds) + 1, nodes, edges.count()))
+        rounds.append((len(rounds) + 1, stats["nodes"], stats["nedges"]))
     return spark.createDataFrame(
         rounds, "round int, n_nodes long, n_edges long"
     )

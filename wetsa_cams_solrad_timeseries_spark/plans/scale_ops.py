@@ -226,7 +226,7 @@ def q276_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     cand = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=_MMR_CAND, dim=_DIM
+        emb, emb.filter(F.col("vec_id") < 8), k=_MMR_CAND
     ).localCheckpoint(eager=True)
 
     vecs = emb.select(
@@ -860,7 +860,10 @@ def q282_knn_label_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     sample = F.col("vec_id") % _KNN_SAMPLE_MOD == 0
-    nn = brute_force_topk(emb, emb.filter(sample), k=_KNN_K, dim=_DIM)
+    # spread=True: 400 sampled queries x corpus through the interpreted
+    # cosine fold is compute-bound on the single-split scan (in-session
+    # A-B: 4.9 -> 1.6 s at sf0.1).
+    nn = brute_force_topk(emb, emb.filter(sample), k=_KNN_K, spread=True)
     votes = (
         nn.join(
             emb.select(

@@ -72,7 +72,7 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import brute_force_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=_DIM)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 Q38_ORACLE = f"""
@@ -3469,7 +3469,7 @@ def _hybrid_fuse(bm: DataFrame, emb: DataFrame) -> DataFrame:
         .alias("bm25_rank"),
     )
     vec_ranked = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q194_CAND, dim=_DIM
+        emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q194_CAND
     ).select(F.col("neighbor_id").alias("doc_id"),
              F.col("rank").alias("vec_rank"))
 
@@ -3745,7 +3745,7 @@ def _hybrid_sla(
     )
     vec_full = (
         brute_force_topk(
-            emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q228_DMAX, dim=_DIM
+            emb, emb.filter(F.col("vec_id") == _Q194_QVEC), k=_Q228_DMAX
         )
         .select(
             F.col("neighbor_id").alias("doc_id"),
@@ -4246,6 +4246,10 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
     )
 
     v = to_double_array(F.col("embedding"))
+    # NOT spread_for_scoring'd: with_dist is an equi-join (corpus hash-
+    # probed by the broadcast candidate set), so its per-row work is a
+    # hash lookup, not |Q| distance folds — A-B measured the spread+
+    # checkpoint variant SLOWER on q232 (4.1 -> 5.9 s at sf0.1).
     va = emb.select("vec_id", v.alias("__v"))
     qv = va.filter(qpred).select(
         F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
@@ -4275,9 +4279,13 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
     # Trailing build parts (checkpointed knn, bridges) let q240 rewire
     # the SAME build with NN-descent without re-paying Σ|cell|²; the
     # quantizer-side parts (cents, med, probes) let q258 erect the
-    # sparse upper layer on the SAME build. _q232_perq_recall unpacks
-    # only the first five.
-    return entry0, edges, with_dist, w, exact, knn, bridges, cents, med, probes
+    # sparse upper layer on the SAME build; the vector frames (va, qv)
+    # let the fused multi-rung traversal score with the same kernel.
+    # _q232_perq_recall unpacks only the first five.
+    return (
+        entry0, edges, with_dist, w, exact,
+        knn, bridges, cents, med, probes, va, qv,
+    )
 
 
 def _q232_perq_recall(setup, beam_width: int) -> DataFrame:
@@ -4328,6 +4336,120 @@ def _q232_perq_recall(setup, beam_width: int) -> DataFrame:
                 6,
             ).alias("recall")
         )
+    )
+
+
+def _q232_perq_recall_multi(setup, rungs) -> DataFrame:
+    """FUSED multi-rung form of :func:`_q232_perq_recall`: every rung
+    (a (key, edge-table, beam-width) triple sharing the q232 entry set
+    and exact baseline) advances through the SAME per-hop job, tagged by
+    a ``__rung`` column — so the ladder pays ``hops`` localCheckpoint
+    jobs TOTAL instead of ``rungs × hops`` (the round-13 "shared-subtree
+    restructure" deferral, landed with its equivalence argument).
+
+    Per-rung results are bit-identical to running the single-rung
+    traversal per rung: the rank window partitions by (__rung, query_id)
+    — row_number within each rung's group sees exactly the rows the
+    per-rung window saw; the candidate-set distinct and the edge
+    expansion both key on __rung, so no row of one rung can reach
+    another; the distance kernel is the identical l2sq_cols expression
+    per (query, node) pair. Returns perq rows (__rung, recall).
+    """
+    from pyspark.sql import Window
+
+    from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
+        l2sq_cols,
+    )
+
+    entry0, exact = setup[0], setup[4]
+    va, qv = setup[10], setup[11]
+
+    edges_u = None
+    cand = None
+    beam_col = None
+    for key, edges, beam in rungs:
+        e = edges.select(
+            F.lit(key).cast("int").alias("__rung"), "src", "dst"
+        )
+        c0 = entry0.select(
+            F.lit(key).cast("int").alias("__rung"), "query_id", "node"
+        )
+        edges_u = e if edges_u is None else edges_u.unionByName(e)
+        cand = c0 if cand is None else cand.unionByName(c0)
+        cond = F.col("__rung") == key
+        beam_col = (
+            F.when(cond, F.lit(beam))
+            if beam_col is None
+            else beam_col.when(cond, F.lit(beam))
+        )
+
+    w = Window.partitionBy("__rung", "query_id").orderBy(
+        F.col("dist").asc(), F.col("node")
+    )
+
+    def with_dist_m(cdf: DataFrame) -> DataFrame:
+        # Same bounded-candidate broadcast shape as the single-rung
+        # with_dist — the candidate set is ≤ rungs·|Q|·(1+hops·beam·deg)
+        # rows, still broadcast-sized; the corpus never shuffles.
+        j = cdf.join(F.broadcast(qv), on="query_id")
+        return va.join(
+            F.broadcast(j), on=F.col("vec_id") == F.col("node")
+        ).select(
+            "__rung",
+            "query_id",
+            "node",
+            l2sq_cols(F.col("__qv"), F.col("__v"), _DIM).alias("dist"),
+        )
+
+    for _ in range(_Q232_HOPS):
+        beam_df = (
+            with_dist_m(cand)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= beam_col)
+            .select("__rung", "query_id", F.col("node").alias("src"))
+        )
+        expand = beam_df.join(edges_u, on=["__rung", "src"]).select(
+            "__rung", "query_id", F.col("dst").alias("node")
+        )
+        cand = (
+            cand.unionByName(expand).distinct().localCheckpoint(eager=True)
+        )
+
+    served = (
+        with_dist_m(cand)
+        .filter(F.col("node") != F.col("query_id"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _Q232_K)
+        .select("__rung", "query_id", F.col("node").alias("neighbor_id"))
+    )
+    hits = (
+        exact.join(F.broadcast(served), on=["query_id", "neighbor_id"])
+        .groupBy("__rung", "query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    qids = exact.select("query_id").distinct()
+    qr = None
+    for key, _, _ in rungs:
+        t = qids.select(
+            F.lit(key).cast("int").alias("__rung"), "query_id"
+        )
+        qr = t if qr is None else qr.unionByName(t)
+    return (
+        qr.join(F.broadcast(hits), on=["__rung", "query_id"], how="left")
+        .select(
+            "__rung",
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / _Q232_K
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+        # Every caller aggregates this frame once PER RUNG; without a
+        # checkpoint each of those consumers re-runs the final fused
+        # scoring pass over the union candidate set (rungs × consumers
+        # rung-units of scoring — measured as a 1.8× REGRESSION on q240
+        # before this line). The frame is tiny (rungs × |Q| rows).
+        .localCheckpoint(eager=True)
     )
 
 
@@ -4542,9 +4664,16 @@ def q235_graph_ann_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge; the audit records whichever is true — pick from
     measurement, not folklore (the q221 flat-S-curve convention)."""
     setup = _q232_setup(spark, sf_dir)
+    # One FUSED traversal for the whole ladder (hops jobs, not
+    # rungs×hops): every rung shares the graph, entry set and exact
+    # baseline; only the beam width differs — see _q232_perq_recall_multi
+    # for the bit-identity argument.
+    perq_all = _q232_perq_recall_multi(
+        setup, [(b, setup[1], b) for b in _Q235_LADDER]
+    )
     rows = None
     for b in _Q235_LADDER:
-        perq = _q232_perq_recall(setup, b)
+        perq = perq_all.filter(F.col("__rung") == b).select("recall")
         r = perq.agg(
             F.count(F.lit(1)).cast("long").alias("n_queries"),
             F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
@@ -5478,10 +5607,14 @@ def q240_refined_graph_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_r = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
         eager=True  # consumed once per hop of the refined traversal
     )
-    setup_r = (setup[0], edges_r) + setup[2:5]
 
-    perq_b = _q232_perq_recall(setup, _Q232_BEAM)
-    perq_r = _q232_perq_recall(setup_r, _Q232_BEAM)
+    # Both traversals (base graph, rewired graph) advance through ONE
+    # fused per-hop job — see _q232_perq_recall_multi.
+    perq_all = _q232_perq_recall_multi(
+        setup, [(0, edges, _Q232_BEAM), (1, edges_r, _Q232_BEAM)]
+    )
+    perq_b = perq_all.filter(F.col("__rung") == 0).select("recall")
+    perq_r = perq_all.filter(F.col("__rung") == 1).select("recall")
     agg_b = perq_b.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall_base"),
@@ -6241,7 +6374,7 @@ def q247_filtered_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     exact = (
         brute_force_topk(
-            emb.filter(flt), emb.filter(F.col("vec_id") < _Q247_NQ), k=_Q247_K, dim=_DIM
+            emb.filter(flt), emb.filter(F.col("vec_id") < _Q247_NQ), k=_Q247_K
         )
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)  # hit join + query-universe join
@@ -6418,8 +6551,7 @@ def q250_descent_depth_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     beam unrolls + the ladder/pick algebra in one statement."""
     setup = _q232_setup(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    entry0, base_edges, with_dist, w, exact = setup[:5]
-    bridges = setup[6]
+    base_edges, bridges = setup[1], setup[6]
 
     graphs = {0: base_edges}
     g = base_edges
@@ -6430,11 +6562,15 @@ def q250_descent_depth_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         graphs[r] = g
 
+    # One FUSED traversal across all depths (hops jobs, not depths×hops);
+    # the sequential part — each depth's rewire — stays sequential above.
+    perq_all = _q232_perq_recall_multi(
+        setup,
+        [(r, edges_r, _Q232_BEAM) for r, edges_r in sorted(graphs.items())],
+    )
     rows = None
     for r, edges_r in sorted(graphs.items()):
-        perq = _q232_perq_recall(
-            (entry0, edges_r, with_dist, w, exact), _Q232_BEAM
-        )
+        perq = perq_all.filter(F.col("__rung") == r).select("recall")
         row = perq.agg(
             F.count(F.lit(1)).cast("long").alias("n_queries"),
             F.round(F.avg("recall") + F.lit(1e-9), 6).alias("avg_recall"),
@@ -7174,7 +7310,9 @@ def q211_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
     ).select("query_id", "neighbor_id")
     brute = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=_Q211_K, dim=_DIM
+        # spread=True: 50-query exact-cosine truth is compute-bound on
+        # the single-split scan (in-session A-B win at sf0.1).
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q211_K, spread=True
     ).select("query_id", "neighbor_id")
     hits = (
         brute.join(ivf, on=["query_id", "neighbor_id"])
@@ -8058,7 +8196,7 @@ def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2sq_cols,
     )
     from wetsa_cams_solrad_timeseries_spark.streaming.graph_insert_stream import (
-        streaming_graph_insert,
+        streaming_graph_insert_many,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -8088,11 +8226,17 @@ def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     split1 = _split_embeddings(
         spark, sf_dir, n_files=2, pred=is_new & is_l1, variant="newl1"
     )
-    new_knn0, _t0 = streaming_graph_insert(
-        spark, split0, hist_members, cents, m=_Q232_M
-    )
-    new_knn1, _t1 = streaming_graph_insert(
-        spark, split1, hist_members_l1, cents, m=_Q232_M
+    # The two replays are INDEPENDENT (disjoint state roots, different
+    # layer memberships) — drain them as concurrent streaming queries so
+    # their per-batch fixed costs overlap instead of summing; each
+    # query's own batch sequence (and so its drained state) is
+    # byte-identical to a solo run (guide §2.6).
+    (new_knn0, _t0), (new_knn1, _t1) = streaming_graph_insert_many(
+        spark,
+        [
+            (split0, hist_members, cents, _Q232_M, None),
+            (split1, hist_members_l1, cents, _Q232_M, None),
+        ],
     )
 
     probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
@@ -9614,7 +9758,9 @@ def q285_serving_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=4,
     ).select("query_id", "neighbor_id", F.col("rank").alias("pos"))
     truth = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=_Q285_K, dim=_DIM
+        # spread=True: 50-query exact-cosine truth, same rationale as
+        # q211 (in-session A-B 1.31 -> 1.04 s at sf0.1).
+        emb, emb.filter(F.col("vec_id") < 50), k=_Q285_K, spread=True
     ).select("query_id", "neighbor_id", F.lit(1).alias("rel"))
 
     scored = served.join(

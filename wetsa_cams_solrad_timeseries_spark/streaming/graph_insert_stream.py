@@ -122,6 +122,26 @@ def streaming_graph_insert(
     link to them — q255's semantics), so the edge state is untouched
     by deletes and the drained (lists, tombstones) pair is independent
     of how the two event kinds interleave."""
+    [res] = streaming_graph_insert_many(
+        spark, [(split_dir, hist_members, centroids, m, op_col)]
+    )
+    return res
+
+
+def _graph_insert_drain(
+    spark: SparkSession,
+    split_dir: str,
+    hist_members: DataFrame,
+    centroids,
+    m: int,
+    op_col: str | None,
+):
+    """Per-replay state for one displacement-merge drain: the stream
+    reader, the foreachBatch body, and the committed-generation lister —
+    factored out so several INDEPENDENT replays can run as concurrent
+    streaming queries (their per-batch fixed costs overlap; each query's
+    own batches stay strictly sequential, so each drained result is
+    byte-identical to a solo run)."""
     from wetsa_cams_solrad_timeseries_spark._artifacts import register_cleanup
     from wetsa_cams_solrad_timeseries_spark.functions.arrays import (
         to_double_array,
@@ -129,11 +149,6 @@ def streaming_graph_insert(
     from wetsa_cams_solrad_timeseries_spark.operators.similarity import (
         cell_knn_edges_incremental,
         ivf_assign,
-    )
-    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
-        drain_checkpoint_dir,
-        drain_partitions,
-        size_partitions,
     )
 
     batch_df = spark.read.parquet(split_dir)
@@ -183,16 +198,24 @@ def streaming_graph_insert(
         bassign = ivf_assign(
             b.withColumnRenamed("__v", "embedding"), centroids, n_probe=1
         ).select("vec_id", "cell")
-        bnodes = b.join(bassign, on="vec_id").localCheckpoint(eager=True)
-        bnodes.write.mode("overwrite").parquet(nodes_out)
+        # The nodes-generation write IS the batch's materialization: the
+        # re-read parquet replaces what used to be a separate eager
+        # localCheckpoint job (doubles round-trip bit-exactly), so each
+        # consumer below reads the committed generation instead of
+        # re-running the assign kernel. One job saved per micro-batch.
+        b.join(bassign, on="vec_id").write.mode("overwrite").parquet(
+            nodes_out
+        )
+        bnodes = spark.read.parquet(nodes_out)
         touched = [r["cell"] for r in bnodes.select("cell").distinct().collect()]
 
         prior_dirs = _committed("nodes")
         if prior_dirs:
-            prior = (
-                spark.read.parquet(*prior_dirs)
-                .filter(F.col("cell").isin(touched))
-                .localCheckpoint(eager=True)
+            # No checkpoint: each consumer re-reads the tiny committed
+            # generation files directly (cheaper than materializing a
+            # block-manager copy per batch).
+            prior = spark.read.parquet(*prior_dirs).filter(
+                F.col("cell").isin(touched)
             )
         else:
             prior = bnodes.filter(F.lit(False))
@@ -218,8 +241,13 @@ def streaming_graph_insert(
 
         # backward: prior new nodes in touched cells merge their stored
         # lists with distances to the batch, keep top-m.
+        # No prior-emptiness probe job: with an EMPTY prior the backward
+        # branch is a no-op by construction (latest's semi-join and the
+        # per-cell kernel both emit zero rows, so out ≡ forward) — the
+        # take(1) that used to guard it was one driver round-trip per
+        # batch buying nothing.
         gens = _committed("edges")
-        if gens and prior.take(1):
+        if gens:
             stored = spark.read.parquet(*gens)
             latest = stored.join(
                 stored.groupBy("src").agg(F.max("gen").alias("gen")),
@@ -250,18 +278,7 @@ def streaming_graph_insert(
                 "vec_id"
             ).write.mode("overwrite").parquet(tombs_out)  # CDC gate LAST
 
-    ckpt = drain_checkpoint_dir()
-    try:
-        with drain_partitions(spark, size_partitions(spark, batch_df.count())):
-            query = (
-                reader.writeStream.foreachBatch(apply_batch)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                query.processAllAvailable()
-            finally:
-                query.stop()
+    def finish() -> tuple[DataFrame, DataFrame]:
         committed = _committed("edges")
         if len(committed) <= 1:
             raise RuntimeError(
@@ -280,5 +297,50 @@ def streaming_graph_insert(
                 F.lit(False)
             )
         return latest, tombs
+
+    return batch_df, reader, apply_batch, finish
+
+
+def streaming_graph_insert_many(
+    spark: SparkSession, specs
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Drain several INDEPENDENT replays as concurrent streaming queries
+    (guide §2.6 "overlap independent jobs"): each replay's micro-batches
+    stay strictly sequential inside its own query — so every drained
+    (lists, tombstones) result is byte-identical to running the drains
+    one after another — but the queries' fixed per-batch costs (state
+    commits, job scheduling) overlap instead of summing.
+
+    ``specs``: iterable of (split_dir, hist_members, centroids, m,
+    op_col) tuples; returns one (latest_lists, tombstones) per spec, in
+    order."""
+    from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
+        drain_checkpoint_dir,
+        drain_partitions,
+        size_partitions,
+    )
+
+    drains = [_graph_insert_drain(spark, *spec) for spec in specs]
+    n_rows = max(d[0].count() for d in drains)
+    ckpts = [drain_checkpoint_dir() for _ in drains]
+    try:
+        with drain_partitions(spark, size_partitions(spark, n_rows)):
+            queries = []
+            try:
+                for (_, reader, apply_batch, _fin), ckpt in zip(
+                    drains, ckpts
+                ):
+                    queries.append(
+                        reader.writeStream.foreachBatch(apply_batch)
+                        .option("checkpointLocation", ckpt)
+                        .start()
+                    )
+                for q in queries:
+                    q.processAllAvailable()
+            finally:
+                for q in queries:
+                    q.stop()
+        return [fin() for (_, _, _, fin) in drains]
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        for ckpt in ckpts:
+            shutil.rmtree(ckpt, ignore_errors=True)
