@@ -5373,7 +5373,20 @@ def _nn_descent_round(emb: DataFrame, graph: DataFrame, m: int) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    cand = graph.unionByName(e2).distinct()
+    # Explicit fixed-N keyed repartition instead of a bare distinct: the
+    # candidate frame is byte-LIGHT (~16 B/row) but the downstream
+    # scoring join evaluates a 64-term unrolled L2 per row, and AQE's
+    # byte-based coalescing (1 MB minPartitionSize) folds the distinct's
+    # output to 1-2 tasks — serializing the most compute-dense stage of
+    # the descent family (profiled: two 4.5 s 2-task stages in q250).
+    # A user-numbered repartition is exempt from AQE coalescing; the
+    # dedup aggregate reuses its exchange, so the plan still has ONE
+    # shuffle here. In-session A-B at sf0.1: q239 12.7 -> 9.3 s, q250
+    # 14.9 -> 12.4 s, q240 10.1 -> 9.1 s, q237 3.4 -> 3.2 s.
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        graph.unionByName(e2).repartition(n, "src", "dst").dropDuplicates()
+    )
     v = to_double_array(F.col("embedding"))
     va = emb.select("vec_id", v.alias("__v"))
     scored = (
@@ -8854,6 +8867,10 @@ def _capped_candidates(graph: DataFrame, c: int, salt: int) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
+    # Bare distinct, NOT the _nn_descent_round fixed-N repartition: the
+    # hub cap keeps this candidate set small enough that the in-session
+    # A-B measured the repartition flat-to-negative here (q272/q274/q266
+    # within noise) while the uncapped exact expansion won 17-26%.
     return graph.unionByName(e2).distinct()
 
 
