@@ -4230,13 +4230,9 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
         .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
     )
     directed = knn.unionByName(bridges)
-    edges = (
-        directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # consumed once per hop
-    )
+    edges_lazy = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()  # checkpointed below, in parallel with entry0/exact
 
     qpred = F.col("vec_id") < _Q232_NQ
     entry = (
@@ -4270,11 +4266,22 @@ def _q232_setup(spark: SparkSession, sf_dir: str):
         )
 
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("node"))
-    entry0 = entry.distinct().localCheckpoint(eager=True)
-    exact = (
-        brute_force_topk_l2(emb, emb.filter(qpred), k=_Q232_K, dim=_DIM)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # reused by every measured beam
+    # The three build artifacts (edge table, entry set, exact baseline)
+    # are independent of one another — materialize them as CONCURRENT
+    # checkpoint jobs instead of three sequential ones (guide §2.6; see
+    # checkpoint_parallel for the A-B numbers).
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_parallel,
+    )
+
+    edges, entry0, exact = checkpoint_parallel(
+        [
+            edges_lazy,  # consumed once per hop
+            entry.distinct(),
+            brute_force_topk_l2(
+                emb, emb.filter(qpred), k=_Q232_K, dim=_DIM
+            ).select("query_id", "neighbor_id"),  # reused per beam
+        ]
     )
     # Trailing build parts (checkpointed knn, bridges) let q240 rewire
     # the SAME build with NN-descent without re-paying Σ|cell|²; the
@@ -5450,17 +5457,34 @@ def q239_nn_descent_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_train_centroids,
     )
 
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_parallel,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     cents = ivf_train_centroids(emb, k=16, n_iter=2)
-    knn = cell_knn_edges(emb, cents, m=_Q232_M).localCheckpoint(eager=True)
     med = cell_medoids(emb, cents)
     probes = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
-    bridges = (
-        probes.filter(F.col("probe_rank") >= 1)
-        .join(F.broadcast(med), on="cell")
-        .filter(F.col("vec_id") != F.col("medoid"))
-        .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
-        .localCheckpoint(eager=True)  # re-added to every round's graph
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    # knn, bridges and the exact truth are mutually independent —
+    # materialize them concurrently (guide §2.6); only the round loop
+    # below is inherently sequential (each round reads the previous
+    # round's graph).
+    knn, bridges, strue = checkpoint_parallel(
+        [
+            cell_knn_edges(emb, cents, m=_Q232_M),
+            probes.filter(F.col("probe_rank") >= 1)
+            .join(F.broadcast(med), on="cell")
+            .filter(F.col("vec_id") != F.col("medoid"))
+            .select(
+                F.col("vec_id").alias("src"), F.col("medoid").alias("dst")
+            ),  # re-added to every round's graph
+            brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
+            .select(
+                F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+            ),  # one consumer per round + the count
+        ]
     )
 
     lists = {0: knn}
@@ -5474,13 +5498,6 @@ def q239_nn_descent_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             graph = _sym_edges(refined.unionByName(bridges)).localCheckpoint(
                 eager=True
             )
-
-    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
-    strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
-        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=True)  # one consumer per round + the count
-    )
     nt = strue.agg(F.count(F.lit(1)).alias("nt"))
     frames = []
     for r, lst in sorted(lists.items()):
@@ -9135,18 +9152,30 @@ def q273_hnsw_log_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_knn_edges,
     )
 
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_parallel,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
-    layer_edges: dict[int, DataFrame] = {}
-    layer_n: dict[int, DataFrame] = {}
-    for lvl in range(1, _Q273_LEVELS + 1):
+    # The layers' builds are independent of one another: materialize the
+    # memberships concurrently, then the edge tables concurrently (each
+    # edge build reads its OWN layer's already-checkpointed membership,
+    # so the two-pool staging preserves the dependency) — guide §2.6.
+    levels = list(range(1, _Q273_LEVELS + 1))
+    lid_lazy = []
+    for lvl in levels:
         mod = _Q258_L1_MOD ** lvl
-        l_ids = (
+        lid_lazy.append(
             emb.filter(F.col("vec_id") % mod == _Q273_RES[lvl])
             .select("vec_id")
             .unionByName(med.select(F.col("medoid").alias("vec_id")))
-            .distinct()
-            .localCheckpoint(eager=True)  # membership + the audit count
+            .distinct()  # membership + the audit count
         )
+    lids = dict(zip(levels, checkpoint_parallel(lid_lazy)))
+    edges_lazy = []
+    layer_n: dict[int, DataFrame] = {}
+    for lvl in levels:
+        l_ids = lids[lvl]
         l_emb = emb.join(l_ids, on="vec_id", how="semi")
         knn_l = cell_knn_edges(l_emb, cents, m=_Q232_M)
         bridges_l = (
@@ -9157,18 +9186,17 @@ def q273_hnsw_log_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("src"), F.col("medoid").alias("dst"))
         )
         directed = knn_l.unionByName(bridges_l)
-        layer_edges[lvl] = (
+        edges_lazy.append(
             directed.unionByName(
                 directed.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
+            ).distinct()
         )
         layer_n[lvl] = l_ids.agg(
             F.count(F.lit(1)).cast("long").alias(f"n_l{lvl}")
         )
+    layer_edges = dict(zip(levels, checkpoint_parallel(edges_lazy)))
 
     # Top-down descent: greedy walk per layer, best node seeds the next.
     entry = entry0
