@@ -8654,8 +8654,19 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     graph = _q266_graph(spark, sf_dir)
     samp = _sampled_neighbors(graph, _Q266_S).localCheckpoint(eager=True)
+    # The EXACT variant's candidate set is the same byte-light/compute-
+    # dense frame as _nn_descent_round's — AQE's byte-based coalescing
+    # folds its distinct to 1-2 tasks and serializes the scoring join
+    # (profiled r14: one 3.2 s 2-task stage = a third of the query). The
+    # same fixed-N keyed repartition applies; the SAMPLED variant's set
+    # is deliberately small (that is the point of the sampling) and
+    # keeps the bare distinct (the r14 A-B measured the repartition
+    # flat-to-negative on the capped/sampled sets).
+    n = spark.sparkContext.defaultParallelism
     cands = {
-        "exact": graph.unionByName(_two_hop(graph)).distinct(),
+        "exact": graph.unionByName(_two_hop(graph))
+        .repartition(n, "src", "dst")
+        .dropDuplicates(),
         "sampled": graph.unionByName(_local_join(samp)).distinct(),
     }
 
