@@ -121,6 +121,23 @@ def checkpoint_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
         return list(ex.map(lambda d: d.localCheckpoint(eager=True), dfs))
 
 
+def checkpoint_async(df: DataFrame):
+    """Eagerly localCheckpoint ONE independent frame on a background
+    thread and return the Future — the §2.6 overlap for callers whose
+    main thread runs an inherently SEQUENTIAL build (a descent round
+    loop, a stream drain) while an independent artifact (the exact
+    truth, a base kNN) can materialize on idle cores. Call
+    ``fut.result()`` at the first consumption point. The checkpointed
+    frame is identical to a sequentially-built one (deterministic
+    build, same plan)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(lambda: df.localCheckpoint(eager=True))
+    ex.shutdown(wait=False)  # worker finishes the submitted job
+    return fut
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]

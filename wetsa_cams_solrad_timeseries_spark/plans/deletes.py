@@ -1585,18 +1585,30 @@ def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
         on="vec_id",
     ).select("vec_id", "cell", "__v")
-    new_knn, tombs = streaming_graph_insert(
+    # Batch-side artifacts independent of the drained state — sidework:
+    # they materialize concurrently with the CDC drain (guide §2.6).
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0_lazy = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+    )
+    new_knn, tombs, (base_knn, entry0) = streaming_graph_insert(
         spark,
         split_dir,
         hist_members,
         cents,
         m=_Q232_M,
         op_col="op",
+        sidework=[cell_knn_edges(hist, cents, m=_Q232_M), entry0_lazy],
     )
     tombs = tombs.localCheckpoint(eager=True)
 
-    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
-    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
     bridges = (
         probes_all.filter(F.col("probe_rank") >= 1)
         .join(F.broadcast(med_df), on="cell")
@@ -1608,18 +1620,6 @@ def q264_streaming_graph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.unionByName(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    q_bound = F.col("vec_id") < _Q197_QBOUND
-    entry0 = (
-        probes_all.filter(F.col("probe_rank") == 0)
-        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
-              how="semi")
-        .join(F.broadcast(med_df), on="cell")
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("medoid").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )

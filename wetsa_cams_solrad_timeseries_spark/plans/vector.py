@@ -7822,14 +7822,32 @@ def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.select("vec_id", to_double_array(F.col("embedding")).alias("__v")),
         on="vec_id",
     ).select("vec_id", "cell", "__v")
-    new_knn, _no_tombs = streaming_graph_insert(
-        spark, split_dir, hist_members, cents, m=_Q232_M
+
+    # Batch-side artifacts that do NOT depend on the drained state —
+    # handed to the drain as sidework so they materialize concurrently
+    # with the micro-batches (guide §2.6) instead of serially after.
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0_lazy = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+    )
+    new_knn, _no_tombs, (base_knn, entry0) = streaming_graph_insert(
+        spark,
+        split_dir,
+        hist_members,
+        cents,
+        m=_Q232_M,
+        sidework=[cell_knn_edges(hist, cents, m=_Q232_M), entry0_lazy],
     )
 
     # Assemble the full graph exactly as q238 does (base + bridges are
     # node-local / frozen-hub derived — order-independent by nature).
-    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
-    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
     bridges = (
         probes_all.filter(F.col("probe_rank") >= 1)
         .join(F.broadcast(med_df), on="cell")
@@ -7841,18 +7859,6 @@ def q257_streaming_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.unionByName(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    q_bound = F.col("vec_id") < _Q197_QBOUND
-    entry0 = (
-        probes_all.filter(F.col("probe_rank") == 0)
-        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
-              how="semi")
-        .join(F.broadcast(med_df), on="cell")
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("medoid").alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -8260,22 +8266,47 @@ def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layer memberships) — drain them as concurrent streaming queries so
     # their per-batch fixed costs overlap instead of summing; each
     # query's own batch sequence (and so its drained state) is
-    # byte-identical to a solo run (guide §2.6).
-    (new_knn0, _t0), (new_knn1, _t1) = streaming_graph_insert_many(
+    # byte-identical to a solo run (guide §2.6). The history-side build
+    # artifacts (both layers' kNN lists, the L1 membership, the entry
+    # set) are independent of the drained state — sidework: they
+    # materialize concurrently with the drains instead of serially
+    # after them.
+    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
+    l1_all_ids_lazy = (
+        emb.filter(is_l1)
+        .select("vec_id")
+        .unionByName(med_df.select(F.col("medoid").alias("vec_id")))
+        .distinct()
+    )
+    q_bound = F.col("vec_id") < _Q197_QBOUND
+    entry0_lazy = (
+        probes_all.filter(F.col("probe_rank") == 0)
+        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
+              how="semi")
+        .join(F.broadcast(med_df), on="cell")
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("medoid").alias("node"))
+        .distinct()
+    )
+    (
+        [(new_knn0, _t0), (new_knn1, _t1)],
+        (knn0_h, knn1_h, l1_all_ids, entry0),
+    ) = streaming_graph_insert_many(
         spark,
         [
             (split0, hist_members, cents, _Q232_M, None),
             (split1, hist_members_l1, cents, _Q232_M, None),
         ],
-    )
-
-    probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
-    l1_all_ids = (
-        emb.filter(is_l1)
-        .select("vec_id")
-        .unionByName(med_df.select(F.col("medoid").alias("vec_id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        sidework=[
+            cell_knn_edges(hist, cents, m=_Q232_M),
+            cell_knn_edges(
+                emb.join(l1_hist_ids, on="vec_id", how="semi"),
+                cents,
+                m=_Q232_M,
+            ),
+            l1_all_ids_lazy,
+            entry0_lazy,
+        ],
     )
 
     def build_edges(knn_parts, member_ids=None):
@@ -8291,42 +8322,25 @@ def q265_hnsw_level_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         for part in knn_parts[1:]:
             directed = directed.unionByName(part)
         directed = directed.unionByName(bridges)
-        return (
-            directed.unionByName(
-                directed.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
+        return directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        ).distinct()
 
-    edges0 = build_edges(
-        [cell_knn_edges(hist, cents, m=_Q232_M), new_knn0]
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_parallel,
     )
-    edges1 = build_edges(
+
+    # The two layers' edge tables are independent of one another —
+    # concurrent checkpoint jobs (guide §2.6).
+    edges0, edges1 = checkpoint_parallel(
         [
-            cell_knn_edges(
-                emb.join(l1_hist_ids, on="vec_id", how="semi"),
-                cents,
-                m=_Q232_M,
-            ),
-            new_knn1,
-        ],
-        member_ids=l1_all_ids,
+            build_edges([knn0_h, new_knn0]),
+            build_edges([knn1_h, new_knn1], member_ids=l1_all_ids),
+        ]
     )
 
-    q_bound = F.col("vec_id") < _Q197_QBOUND
-    entry0 = (
-        probes_all.filter(F.col("probe_rank") == 0)
-        .join(emb.filter(is_new & q_bound).select("vec_id"), on="vec_id",
-              how="semi")
-        .join(F.broadcast(med_df), on="cell")
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("medoid").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     v = to_double_array(F.col("embedding"))
     va = emb.select("vec_id", v.alias("__v"))
     qv = va.join(
@@ -8651,8 +8665,23 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2sq_cols,
     )
 
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_async,
+        checkpoint_parallel,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     graph = _q266_graph(spark, sf_dir)
+    # The exact truth and the vector frame depend only on the corpus —
+    # background-thread checkpoints overlapping the sample/candidate
+    # builds (guide §2.6).
+    v = to_double_array(F.col("embedding"))
+    va_fut = checkpoint_async(emb.select("vec_id", v.alias("__v")))
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue_fut = checkpoint_async(
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
     samp = _sampled_neighbors(graph, _Q266_S).localCheckpoint(eager=True)
     # The EXACT variant's candidate set is the same byte-light/compute-
     # dense frame as _nn_descent_round's — AQE's byte-based coalescing
@@ -8661,23 +8690,21 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same fixed-N keyed repartition applies; the SAMPLED variant's set
     # is deliberately small (that is the point of the sampling) and
     # keeps the bare distinct (the r14 A-B measured the repartition
-    # flat-to-negative on the capped/sampled sets).
+    # flat-to-negative on the capped/sampled sets). The two variants'
+    # candidate sets are independent — concurrent checkpoint jobs.
     n = spark.sparkContext.defaultParallelism
-    cands = {
-        "exact": graph.unionByName(_two_hop(graph))
-        .repartition(n, "src", "dst")
-        .dropDuplicates(),
-        "sampled": graph.unionByName(_local_join(samp)).distinct(),
-    }
-
-    v = to_double_array(F.col("embedding"))
-    va = emb.select("vec_id", v.alias("__v")).localCheckpoint(eager=True)
-    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
-    strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
-        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=True)  # one hits-join per variant + count
+    cand_exact, cand_sampled = checkpoint_parallel(
+        [
+            graph.unionByName(_two_hop(graph))
+            .repartition(n, "src", "dst")
+            .dropDuplicates(),
+            graph.unionByName(_local_join(samp)).distinct(),
+        ]
     )
+    cands = {"exact": cand_exact, "sampled": cand_sampled}
+
+    va = va_fut.result()
+    strue = strue_fut.result()  # one hits-join per variant + count
     nt = strue.agg(F.count(F.lit(1)).alias("nt"))
 
     from pyspark.sql import Window
@@ -8685,7 +8712,7 @@ def q266_sampled_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst"))
     frames = []
     for variant, s in (("exact", 0), ("sampled", _Q266_S)):
-        cand = cands[variant].localCheckpoint(eager=True)
+        cand = cands[variant]
         refined = (
             cand.join(
                 va.select(F.col("vec_id").alias("src"), F.col("__v").alias("__sv")),
@@ -8966,6 +8993,19 @@ def q272_capped_descent_ladder(
         .localCheckpoint(eager=True)  # re-added to every round's graph
     )
 
+    # The exact truth is independent of every round — materialize it on
+    # a background thread while the main thread walks the inherently
+    # sequential round loop (guide §2.6 overlap).
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_async,
+    )
+
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue_fut = checkpoint_async(
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+
     lists = {0: knn}
     graph = _sym_edges(knn.unionByName(bridges)).localCheckpoint(eager=True)
     for r in range(1, _Q272_ROUNDS + 1):
@@ -8978,12 +9018,7 @@ def q272_capped_descent_ladder(
                 eager=True
             )
 
-    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
-    strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
-        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    strue = strue_fut.result()
     nt = strue.agg(F.count(F.lit(1)).alias("nt"))
     frames = []
     for r, lst in sorted(lists.items()):
@@ -9475,6 +9510,18 @@ def q274_capped_descent_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # Exact truth on a background thread, overlapping the sequential
+    # round loop (guide §2.6 — same shape as q272).
+    from wetsa_cams_solrad_timeseries_spark.plans._spec import (
+        checkpoint_async,
+    )
+
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue_fut = checkpoint_async(
+        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+
     graph = _sym_edges(knn.unionByName(bridges)).localCheckpoint(eager=True)
     lists = {0: knn}
     cands = {0: graph}  # round 0's standing cost: the base graph itself
@@ -9491,12 +9538,7 @@ def q274_capped_descent_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eager=True
             )
 
-    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
-    strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
-        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    strue = strue_fut.result()
     nt = strue.agg(F.count(F.lit(1)).alias("nt"))
     frames = []
     for r in sorted(lists):
@@ -9678,10 +9720,23 @@ def q278_streaming_capped_descent(
         )
         .select("vec_id", "cell", "__v")
     )
-    new_knn, _no_tombs = streaming_graph_insert(
-        spark, split_dir, hist_members, cents, m=_Q232_M
+    # The history kNN build and the exact truth are independent of the
+    # drained state — sidework: materialized concurrently with the
+    # stream drain (guide §2.6) instead of serially after it.
+    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
+    strue_lazy = brute_force_topk_l2(
+        emb, emb.filter(sample), k=_Q232_M, dim=_DIM
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    base_knn = cell_knn_edges(hist, cents, m=_Q232_M)
+    new_knn, _no_tombs, (base_knn, strue) = streaming_graph_insert(
+        spark,
+        split_dir,
+        hist_members,
+        cents,
+        m=_Q232_M,
+        sidework=[cell_knn_edges(hist, cents, m=_Q232_M), strue_lazy],
+    )
     lists0 = base_knn.unionByName(new_knn).localCheckpoint(eager=True)
     probes_all = ivf_assign(emb, cents, n_probe=1 + _Q232_BRIDGE)
     bridges = (
@@ -9699,14 +9754,6 @@ def q278_streaming_capped_descent(
         emb, graph, _Q232_M, _Q272_C, salt=1
     ).localCheckpoint(eager=True)
 
-    sample = F.col("vec_id") % _Q237_SAMPLE_MOD == 0
-    strue = (
-        brute_force_topk_l2(emb, emb.filter(sample), k=_Q232_M, dim=_DIM)
-        .select(
-            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-        )
-        .localCheckpoint(eager=True)
-    )
     nt = strue.agg(F.count(F.lit(1)).alias("nt"))
     frames = []
     for rnd, lst in ((0, lists0), (1, refined)):
