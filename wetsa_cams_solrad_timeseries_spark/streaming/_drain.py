@@ -46,9 +46,24 @@ def drain_checkpoint_dir() -> str:
 
 DRAIN_PARTITIONS = 4
 ROWS_PER_STATE_PARTITION = 50_000
+# Rows-per-partition for drains whose per-batch work is a per-GROUP
+# Python kernel (``applyInPandasWithState``): each row costs a
+# JVM→Arrow→pandas round trip plus per-group pandas constants — an
+# order above a JVM-side SQL row — so the balance against the state
+# store's per-partition fixed I/O tips toward more partitions. Measured
+# r14 (sf0.1, 100k-row replays): q71 6.9→5.5 s, q77 4.4→3.3 s, q89
+# 4.8→3.6 s at 8-16 partitions, while the SQL-state drains
+# (q147/q162/q252/q261) were flat-to-NEGATIVE at 16 (q162 6.8→12.5 s)
+# and keep the 50k default. Same scale-adaptive rule either way; only
+# the operator-class constant differs.
+PY_STATE_ROWS_PER_PARTITION = 6_250
 
 
-def size_partitions(spark: SparkSession, n_rows: int) -> int:
+def size_partitions(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = ROWS_PER_STATE_PARTITION,
+) -> int:
     """State-partition count for a drain over ``n_rows`` input rows.
 
     Two costs trade off: the state store's per-partition-per-batch
@@ -56,10 +71,12 @@ def size_partitions(spark: SparkSession, n_rows: int) -> int:
     at 32 on tiny replays) and the Python-side applyInPandas compute
     (wants MANY — a heavy per-key kernel over 1M rows serialized 4× when
     squeezed to 4 partitions). Sizing by input volume handles both ends:
-    ~1 partition per 50k rows, clamped to [4, default parallelism] —
-    the same rows-per-task logic a production deployment applies."""
+    ~1 partition per ``rows_per_partition`` rows (50k for JVM-side SQL
+    state, ``PY_STATE_ROWS_PER_PARTITION`` for per-group Python
+    kernels), clamped to [4, default parallelism] — the same
+    rows-per-task logic a production deployment applies."""
     hi = max(DRAIN_PARTITIONS, spark.sparkContext.defaultParallelism)
-    return max(DRAIN_PARTITIONS, min(hi, n_rows // ROWS_PER_STATE_PARTITION + 1))
+    return max(DRAIN_PARTITIONS, min(hi, n_rows // rows_per_partition + 1))
 
 
 def fed_batches(query) -> int:

@@ -151,11 +151,14 @@ def streaming_sessions(
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_partitions,
         drain_rows,
+        PY_STATE_ROWS_PER_PARTITION,
         size_partitions,
     )
 
     name = f"sessions_{uuid.uuid4().hex[:12]}"
-    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+    with drain_partitions(spark, size_partitions(
+        spark, batch_df.count(), rows_per_partition=PY_STATE_ROWS_PER_PARTITION
+    )):
         # drain_rows detaches (and drops) the memory-sink view itself.
         return drain_rows(
             spark, out, output_mode="append", sink=sink, name=name

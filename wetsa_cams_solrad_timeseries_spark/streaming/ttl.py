@@ -89,6 +89,7 @@ def streaming_ttl_evictions(
         drain_partitions,
         drain_rows,
         file_replay_reader,
+        PY_STATE_ROWS_PER_PARTITION,
         size_partitions,
     )
 
@@ -108,7 +109,9 @@ def streaming_ttl_evictions(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"ttl_out_{uuid.uuid4().hex[:12]}"
-    with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+    with drain_partitions(spark, size_partitions(
+        spark, batch_df.count(), rows_per_partition=PY_STATE_ROWS_PER_PARTITION
+    )):
         # drain_rows detaches (and drops) the memory-sink view itself.
         return drain_rows(
             spark, out, output_mode="append", sink=sink, name=name

@@ -102,6 +102,7 @@ def tws_running_totals(spark: SparkSession, split_dir: str) -> DataFrame:
     from wetsa_cams_solrad_timeseries_spark.streaming._drain import (
         drain_checkpoint_dir,
         drain_partitions,
+        PY_STATE_ROWS_PER_PARTITION,
         size_partitions,
     )
 
@@ -126,7 +127,9 @@ def tws_running_totals(spark: SparkSession, split_dir: str) -> DataFrame:
     old_prov = spark.conf.get(prov_key, None)
     spark.conf.set(prov_key, _ROCKSDB)
     try:
-        with drain_partitions(spark, size_partitions(spark, batch_df.count())):
+        with drain_partitions(spark, size_partitions(
+            spark, batch_df.count(), rows_per_partition=PY_STATE_ROWS_PER_PARTITION
+        )):
             query = (
                 out.writeStream.outputMode("update")
                 .format("memory")
